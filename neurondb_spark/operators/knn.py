@@ -1,0 +1,216 @@
+"""kNN / top-k search operators (SURVEY §2.5).
+
+The canonical reference query is ``SELECT … ORDER BY v <-> $q LIMIT k``
+(NeuronDB/demo/vector/demo_vector.sql:45-69). In Spark that plan shape is
+``orderBy(dist).limit(k)`` → TakeOrderedAndProject: each partition keeps a
+local top-k heap, the driver merges partials — the scatter-gather the
+reference fakes with SQL stubs (src/util/distributed.c:53-539) is native
+here and scales to any partition count with no full sort and no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from neurondb_spark.functions.distance import distance
+
+
+def _query_lit(query) -> Column:
+    """Materialize a Python sequence (or Column) as an array<double> literal."""
+    if isinstance(query, Column):
+        return query.cast("array<double>")
+    return F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+
+
+def knn(
+    df: DataFrame,
+    vec_col: str,
+    query,
+    k: int = 10,
+    metric: str = "l2",
+    dim: int | None = None,
+    dist_col: str = "distance",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Exact kNN: distance to ``query`` + top-k.
+
+    Reference: ORDER BY `<->` LIMIT k (demo_vector.sql:45-54); with an HNSW/
+    IVF index the reference approximates this — our exact form IS the
+    correctness definition both test against. ``tiebreak`` columns make the
+    result deterministic under distance ties.
+    """
+    d = distance(vec_col, _query_lit(query), metric, dim=dim, checked=False)
+    out = df.withColumn(dist_col, d)
+    order = [F.col(dist_col).asc(), *[F.col(c).asc() for c in tiebreak]]
+    return out.orderBy(*order).limit(k)
+
+
+def knn_classify(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    query,
+    k: int = 10,
+    metric: str = "l2",
+    dim: int | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """kNN majority vote (src/ml/ml_knn.c:112): top-k then groupBy(label).
+
+    Returns one row: (predicted label, vote count). Ties broken by label
+    order for determinism.
+    """
+    top = knn(df, vec_col, query, k=k, metric=metric, dim=dim, tiebreak=tiebreak)
+    return (
+        top.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").alias("votes"))
+        .orderBy(F.col("votes").desc(), F.col("label").asc())
+        .limit(1)
+    )
+
+
+def knn_regress(
+    df: DataFrame,
+    vec_col: str,
+    target_col: str,
+    query,
+    k: int = 10,
+    metric: str = "l2",
+    dim: int | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """kNN mean of neighbor targets (src/ml/ml_knn.c:363)."""
+    top = knn(df, vec_col, query, k=k, metric=metric, dim=dim, tiebreak=tiebreak)
+    return top.agg(F.avg(target_col).alias("prediction"))
+
+
+def multi_vector_search(
+    df: DataFrame,
+    vec_col: str,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    metric: str = "l2",
+    agg: str = "min",
+    dim: int | None = None,
+    dist_col: str = "distance",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Multi-query fusion (hybrid_search.c:689): per-query distances fused
+    with min/max/avg, then top-k. Computed as N narrow per-row expressions —
+    no join, no shuffle."""
+    dists = [
+        distance(vec_col, _query_lit(q), metric, dim=dim, checked=False)
+        for q in queries
+    ]
+    if agg == "min":
+        fused = F.least(*dists) if len(dists) > 1 else dists[0]
+    elif agg == "max":
+        fused = F.greatest(*dists) if len(dists) > 1 else dists[0]
+    elif agg == "avg":
+        s = dists[0]
+        for d in dists[1:]:
+            s = s + d
+        fused = s / float(len(dists))
+    else:
+        raise ValueError(f"neurondb: unknown fusion agg {agg!r}")
+    out = df.withColumn(dist_col, fused)
+    order = [F.col(dist_col).asc(), *[F.col(c).asc() for c in tiebreak]]
+    return out.orderBy(*order).limit(k)
+
+
+def faceted_vector_search(
+    df: DataFrame,
+    vec_col: str,
+    query,
+    facet_col: str,
+    per_facet_k: int = 3,
+    metric: str = "l2",
+    dim: int | None = None,
+    dist_col: str = "distance",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k per facet (hybrid_search.c:878): window rank inside facet
+    partitions — one shuffle on the facet key, skew-safe under AQE."""
+    d = distance(vec_col, _query_lit(query), metric, dim=dim, checked=False)
+    w = W.partitionBy(facet_col).orderBy(
+        F.col(dist_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    return (
+        df.withColumn(dist_col, d)
+        .withColumn("facet_rank", F.row_number().over(w))
+        .where(F.col("facet_rank") <= per_facet_k)
+    )
+
+
+def temporal_vector_search(
+    df: DataFrame,
+    vec_col: str,
+    query,
+    ts_col: str,
+    now,
+    decay: float = 0.01,
+    k: int = 10,
+    metric: str = "cosine",
+    dim: int | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Similarity × exponential time decay (hybrid_search.c:1005,
+    neurondb--1.0.sql:3095-3106): score = (1-dist) * exp(-decay * age_days).
+
+    ``now`` is an explicit timestamp literal (string) so results are
+    deterministic/oracle-checkable — the reference uses now().
+    """
+    d = distance(vec_col, _query_lit(query), metric, dim=dim, checked=False)
+    age_days = (
+        F.lit(now).cast("timestamp").cast("double") - F.col(ts_col).cast("double")
+    ) / F.lit(86400.0)
+    score = (1.0 - d) * F.exp(-F.lit(float(decay)) * age_days)
+    out = df.withColumn("temporal_score", score)
+    order = [F.col("temporal_score").desc(), *[F.col(c).asc() for c in tiebreak]]
+    return out.orderBy(*order).limit(k)
+
+
+def vec_window_rank(
+    df: DataFrame,
+    vec_col: str,
+    query,
+    partition_col: str,
+    metric: str = "l2",
+    dim: int | None = None,
+    dist_col: str = "distance",
+    rank_col: str = "vrank",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Rank by distance within partitions (operators.c:1112-1154)."""
+    d = distance(vec_col, _query_lit(query), metric, dim=dim, checked=False)
+    w = W.partitionBy(partition_col).orderBy(
+        F.col(dist_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    return df.withColumn(dist_col, d).withColumn(rank_col, F.rank().over(w))
+
+
+def vec_route(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    metric: str = "l2",
+    dim: int | None = None,
+    out_col: str = "route",
+) -> DataFrame:
+    """Nearest-centroid routing (operators.c:1155+): argmin over a small
+    centroid list, computed as a per-row expression chain (centroids are
+    broadcast as literals — no join)."""
+    best_d, best_i = None, None
+    for i, c in enumerate(centroids):
+        d = distance(vec_col, _query_lit(c), metric, dim=dim, checked=False)
+        if best_d is None:
+            best_d, best_i = d, F.lit(i)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return df.withColumn(out_col, best_i)
