@@ -1,13 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship query smoke check at sf0.001.
-``queries()`` — one entry per implemented operator from SURVEY.md §2.
-``oracle_sql()`` — DuckDB-equivalent SQL for each query.
+``queries()`` — one entry per implemented operator from SURVEY.md §2,
+aggregated from neurondb_spark/registry/*.
+``oracle_sql()`` — DuckDB-equivalent SQL for each query (absent entries are
+non-SQL-expressible ops → driver records a rows-only check).
 
 Float parity strategy (see neurondb_spark/oracle.py): per-row math is
 bit-identical double arithmetic with matching association order; cross-row
-sums are routed through DECIMAL(38,6) so they are order-independent and
-exact in both engines.
+sums are routed through DECIMAL(38,6) (order-independent, exact);
+transcendental results (exp/log with corpus stats) are rounded identically
+on both sides.
 """
 
 from __future__ import annotations
@@ -16,260 +19,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
-from neurondb_spark import oracle as O
-from neurondb_spark.functions.aggregates import davg, dsum, vector_agg_exploded
-from neurondb_spark.functions.distance import distance
-from neurondb_spark.functions.vector import vec, vector_norm
-from neurondb_spark.operators.knn import (
-    faceted_vector_search,
-    knn,
-    multi_vector_search,
-    vec_window_rank,
-)
+from neurondb_spark.registry import collect
+from neurondb_spark.registry.common import EMB_DIM, qvec
 
-EMB_DIM = 64  # driver's embeddings.embedding dimension
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def _qvec(spark: SparkSession, sf_dir: str, vid: int = 1) -> list[float]:
-    """Deterministic query vector = stored embedding of vec_id=vid.
-
-    float32→Python float is exact, so the Spark literal equals DuckDB's
-    stored value bit-for-bit.
-    """
-    row = (
-        _t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") == vid)
-        .select("embedding")
-        .head()
-    )
-    return [float(x) for x in row[0]]
-
-
-_ORACLE_QVEC_CTE = "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1)"
-
-
-# ---------------------------------------------------------------- kNN family
-
-def _mk_knn(metric: str):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        emb = _t(spark, sf_dir, "embeddings")
-        q = _qvec(spark, sf_dir)
-        return knn(
-            emb, "embedding", q, k=10, metric=metric, dim=EMB_DIM,
-            tiebreak=["vec_id"],
-        ).select("vec_id", "label", "distance")
-
-    return run
-
-
-def _sql_knn(metric: str) -> str:
-    d = O.sql_distance("e.embedding", "q.qe", metric, EMB_DIM)
-    return f"""{_ORACLE_QVEC_CTE}
-SELECT e.vec_id, e.label, {d} AS distance
-FROM embeddings e CROSS JOIN q
-ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
-
-
-# ------------------------------------------------------------ vector scalars
-
-def _q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        vector_norm("embedding").alias("l2_norm"),
-        F.aggregate(vec("embedding"), F.lit(0.0), lambda s, x: s + x).alias("elem_sum"),
-        F.array_min(vec("embedding")).alias("elem_min"),
-        F.array_max(vec("embedding")).alias("elem_max"),
-    )
-
-
-def _sql_vector_norms() -> str:
-    sq = " + ".join(
-        f"({O.elem('embedding', i)}) * ({O.elem('embedding', i)})"
-        for i in range(1, EMB_DIM + 1)
-    )
-    es = " + ".join(f"({O.elem('embedding', i)})" for i in range(1, EMB_DIM + 1))
-    mins = ", ".join(O.elem("embedding", i) for i in range(1, EMB_DIM + 1))
-    return f"""SELECT vec_id, sqrt({sq}) AS l2_norm, {es} AS elem_sum,
-least({mins}) AS elem_min, greatest({mins}) AS elem_max
-FROM embeddings"""
-
-
-def _q_vector_avg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return vector_agg_exploded(emb, "embedding", ["label"], op="avg")
-
-
-def _sql_vector_avg_by_label() -> str:
-    return f"""WITH ex AS (
-  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS p
-  FROM embeddings)
-SELECT label, CAST(p AS INTEGER) AS pos, {O.davg('v')} AS val
-FROM ex GROUP BY label, p"""
-
-
-# -------------------------------------------------------- relational core
-
-def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
-    charge = disc_price * (1.0 + F.col("l_tax"))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-_SQL_TPCH_Q1 = f"""SELECT l_returnflag, l_linestatus,
-  {O.dsum('l_quantity')} AS sum_qty,
-  {O.dsum('l_extendedprice')} AS sum_base_price,
-  {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
-  {O.dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
-  {O.davg('l_quantity')} AS avg_qty,
-  {O.davg('l_extendedprice')} AS avg_price,
-  {O.davg('l_discount')} AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus"""
-
-
-def _q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(10)
-    )
-
-
-_SQL_TOP_REVENUE_CUSTOMERS = f"""SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-  {O.dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
-ORDER BY revenue DESC, c.c_custkey ASC LIMIT 10"""
-
-
-def _q_orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    w = W.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-_SQL_ORDERS_TOPK_PER_SEGMENT = """SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
-FROM (
-  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
-                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
-  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
-WHERE rn <= 5"""
-
-
-# ----------------------------------------------------------- search operators
-
-def _q_faceted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    q = _qvec(spark, sf_dir)
-    return faceted_vector_search(
-        emb, "embedding", q, facet_col="label", per_facet_k=3,
-        metric="l2", dim=EMB_DIM, tiebreak=["vec_id"],
-    ).select("label", "vec_id", "distance", F.col("facet_rank").cast("int").alias("facet_rank"))
-
-
-def _sql_faceted_search() -> str:
-    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
-    return f"""{_ORACLE_QVEC_CTE}
-SELECT label, vec_id, distance, CAST(facet_rank AS INTEGER) AS facet_rank FROM (
-  SELECT e.label, e.vec_id, {d} AS distance,
-         ROW_NUMBER() OVER (PARTITION BY e.label ORDER BY {d} ASC, e.vec_id ASC) AS facet_rank
-  FROM embeddings e CROSS JOIN q)
-WHERE facet_rank <= 3"""
-
-
-def _q_multi_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    q1 = _qvec(spark, sf_dir, 1)
-    q2 = _qvec(spark, sf_dir, 2)
-    return multi_vector_search(
-        emb, "embedding", [q1, q2], k=10, metric="l2", agg="min",
-        dim=EMB_DIM, tiebreak=["vec_id"],
-    ).select("vec_id", "distance")
-
-
-def _sql_multi_vector_search() -> str:
-    d1 = O.sql_l2("e.embedding", "q1.qe", EMB_DIM)
-    d2 = O.sql_l2("e.embedding", "q2.qe", EMB_DIM)
-    return f"""WITH q1 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
-q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2)
-SELECT e.vec_id, least({d1}, {d2}) AS distance
-FROM embeddings e CROSS JOIN q1 CROSS JOIN q2
-ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
-
-
-def _q_vec_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    q = _qvec(spark, sf_dir)
-    out = vec_window_rank(
-        emb, "embedding", q, partition_col="label", metric="cosine",
-        dim=EMB_DIM, tiebreak=["vec_id"],
-    )
-    return out.where(F.col("vrank") <= 5).select(
-        "label", "vec_id", "distance", F.col("vrank").cast("int").alias("vrank")
-    )
-
-
-def _sql_vec_window_rank() -> str:
-    d = O.sql_cosine_distance("e.embedding", "q.qe", EMB_DIM)
-    return f"""{_ORACLE_QVEC_CTE}
-SELECT label, vec_id, distance, CAST(vrank AS INTEGER) AS vrank FROM (
-  SELECT e.label, e.vec_id, {d} AS distance,
-         RANK() OVER (PARTITION BY e.label ORDER BY {d} ASC, e.vec_id ASC) AS vrank
-  FROM embeddings e CROSS JOIN q)
-WHERE vrank <= 5"""
-
-
-# ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: kNN over embeddings joined to documents (semantic search
-    result page) at sf0.001."""
+    """Flagship: cosine kNN over embeddings joined to documents (a semantic
+    search result page) at sf0.001."""
+    from neurondb_spark.operators.knn import knn
+    from neurondb_spark.registry.common import t
+
     sf_dir = "/root/testdata/sf0.001"
-    emb = _t(spark, sf_dir, "embeddings")
-    docs = _t(spark, sf_dir, "documents")
-    q = _qvec(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    q = qvec(spark, sf_dir)
     top = knn(emb, "embedding", q, k=10, metric="cosine", dim=EMB_DIM, tiebreak=["vec_id"])
     return top.join(
         F.broadcast(docs), top.vec_id == docs.doc_id, "left"
@@ -277,40 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "knn_l2": _mk_knn("l2"),
-        "knn_cosine": _mk_knn("cosine"),
-        "knn_ip": _mk_knn("ip"),
-        "knn_l1": _mk_knn("l1"),
-        "knn_chebyshev": _mk_knn("chebyshev"),
-        "knn_squared_l2": _mk_knn("squared_l2"),
-        "knn_hamming": _mk_knn("hamming"),
-        "vector_norms": _q_vector_norms,
-        "vector_avg_by_label": _q_vector_avg_by_label,
-        "tpch_q1": _q_tpch_q1,
-        "top_revenue_customers": _q_top_revenue_customers,
-        "orders_topk_per_segment": _q_orders_topk_per_segment,
-        "faceted_vector_search": _q_faceted_search,
-        "multi_vector_search": _q_multi_vector_search,
-        "vec_window_rank": _q_vec_window_rank,
-    }
+    return {name: fn for name, (fn, _sql) in collect().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "knn_l2": _sql_knn("l2"),
-        "knn_cosine": _sql_knn("cosine"),
-        "knn_ip": _sql_knn("ip"),
-        "knn_l1": _sql_knn("l1"),
-        "knn_chebyshev": _sql_knn("chebyshev"),
-        "knn_squared_l2": _sql_knn("squared_l2"),
-        "knn_hamming": _sql_knn("hamming"),
-        "vector_norms": _sql_vector_norms(),
-        "vector_avg_by_label": _sql_vector_avg_by_label(),
-        "tpch_q1": _SQL_TPCH_Q1,
-        "top_revenue_customers": _SQL_TOP_REVENUE_CUSTOMERS,
-        "orders_topk_per_segment": _SQL_ORDERS_TOPK_PER_SEGMENT,
-        "faceted_vector_search": _sql_faceted_search(),
-        "multi_vector_search": _sql_multi_vector_search(),
-        "vec_window_rank": _sql_vec_window_rank(),
-    }
+    return {name: sql for name, (_fn, sql) in collect().items() if sql is not None}

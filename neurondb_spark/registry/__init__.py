@@ -1,0 +1,28 @@
+"""Query registry: every implemented operator from SURVEY §2 declares a
+(spark_fn, oracle_sql) pair here; __spark_entry__ aggregates them for the
+driver's correctness gate.
+
+Each submodule exposes ``QUERIES: dict[str, tuple[callable, str | None]]``
+where callable(spark, sf_dir) -> DataFrame and the str is DuckDB SQL
+(None → non-SQL-expressible op, rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def collect() -> dict[str, tuple[QueryFn, str | None]]:
+    from neurondb_spark.registry import core, events, search, text_pipeline
+
+    out: dict[str, tuple[QueryFn, str | None]] = {}
+    for mod in (core, search, text_pipeline, events):
+        for name, pair in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            out[name] = pair
+    return out

@@ -1,0 +1,43 @@
+"""Shared helpers for registry modules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EMB_DIM = 64  # driver embeddings.embedding dimension
+
+_qvec_cache: dict[tuple[str, int], list[float]] = {}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def qvec(spark: SparkSession, sf_dir: str, vid: int = 1) -> list[float]:
+    """Deterministic query vector = stored embedding of vec_id=vid (cached;
+    float32→Python float is exact so the Spark literal equals DuckDB's
+    stored value bit-for-bit)."""
+    key = (sf_dir, vid)
+    if key not in _qvec_cache:
+        row = (
+            t(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == vid)
+            .select("embedding")
+            .head()
+        )
+        _qvec_cache[key] = [float(x) for x in row[0]]
+    return _qvec_cache[key]
+
+
+QVEC_CTE = "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1)"
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with its nanosecond timestamps converted to
+    microsecond TimestampType — matching DuckDB's native truncating read of
+    TIMESTAMP(NANOS) parquet (Spark refuses nanos without the legacy conf;
+    values are positive so DIV 1000 = truncation on both engines)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -1,0 +1,236 @@
+"""Core queries: distance kernels (kNN family), vector scalars/aggregates,
+relational substrate (SURVEY §2.0, §2.3-2.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from neurondb_spark import oracle as O
+from neurondb_spark.functions.aggregates import davg, dsum, vector_agg_exploded
+from neurondb_spark.functions.vector import vec, vector_norm
+from neurondb_spark.operators.knn import (
+    faceted_vector_search,
+    knn,
+    multi_vector_search,
+    vec_window_rank,
+)
+from neurondb_spark.registry.common import EMB_DIM, QVEC_CTE, qvec, t
+
+
+def _mk_knn(metric: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = t(spark, sf_dir, "embeddings")
+        q = qvec(spark, sf_dir)
+        return knn(
+            emb, "embedding", q, k=10, metric=metric, dim=EMB_DIM,
+            tiebreak=["vec_id"],
+        ).select("vec_id", "label", "distance")
+
+    return run
+
+
+def _sql_knn(metric: str) -> str:
+    d = O.sql_distance("e.embedding", "q.qe", metric, EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, e.label, {d} AS distance
+FROM embeddings e CROSS JOIN q
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
+def _q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        vector_norm("embedding").alias("l2_norm"),
+        F.aggregate(vec("embedding"), F.lit(0.0), lambda s, x: s + x).alias("elem_sum"),
+        F.array_min(vec("embedding")).alias("elem_min"),
+        F.array_max(vec("embedding")).alias("elem_max"),
+    )
+
+
+def _sql_vector_norms() -> str:
+    sq = " + ".join(
+        f"({O.elem('embedding', i)}) * ({O.elem('embedding', i)})"
+        for i in range(1, EMB_DIM + 1)
+    )
+    es = " + ".join(f"({O.elem('embedding', i)})" for i in range(1, EMB_DIM + 1))
+    mins = ", ".join(O.elem("embedding", i) for i in range(1, EMB_DIM + 1))
+    return f"""SELECT vec_id, sqrt({sq}) AS l2_norm, {es} AS elem_sum,
+least({mins}) AS elem_min, greatest({mins}) AS elem_max
+FROM embeddings"""
+
+
+def _q_vector_avg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return vector_agg_exploded(emb, "embedding", ["label"], op="avg")
+
+
+_SQL_VECTOR_AVG_BY_LABEL = f"""WITH ex AS (
+  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS p
+  FROM embeddings)
+SELECT label, CAST(p AS INTEGER) AS pos, {O.davg('v')} AS val
+FROM ex GROUP BY label, p"""
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    charge = disc_price * (1.0 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = f"""SELECT l_returnflag, l_linestatus,
+  {O.dsum('l_quantity')} AS sum_qty,
+  {O.dsum('l_extendedprice')} AS sum_base_price,
+  {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+  {O.dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+  {O.davg('l_quantity')} AS avg_qty,
+  {O.davg('l_extendedprice')} AS avg_price,
+  {O.davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def _q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_TOP_REVENUE_CUSTOMERS = f"""SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+  {O.dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY revenue DESC, c.c_custkey ASC LIMIT 10"""
+
+
+def _q_orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+_SQL_ORDERS_TOPK_PER_SEGMENT = """SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rn <= 5"""
+
+
+def _q_faceted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    return faceted_vector_search(
+        emb, "embedding", q, facet_col="label", per_facet_k=3,
+        metric="l2", dim=EMB_DIM, tiebreak=["vec_id"],
+    ).select("label", "vec_id", "distance", F.col("facet_rank").cast("int").alias("facet_rank"))
+
+
+def _sql_faceted_search() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT label, vec_id, distance, CAST(facet_rank AS INTEGER) AS facet_rank FROM (
+  SELECT e.label, e.vec_id, {d} AS distance,
+         ROW_NUMBER() OVER (PARTITION BY e.label ORDER BY {d} ASC, e.vec_id ASC) AS facet_rank
+  FROM embeddings e CROSS JOIN q)
+WHERE facet_rank <= 3"""
+
+
+def _q_multi_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q1 = qvec(spark, sf_dir, 1)
+    q2 = qvec(spark, sf_dir, 2)
+    return multi_vector_search(
+        emb, "embedding", [q1, q2], k=10, metric="l2", agg="min",
+        dim=EMB_DIM, tiebreak=["vec_id"],
+    ).select("vec_id", "distance")
+
+
+def _sql_multi_vector_search() -> str:
+    d1 = O.sql_l2("e.embedding", "q1.qe", EMB_DIM)
+    d2 = O.sql_l2("e.embedding", "q2.qe", EMB_DIM)
+    return f"""WITH q1 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2)
+SELECT e.vec_id, least({d1}, {d2}) AS distance
+FROM embeddings e CROSS JOIN q1 CROSS JOIN q2
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
+def _q_vec_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    out = vec_window_rank(
+        emb, "embedding", q, partition_col="label", metric="cosine",
+        dim=EMB_DIM, tiebreak=["vec_id"],
+    )
+    return out.where(F.col("vrank") <= 5).select(
+        "label", "vec_id", "distance", F.col("vrank").cast("int").alias("vrank")
+    )
+
+
+def _sql_vec_window_rank() -> str:
+    d = O.sql_cosine_distance("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT label, vec_id, distance, CAST(vrank AS INTEGER) AS vrank FROM (
+  SELECT e.label, e.vec_id, {d} AS distance,
+         RANK() OVER (PARTITION BY e.label ORDER BY {d} ASC, e.vec_id ASC) AS vrank
+  FROM embeddings e CROSS JOIN q)
+WHERE vrank <= 5"""
+
+
+QUERIES = {
+    "knn_l2": (_mk_knn("l2"), _sql_knn("l2")),
+    "knn_cosine": (_mk_knn("cosine"), _sql_knn("cosine")),
+    "knn_ip": (_mk_knn("ip"), _sql_knn("ip")),
+    "knn_l1": (_mk_knn("l1"), _sql_knn("l1")),
+    "knn_chebyshev": (_mk_knn("chebyshev"), _sql_knn("chebyshev")),
+    "knn_squared_l2": (_mk_knn("squared_l2"), _sql_knn("squared_l2")),
+    "knn_hamming": (_mk_knn("hamming"), _sql_knn("hamming")),
+    "vector_norms": (_q_vector_norms, _sql_vector_norms()),
+    "vector_avg_by_label": (_q_vector_avg_by_label, _SQL_VECTOR_AVG_BY_LABEL),
+    "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
+    "top_revenue_customers": (_q_top_revenue_customers, _SQL_TOP_REVENUE_CUSTOMERS),
+    "orders_topk_per_segment": (_q_orders_topk_per_segment, _SQL_ORDERS_TOPK_PER_SEGMENT),
+    "faceted_vector_search": (_q_faceted_search, _sql_faceted_search()),
+    "multi_vector_search": (_q_multi_vector_search, _sql_multi_vector_search()),
+    "vec_window_rank": (_q_vec_window_rank, _sql_vec_window_rank()),
+}

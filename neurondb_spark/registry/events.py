@@ -1,0 +1,126 @@
+"""Event-stream analytics queries over the driver's ``events`` table —
+batch equivalents of the Structured Streaming operators (SURVEY §2.13):
+tumbling-window aggregation, sessionization, time-decay scoring, top-k.
+
+The same expressions run under readStream + watermark in
+neurondb_spark/streaming (the reference has no stream operators; its
+background workers poll a job-queue table, worker_queue.c:4-9 — our
+streaming module reproduces that; these queries are the oracle-checkable
+batch semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from neurondb_spark import oracle as O
+from neurondb_spark.functions.aggregates import davg, dsum
+from neurondb_spark.registry.common import events as load_events
+
+NOW = "2026-01-01 00:00:00"
+DECAY = 0.05
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = f"""SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n_events, {O.dsum('value')} AS sum_value, {O.davg('value')} AS avg_value
+FROM events GROUP BY 1, 2"""
+
+
+def _q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum("value").alias("total_value"), F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(15)
+    )
+
+
+_SQL_EVENTS_TOPK_USERS = f"""SELECT user_id, {O.dsum('value')} AS total_value,
+  COUNT(*) AS n_purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY total_value DESC, user_id ASC LIMIT 15"""
+
+
+def _q_events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay scoring — the temporal_vector_search decay kernel
+    (hybrid_search.c:1005) applied to event values; exp() differs by ≤1 ulp
+    across engines so the score is rounded to 6 decimals on both sides."""
+    ev = load_events(spark, sf_dir)
+    age_days = (
+        F.lit(NOW).cast("timestamp").cast("double") - F.col("ts").cast("double")
+    ) / 86400.0
+    score = F.round(F.col("value") * F.exp(-F.lit(DECAY) * age_days), 6)
+    return (
+        ev.select("event_id", score.alias("decayed_value"))
+        .orderBy(F.col("decayed_value").desc(), F.col("event_id").asc())
+        .limit(25)
+    )
+
+
+_SQL_EVENTS_TIME_DECAY = f"""SELECT event_id,
+  round(value * exp(-{DECAY!r} * ((epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0)), 6) AS decayed_value
+FROM events
+ORDER BY decayed_value DESC, event_id ASC LIMIT 25"""
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + cumulative
+    sum — the batch shape of stateful session windows."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    sess = ev.withColumn("_new", is_new).withColumn(
+        "session_seq", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_seq").cast("bigint").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+_SQL_EVENTS_SESSIONIZE = """WITH g AS (
+  SELECT user_id, event_id, ts,
+         (CASE WHEN lag(ts) OVER w IS NULL
+               OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800.0 THEN 1 ELSE 0 END) AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g),
+c AS (SELECT user_id, session_seq, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+       MAX(n_events) AS max_session_events
+FROM c GROUP BY user_id"""
+
+
+QUERIES = {
+    "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "events_topk_users": (_q_events_topk_users, _SQL_EVENTS_TOPK_USERS),
+    "events_time_decay": (_q_events_time_decay, _SQL_EVENTS_TIME_DECAY),
+    "events_sessionize": (_q_events_sessionize, _SQL_EVENTS_SESSIONIZE),
+}

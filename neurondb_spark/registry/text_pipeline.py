@@ -1,0 +1,219 @@
+"""Training-data-pipeline text/dedup queries (BASELINE north star):
+token counting, quality scoring, language ID, fingerprinting, chunking,
+exact dedup, MinHash signatures, SimHash, n-gram Jaccard pairs,
+embedding-cosine near-dup pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neurondb_spark import oracle as O
+from neurondb_spark.functions.text import (
+    TOKEN_SPLIT_RE,
+    chunk_text,
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    sql_doc_fingerprint,
+    sql_tokenize,
+    token_count,
+)
+from neurondb_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from neurondb_spark.registry.common import EMB_DIM, t
+
+NUM_MINHASHES = 8
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _sql_text_stats() -> str:
+    toks = sql_tokenize("text")
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    stop = f"CAST(len(list_filter({toks}, x -> x IN ('the','and','of','to','in','a','is'))) AS DOUBLE)"
+    uniq = f"CAST(len(list_distinct({toks})) AS DOUBLE)"
+    len_score = f"least({n_tok} / 100.0, 1.0)"
+    alpha_ratio = f"(CASE WHEN {n_chars} = 0.0 THEN 0.0 ELSE {alpha} / {n_chars} END)"
+    stop_score = f"least({stop} / greatest({n_tok} * 0.05, 1.0), 1.0)"
+    rep_score = f"(CASE WHEN {n_tok} = 0.0 THEN 0.0 ELSE {uniq} / {n_tok} END)"
+    return f"""SELECT doc_id,
+  CAST(len({toks}) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_obs,
+  (({len_score}) + ({alpha_ratio}) + ({stop_score}) + ({rep_score})) / 4.0 AS quality
+FROM documents"""
+
+
+def _q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LANG_WORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es": ("el", "la", "de", "que", "los", "se", "las", "por", "un", "una"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein", "ich", "mit", "sie"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que", "pour", "qui"),
+}
+
+
+def _sql_lang_detect() -> str:
+    toks = sql_tokenize("text")
+    cnts = {
+        lang: "len(list_filter(%s, x -> x IN (%s)))"
+        % (toks, ", ".join(f"'{x}'" for x in w))
+        for lang, w in _LANG_WORDS.items()
+    }
+    # same argmax with fixed priority order en,es,de,fr; strictly-greater wins
+    expr = "'en'"
+    best = cnts["en"]
+    for lang in ("es", "de", "fr"):
+        expr = f"(CASE WHEN {cnts[lang]} > ({best}) THEN '{lang}' ELSE {expr} END)"
+        best = f"greatest({best}, {cnts[lang]})"
+    return f"""SELECT lang_pred, COUNT(*) AS n_docs FROM (
+  SELECT (CASE WHEN ({best}) > 0 THEN {expr} ELSE 'unknown' END) AS lang_pred
+  FROM documents)
+GROUP BY lang_pred"""
+
+
+def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _sql_fingerprint_dedup() -> str:
+    fp = sql_doc_fingerprint("text")
+    return f"""SELECT {fp} AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1"""
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signature("text", NUM_MINHASHES, 3)
+    cols = [F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(NUM_MINHASHES)]
+    return docs.select("doc_id", *cols)
+
+
+def _sql_minhash_signatures() -> str:
+    toks = sql_tokenize("text")
+    sh = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
+        f"i -> array_to_string({toks}[i:i+2], ' '))"
+    )
+    cols = []
+    for i in range(NUM_MINHASHES):
+        hashed = (
+            f"list_transform({sh}, s -> CAST(('0x' || substr(md5(s || '#{i}'), 1, 15)) AS BIGINT))"
+        )
+        cols.append(f"list_min({hashed}) AS mh{i}")
+    return f"SELECT doc_id, {', '.join(cols)} FROM documents"
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text", 16).alias("simhash16"))
+
+
+def _sql_simhash() -> str:
+    toks = sql_tokenize("text")
+    h = f"list_transform({toks}, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))"
+    bits = []
+    for j in range(16):
+        vote = (
+            f"list_aggregate(list_transform({h}, x -> CASE WHEN (x >> {j}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END), 'sum')"
+        )
+        bits.append(f"(CASE WHEN ({vote}) > 0 THEN {2 ** j} ELSE 0 END)")
+    return f"SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS simhash16 FROM documents"
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.03, shingle_n=2, block_col="lang"
+    )
+
+
+def _sql_ngram_jaccard() -> str:
+    toks = sql_tokenize("text")
+    sh = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - 1, 1)), "
+        f"i -> array_to_string({toks}[i:i+1], ' ')))"
+    )
+    return f"""WITH s AS (SELECT doc_id, lang, {sh} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) AS jaccard_sim
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.03"""
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.25, dim=EMB_DIM, sign_bits=2
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    sim = O.sql_cosine_similarity("a.embedding", "b.embedding", EMB_DIM)
+    blk = (
+        "concat(CASE WHEN {t}.embedding[1] >= 0 THEN '1' ELSE '0' END, "
+        "CASE WHEN {t}.embedding[2] >= 0 THEN '1' ELSE '0' END)"
+    )
+    return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine_sim
+FROM embeddings a JOIN embeddings b
+  ON {blk.format(t='a')} = {blk.format(t='b')} AND a.vec_id < b.vec_id
+WHERE {sim} >= 0.25"""
+
+
+def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    ch = chunk_text("text", 120, 20)
+    return docs.select(
+        "doc_id", F.posexplode(ch).alias("chunk_idx0", "chunk")
+    ).select("doc_id", (F.col("chunk_idx0") + 1).cast("int").alias("chunk_idx"), "chunk")
+
+
+def _sql_chunks() -> str:
+    return """WITH starts AS (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text), 1), 100)) AS s
+  FROM documents WHERE doc_id <= 50)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS INTEGER) AS chunk_idx,
+       substr(text, s, 120) AS chunk
+FROM starts"""
+
+
+QUERIES = {
+    "text_stats": (_q_text_stats, _sql_text_stats()),
+    "lang_detect_counts": (_q_lang_detect, _sql_lang_detect()),
+    "fingerprint_dedup": (_q_fingerprint_dedup, _sql_fingerprint_dedup()),
+    "minhash_signatures": (_q_minhash_signatures, _sql_minhash_signatures()),
+    "simhash_signatures": (_q_simhash, _sql_simhash()),
+    "ngram_jaccard_pairs": (_q_ngram_jaccard, _sql_ngram_jaccard()),
+    "embedding_neardup_pairs": (_q_embedding_neardup, _sql_embedding_neardup()),
+    "chunk_documents": (_q_chunks, _sql_chunks()),
+}
