@@ -1,0 +1,121 @@
+"""Random-hyperplane LSH index — the scan-friendly stand-in for the
+reference's HNSW niche (sub-linear approximate kNN over cosine-like
+similarity; HNSW itself is pointer-chasing and anti-scan, see
+index/__init__.py).
+
+Design: ``nbits`` seeded random hyperplanes → one integer bucket signature
+per row (a pure Column expression — the hyperplanes are literals, so
+signature computation is codegen'd and needs no shuffle). Search probes the
+query's bucket plus all buckets within ``probe_hamming`` bit flips
+(multi-probe LSH), then scores exactly. With a bucket-partitioned layout
+the probe is partition pruning, same as IVF.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import random
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neurondb_spark.functions.distance import distance
+from neurondb_spark.operators.knn import _query_lit
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+
+
+def signature_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Bucket signature: bit b = sign(<v, plane_b>) — unrolled dot products
+    (JVM codegen, no shuffle)."""
+    sig = None
+    for b, plane in enumerate(planes):
+        dot = None
+        for i, w in enumerate(plane):
+            term = F.element_at(F.col(vec_col).cast("array<double>"), i + 1) * F.lit(w)
+            dot = term if dot is None else dot + term
+        bit = F.when(dot >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+class LSHIndex:
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.meta = meta
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        vec_col: str,
+        path: str,
+        dim: int,
+        nbits: int = 8,
+        seed: int = 42,
+        metric: str = "cosine",
+    ) -> "LSHIndex":
+        planes = _hyperplanes(dim, nbits, seed)
+        sig = signature_expr(vec_col, planes)
+        df.withColumn("bucket", sig).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(path, "data"))
+        meta = {
+            "version": 1,
+            "method": "lsh",
+            "vec_col": vec_col,
+            "metric": metric,
+            "dim": dim,
+            "nbits": nbits,
+            "seed": seed,
+            "planes": planes,
+            "built_at": time.time(),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return LSHIndex(path, meta)
+
+    @staticmethod
+    def load(path: str) -> "LSHIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            return LSHIndex(path, json.load(f))
+
+    def _query_buckets(self, query: list[float], probe_hamming: int) -> list[int]:
+        base = 0
+        for b, plane in enumerate(self.meta["planes"]):
+            if sum(q * w for q, w in zip(query, plane)) >= 0:
+                base |= 1 << b
+        nbits = self.meta["nbits"]
+        buckets = {base}
+        for r in range(1, probe_hamming + 1):
+            for flips in itertools.combinations(range(nbits), r):
+                m = base
+                for f_ in flips:
+                    m ^= 1 << f_
+                buckets.add(m)
+        return sorted(buckets)
+
+    def search(
+        self,
+        spark: SparkSession,
+        query: list[float],
+        k: int = 10,
+        probe_hamming: int = 1,
+        dist_col: str = "distance",
+        tiebreak: list[str] | None = None,
+    ) -> DataFrame:
+        buckets = self._query_buckets(query, probe_hamming)
+        df = spark.read.parquet(os.path.join(self.path, "data"))
+        pruned = df.where(F.col("bucket").isin(buckets))
+        d = distance(
+            self.meta["vec_col"], _query_lit(query), self.meta["metric"],
+            dim=self.meta["dim"], checked=False,
+        )
+        out = pruned.withColumn(dist_col, d)
+        order = [F.col(dist_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+        return out.orderBy(*order).limit(k)

@@ -1,0 +1,253 @@
+"""Unified ML API: train / predict / evaluate / list_algorithms.
+
+Reference contract (SURVEY §3.2): neurondb.train(project, algorithm, table,
+target, features, params) → model_id; neurondb.predict(model_id, features);
+neurondb.evaluate(model_id, table, target)
+(neurondb--1.0.sql:4795-5039; dispatch src/ml/ml_unified_api.c:569-616;
+persistence src/ml/ml_catalog.c:529-615).
+
+Structural win over the reference: training data is NOT materialized into
+backend RAM (the reference caps at 200,000 rows — ml_unified_api.c:206,218);
+MLlib estimators train distributed with no row cap. Models persist as MLlib
+model dirs + a catalog JSON entry (the bytea-payload analog).
+
+Gradient-boosted aliases: the reference shells out to external XGBoost/
+LightGBM/CatBoost libs (ml_xgboost.c etc.); here they are semantic
+equivalents on MLlib GBT (same model family, same API contract).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neurondb_spark.catalog import Catalog
+
+# algorithm name → (estimator factory, task type)
+# names mirror the reference's algorithm strings (ml_unified_api.c:569-616)
+
+
+def _algorithms():
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        GBTClassifier,
+        LinearSVC,
+        LogisticRegression,
+        MultilayerPerceptronClassifier,
+        NaiveBayes,
+        RandomForestClassifier,
+    )
+    from pyspark.ml.clustering import (
+        BisectingKMeans,
+        GaussianMixture,
+        KMeans,
+        LDA,
+    )
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.recommendation import ALS
+    from pyspark.ml.regression import (
+        DecisionTreeRegressor,
+        GBTRegressor,
+        LinearRegression,
+        RandomForestRegressor,
+    )
+
+    return {
+        # -- regression
+        "linear_regression": (lambda p: LinearRegression(**p), "regression"),
+        "ridge": (
+            lambda p: LinearRegression(
+                regParam=p.pop("regParam", 0.1), elasticNetParam=0.0, **p
+            ),
+            "regression",
+        ),
+        "lasso": (
+            lambda p: LinearRegression(
+                regParam=p.pop("regParam", 0.1), elasticNetParam=1.0, **p
+            ),
+            "regression",
+        ),
+        "elastic_net": (
+            lambda p: LinearRegression(
+                regParam=p.pop("regParam", 0.1),
+                elasticNetParam=p.pop("elasticNetParam", 0.5),
+                **p,
+            ),
+            "regression",
+        ),
+        "decision_tree_regressor": (lambda p: DecisionTreeRegressor(**p), "regression"),
+        "random_forest_regressor": (
+            lambda p: RandomForestRegressor(seed=p.pop("seed", 42), **p),
+            "regression",
+        ),
+        "xgboost_regressor": (
+            lambda p: GBTRegressor(seed=p.pop("seed", 42), **p),
+            "regression",
+        ),
+        "gbt_regressor": (
+            lambda p: GBTRegressor(seed=p.pop("seed", 42), **p),
+            "regression",
+        ),
+        # -- classification
+        "logistic_regression": (lambda p: LogisticRegression(**p), "classification"),
+        "svm": (lambda p: LinearSVC(**p), "classification"),
+        "decision_tree": (lambda p: DecisionTreeClassifier(seed=p.pop("seed", 42), **p), "classification"),
+        "random_forest": (
+            lambda p: RandomForestClassifier(seed=p.pop("seed", 42), **p),
+            "classification",
+        ),
+        "naive_bayes": (lambda p: NaiveBayes(**p), "classification"),
+        "xgboost": (lambda p: GBTClassifier(seed=p.pop("seed", 42), **p), "classification"),
+        "lightgbm": (lambda p: GBTClassifier(seed=p.pop("seed", 42), **p), "classification"),
+        "catboost": (lambda p: GBTClassifier(seed=p.pop("seed", 42), **p), "classification"),
+        "gbt": (lambda p: GBTClassifier(seed=p.pop("seed", 42), **p), "classification"),
+        "neural_network": (
+            lambda p: MultilayerPerceptronClassifier(seed=p.pop("seed", 42), **p),
+            "classification",
+        ),
+        # -- clustering
+        "kmeans": (lambda p: KMeans(seed=p.pop("seed", 42), **p), "clustering"),
+        "minibatch_kmeans": (lambda p: KMeans(seed=p.pop("seed", 42), **p), "clustering"),
+        "gmm": (lambda p: GaussianMixture(seed=p.pop("seed", 42), **p), "clustering"),
+        "hierarchical": (lambda p: BisectingKMeans(seed=p.pop("seed", 42), **p), "clustering"),
+        "lda": (lambda p: LDA(seed=p.pop("seed", 42), **p), "clustering"),
+        # -- other
+        "pca": (lambda p: PCA(k=p.pop("k", 2), **p), "reduction"),
+        "collaborative_filter": (lambda p: ALS(seed=p.pop("seed", 42), **p), "recommendation"),
+    }
+
+
+def list_algorithms() -> list[dict]:
+    """neurondb.list_algorithms analog (neurondb--1.0.sql:5040-5071)."""
+    return [{"algorithm": k, "task": v[1]} for k, v in sorted(_algorithms().items())]
+
+
+def _featurize(df: DataFrame, features: list[str], feature_col: str = "features") -> DataFrame:
+    """Accept either [one array<numeric> column] or a list of numeric
+    columns; produce an MLlib vector column."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import array_to_vector
+
+    if len(features) == 1 and df.schema[features[0]].dataType.typeName() == "array":
+        return df.withColumn(
+            feature_col, array_to_vector(F.col(features[0]).cast("array<double>"))
+        )
+    va = VectorAssembler(inputCols=features, outputCol=feature_col)
+    return va.transform(df)
+
+
+class MLEngine:
+    """train/predict/evaluate with a model catalog."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+
+    def train(
+        self,
+        df: DataFrame,
+        algorithm: str,
+        features: list[str],
+        target: str | None = None,
+        project: str = "default",
+        params: dict | None = None,
+    ) -> str:
+        algos = _algorithms()
+        if algorithm not in algos:
+            raise ValueError(f"neurondb: unknown algorithm {algorithm!r}")
+        factory, task = algos[algorithm]
+        params = dict(params or {})
+        est = factory(params)
+        data = _featurize(df, features)
+        if hasattr(est, "setFeaturesCol"):
+            est.setFeaturesCol("features")
+        elif hasattr(est, "setInputCol"):  # PCA-style transformers
+            est.setInputCol("features")
+            if hasattr(est, "setOutputCol"):
+                est.setOutputCol("pca_features")
+        if task in ("regression", "classification"):
+            if target is None:
+                raise ValueError("neurondb: supervised algorithm needs target")
+            est.setLabelCol(target)
+        t0 = time.time()
+        model = est.fit(data)
+        model_id = f"{algorithm}-{uuid.uuid4().hex[:8]}"
+        path = self.catalog.artifact_dir("models", model_id)
+        model.write().overwrite().save(path)
+        self.catalog.register(
+            "models",
+            model_id,
+            {
+                "project": project,
+                "algorithm": algorithm,
+                "task": task,
+                "features": features,
+                "target": target,
+                "params": {k: str(v) for k, v in params.items()},
+                "model_class": type(model).__name__,
+                "path": path,
+                "train_seconds": time.time() - t0,
+                "status": "ready",
+            },
+        )
+        return model_id
+
+    def _load(self, model_id: str):
+        import importlib
+
+        meta = self.catalog.get("models", model_id)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown model {model_id!r}")
+        cls_name = meta["model_class"]
+        for mod in (
+            "pyspark.ml.classification",
+            "pyspark.ml.regression",
+            "pyspark.ml.clustering",
+            "pyspark.ml.feature",
+            "pyspark.ml.recommendation",
+        ):
+            m = importlib.import_module(mod)
+            if hasattr(m, cls_name):
+                return getattr(m, cls_name).load(meta["path"]), meta
+        raise ValueError(f"neurondb: cannot load model class {cls_name}")
+
+    def predict(self, df: DataFrame, model_id: str) -> DataFrame:
+        model, meta = self._load(model_id)
+        data = _featurize(df, meta["features"])
+        return model.transform(data)
+
+    def evaluate(self, df: DataFrame, model_id: str) -> dict:
+        """Reference metric contracts (tests/sql/basic/001_linreg_basic.sql:41-70):
+        regression → mse/rmse/mae/r²; classification → accuracy/f1/
+        precision/recall; clustering → silhouette."""
+        from pyspark.ml.evaluation import (
+            ClusteringEvaluator,
+            MulticlassClassificationEvaluator,
+            RegressionEvaluator,
+        )
+
+        model, meta = self._load(model_id)
+        pred = self.predict(df, model_id)
+        task = meta["task"]
+        if task == "regression":
+            ev = RegressionEvaluator(labelCol=meta["target"], predictionCol="prediction")
+            return {
+                m: ev.setMetricName(m).evaluate(pred)
+                for m in ("mse", "rmse", "mae", "r2")
+            }
+        if task == "classification":
+            ev = MulticlassClassificationEvaluator(
+                labelCol=meta["target"], predictionCol="prediction"
+            )
+            return {
+                "accuracy": ev.setMetricName("accuracy").evaluate(pred),
+                "f1": ev.setMetricName("f1").evaluate(pred),
+                "precision": ev.setMetricName("weightedPrecision").evaluate(pred),
+                "recall": ev.setMetricName("weightedRecall").evaluate(pred),
+            }
+        if task == "clustering":
+            ev = ClusteringEvaluator(featuresCol="features")
+            return {"silhouette": ev.evaluate(pred)}
+        return {"rows": pred.count()}

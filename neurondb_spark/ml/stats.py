@@ -1,0 +1,150 @@
+"""Closed-form / statistical ML operators as exact DataFrame expressions —
+the oracle-checkable half of SURVEY §2.8.
+
+- simple linear regression (normal equations over exact decimal sums) —
+  semantics of train_linear_regression (ml_linear_regression.c:1108) for
+  the 1-feature case, with NO 200k row cap.
+- z-score outliers (detect_outliers_zscore, ml_outlier_detection.c:99)
+- centroid drift (detect_centroid_drift, ml_drift_detection.c:72)
+- kNN classify vote (ml_knn.c:112)
+- retrieval metrics (recall@k / precision@k, ml_recall_metrics.c:64-271)
+
+Each function returns a DataFrame whose values are reproducible bit-for-bit
+by portable SQL: cross-row sums go through DECIMAL(38,6+) and all per-row
+math is IEEE double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neurondb_spark.functions.aggregates import dsum
+
+
+def simple_linreg(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """OLS slope/intercept/r for y ~ x via exact sums:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). One aggregation pass."""
+    n = F.count(F.lit(1)).cast("double")
+    sx = dsum(F.col(x_col))
+    sy = dsum(F.col(y_col))
+    sxy = dsum(F.col(x_col) * F.col(y_col))
+    sxx = dsum(F.col(x_col) * F.col(x_col))
+    syy = dsum(F.col(y_col) * F.col(y_col))
+    agg = df.agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (r * r).alias("r2"),
+    )
+
+
+def sql_simple_linreg(table: str, x: str, y: str, dsum_sql) -> str:
+    """DuckDB oracle for :func:`simple_linreg`."""
+    return f"""WITH s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum_sql(x)} AS sx, {dsum_sql(y)} AS sy,
+         {dsum_sql(f'{x} * {y}')} AS sxy,
+         {dsum_sql(f'{x} * {x}')} AS sxx,
+         {dsum_sql(f'{y} * {y}')} AS syy
+  FROM {table})
+SELECT CAST(n AS BIGINT) AS n,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+  (((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+   * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))) AS r2
+FROM s"""
+
+
+def zscore_outliers(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None,
+    threshold: float = 3.0, id_cols: list[str] | None = None,
+) -> DataFrame:
+    """|x − μ| / σ > threshold (population σ), μ/σ from exact decimal sums
+    (detect_outliers_zscore, ml_outlier_detection.c:99). Two-pass: one
+    aggregation + one broadcast join back — no window over the whole table,
+    so it scales to any group size."""
+    g = group_cols or []
+    stats = df.groupBy(*g).agg(
+        dsum(F.col(value_col)).alias("_s"),
+        dsum(F.col(value_col) * F.col(value_col)).alias("_ss"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    stats = stats.select(
+        *g,
+        (F.col("_s") / F.col("_n")).alias("_mean"),
+        F.sqrt(F.col("_ss") / F.col("_n") - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n"))).alias("_std"),
+    )
+    joined = df.join(F.broadcast(stats), on=g) if g else df.crossJoin(F.broadcast(stats))
+    z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    out_cols = (id_cols or []) + g + [value_col]
+    return (
+        joined.withColumn("zscore", z)
+        .where(F.abs(F.col("zscore")) > threshold)
+        .select(*out_cols, "zscore")
+    )
+
+
+def centroid_drift(
+    df_a: DataFrame, df_b: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """detect_centroid_drift (ml_drift_detection.c:72): L2 distance between
+    element-wise centroids of two cohorts. Centroids via exact decimal
+    sums / counts; distance over the dim positions."""
+    def centroid(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+        return ex.groupBy("pos").agg(
+            (dsum(F.col("v"), scale=9) / F.count(F.lit(1))).alias(tag)
+        )
+
+    a = centroid(df_a, "ca")
+    b = centroid(df_b, "cb")
+    j = a.join(b, "pos")
+    return j.agg(
+        F.sqrt(dsum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")), scale=18)).alias("centroid_drift")
+    )
+
+
+def knn_classify_vote(
+    df: DataFrame, vec_col: str, label_col: str, query, k: int,
+    dim: int | None = None, id_col: str = "vec_id",
+) -> DataFrame:
+    """kNN vote counts per label (ml_knn.c:112) — fully deterministic with
+    id tiebreak, so oracle-checkable end to end."""
+    from neurondb_spark.operators.knn import knn
+
+    top = knn(df, vec_col, query, k=k, metric="l2", dim=dim, tiebreak=[id_col])
+    return (
+        top.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .orderBy(F.col("votes").desc(), F.col("label").asc())
+    )
+
+
+def label_recall_at_k(
+    df: DataFrame, vec_col: str, label_col: str, query, query_label: int,
+    k: int, dim: int | None = None, id_col: str = "vec_id",
+) -> DataFrame:
+    """recall_at_k analog (ml_recall_metrics.c:64): fraction of the top-k
+    whose label matches the query's label."""
+    from neurondb_spark.operators.knn import knn
+
+    top = knn(df, vec_col, query, k=k, metric="l2", dim=dim, tiebreak=[id_col])
+    return top.agg(
+        (
+            F.sum(F.when(F.col(label_col) == query_label, 1).otherwise(0)).cast("double")
+            / F.lit(float(k))
+        ).alias("recall_at_k")
+    )

@@ -202,15 +202,18 @@ def vec_route(
     out_col: str = "route",
 ) -> DataFrame:
     """Nearest-centroid routing (operators.c:1155+): argmin over a small
-    centroid list, computed as a per-row expression chain (centroids are
-    broadcast as literals — no join)."""
-    best_d, best_i = None, None
-    for i, c in enumerate(centroids):
-        d = distance(vec_col, _query_lit(c), metric, dim=dim, checked=False)
-        if best_d is None:
-            best_d, best_i = d, F.lit(i)
-        else:
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return df.withColumn(out_col, best_i)
+    centroid list, computed per-row with centroids inlined as literals (no
+    join, no shuffle). Implemented as array_min over (distance, idx)
+    structs — struct ordering gives the argmin with a deterministic
+    lowest-index tie-break, and each distance subtree appears exactly once
+    (a nested when-chain would duplicate subtrees exponentially)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                distance(vec_col, _query_lit(c), metric, dim=dim, checked=False).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(out_col, F.array_min(pairs)["i"])

@@ -17,10 +17,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def collect() -> dict[str, tuple[QueryFn, str | None]]:
-    from neurondb_spark.registry import core, events, search, text_pipeline
+    from neurondb_spark.registry import (
+        core,
+        events,
+        index_queries,
+        ml_queries,
+        search,
+        text_pipeline,
+    )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (core, search, text_pipeline, events):
+    for mod in (core, search, text_pipeline, events, index_queries, ml_queries):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

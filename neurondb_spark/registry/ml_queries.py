@@ -1,0 +1,157 @@
+"""ML queries (SURVEY §2.8): closed-form/statistical ops oracle-checked
+exactly; iterative MLlib trainings are rows-only (their correctness is
+asserted by metric thresholds in tests/test_ml.py, mirroring the
+reference's self-checking metric tests, tests/sql/basic/001_linreg_basic.sql:41-70)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neurondb_spark import oracle as O
+from neurondb_spark.ml.stats import (
+    centroid_drift,
+    knn_classify_vote,
+    label_recall_at_k,
+    simple_linreg,
+    sql_simple_linreg,
+    zscore_outliers,
+)
+from neurondb_spark.registry.common import EMB_DIM, QVEC_CTE, qvec, t
+
+
+def _q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return simple_linreg(li, "l_quantity", "l_extendedprice")
+
+
+_SQL_LINREG = sql_simple_linreg("lineitem", "l_quantity", "l_extendedprice", O.dsum)
+
+
+def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return zscore_outliers(
+        orders, "o_totalprice", threshold=2.5, id_cols=["o_orderkey"]
+    )
+
+
+_SQL_ZSCORE = f"""WITH s AS (
+  SELECT {O.dsum('o_totalprice')} AS sv,
+         {O.dsum('o_totalprice * o_totalprice')} AS svv,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders),
+m AS (SELECT sv / n AS mean, sqrt(svv / n - (sv / n) * (sv / n)) AS std FROM s)
+SELECT o_orderkey, o_totalprice,
+       (o_totalprice - m.mean) / m.std AS zscore
+FROM orders CROSS JOIN m
+WHERE abs((o_totalprice - m.mean) / m.std) > 2.5"""
+
+
+def _q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    return centroid_drift(a, b, "embedding", EMB_DIM)
+
+
+_SQL_DRIFT = """WITH ex AS (
+  SELECT vec_id % 2 AS half, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+c AS (
+  SELECT pos,
+    CAST(SUM(CASE WHEN half = 0 THEN CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9)) END) AS DOUBLE)
+      / COUNT(CASE WHEN half = 0 THEN 1 END) AS ca,
+    CAST(SUM(CASE WHEN half = 1 THEN CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9)) END) AS DOUBLE)
+      / COUNT(CASE WHEN half = 1 THEN 1 END) AS cb
+  FROM ex GROUP BY pos)
+SELECT sqrt(CAST(SUM(CAST(CAST((ca - cb) * (ca - cb) AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS centroid_drift
+FROM c"""
+
+
+def _q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    return knn_classify_vote(emb, "embedding", "label", q, k=25, dim=EMB_DIM)
+
+
+def _sql_knn_vote() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE},
+top AS (
+  SELECT e.label FROM embeddings e CROSS JOIN q
+  ORDER BY {d} ASC, e.vec_id ASC LIMIT 25)
+SELECT label, COUNT(*) AS votes FROM top GROUP BY label
+ORDER BY votes DESC, label ASC"""
+
+
+def _q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    return label_recall_at_k(emb, "embedding", "label", q, query_label=0, k=20, dim=EMB_DIM)
+
+
+def _sql_recall_at_k() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE},
+top AS (
+  SELECT e.label FROM embeddings e CROSS JOIN q
+  ORDER BY {d} ASC, e.vec_id ASC LIMIT 20)
+SELECT CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE) / 20.0 AS recall_at_k
+FROM top"""
+
+
+# ------------------------------------------------- MLlib (rows-only checks)
+
+_ml_cache: dict[str, object] = {}
+
+
+def _q_logreg_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression: label<5 on embeddings; returns per-class
+    prediction counts (deterministic given seed/environment; asserted by
+    accuracy threshold in tests)."""
+    import tempfile
+
+    from neurondb_spark.catalog import Catalog
+    from neurondb_spark.ml.api import MLEngine
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") < 5).cast("double")
+    )
+    eng = MLEngine(Catalog(tempfile.mkdtemp(prefix="neurondb_ml_")))
+    mid = eng.train(emb, "logistic_regression", ["embedding"], target="y")
+    pred = eng.predict(emb, mid)
+    return (
+        pred.groupBy(F.col("prediction").cast("int").alias("prediction"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prediction")
+    )
+
+
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans k=5 on embeddings → cluster size distribution (rows-only)."""
+    import tempfile
+
+    from neurondb_spark.catalog import Catalog
+    from neurondb_spark.ml.api import MLEngine
+
+    emb = t(spark, sf_dir, "embeddings")
+    eng = MLEngine(Catalog(tempfile.mkdtemp(prefix="neurondb_ml_")))
+    mid = eng.train(emb, "kmeans", ["embedding"], params={"k": 5})
+    pred = eng.predict(emb, mid)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+QUERIES = {
+    "linreg_closed_form": (_q_linreg, _SQL_LINREG),
+    "zscore_outliers": (_q_zscore, _SQL_ZSCORE),
+    "centroid_drift": (_q_drift, _SQL_DRIFT),
+    "knn_classify_vote": (_q_knn_vote, _sql_knn_vote()),
+    "label_recall_at_k": (_q_recall_at_k, _sql_recall_at_k()),
+    "ml_logreg_predictions": (_q_logreg_train_predict, None),
+    "ml_kmeans_clusters": (_q_kmeans_clusters, None),
+}

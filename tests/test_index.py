@@ -1,0 +1,79 @@
+"""IVF / LSH index tests: exactness at full probe, recall at partial probe,
+partition pruning in the physical plan."""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from neurondb_spark.index import IVFIndex, LSHIndex  # noqa: E402
+from neurondb_spark.operators.knn import knn  # noqa: E402
+from tests.conftest import SF_DIR  # noqa: E402
+
+DIM = 64
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _query(spark):
+    row = _emb(spark).where(F.col("vec_id") == 5).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def test_ivf_full_probe_is_exact(spark):
+    emb = _emb(spark)
+    q = _query(spark)
+    with tempfile.TemporaryDirectory() as td:
+        idx = IVFIndex.build(emb, "embedding", td, nlists=8, metric="l2", dim=DIM)
+        got = idx.search(spark, q, k=10, nprobe=8, tiebreak=["vec_id"])
+        want = knn(emb, "embedding", q, k=10, metric="l2", dim=DIM, tiebreak=["vec_id"])
+        got_ids = [r["vec_id"] for r in got.collect()]
+        want_ids = [r["vec_id"] for r in want.collect()]
+        assert got_ids == want_ids
+
+
+def test_ivf_partial_probe_recall_and_pruning(spark):
+    emb = _emb(spark)
+    q = _query(spark)
+    with tempfile.TemporaryDirectory() as td:
+        idx = IVFIndex.build(emb, "embedding", td, nlists=8, metric="l2", dim=DIM)
+        got = idx.search(spark, q, k=10, nprobe=3, tiebreak=["vec_id"])
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "cluster_id" in plan  # partition pruning reached the scan
+        got_ids = {r["vec_id"] for r in got.collect()}
+        want = knn(emb, "embedding", q, k=10, metric="l2", dim=DIM, tiebreak=["vec_id"])
+        want_ids = {r["vec_id"] for r in want.collect()}
+        recall = len(got_ids & want_ids) / 10
+        assert recall >= 0.3, f"recall@10 too low: {recall}"
+        stats = idx.statistics(spark)
+        assert stats["total_rows"] == emb.count()
+        assert stats["populated_lists"] <= 8
+
+
+def test_lsh_full_probe_is_exact(spark):
+    emb = _emb(spark)
+    q = _query(spark)
+    with tempfile.TemporaryDirectory() as td:
+        idx = LSHIndex.build(emb, "embedding", td, dim=DIM, nbits=6, metric="cosine")
+        got = idx.search(spark, q, k=10, probe_hamming=6, tiebreak=["vec_id"])
+        want = knn(emb, "embedding", q, k=10, metric="cosine", dim=DIM, tiebreak=["vec_id"])
+        got_ids = [r["vec_id"] for r in got.collect()]
+        want_ids = [r["vec_id"] for r in want.collect()]
+        assert got_ids == want_ids
+
+
+def test_lsh_partial_probe_recall(spark):
+    emb = _emb(spark)
+    q = _query(spark)
+    with tempfile.TemporaryDirectory() as td:
+        idx = LSHIndex.build(emb, "embedding", td, dim=DIM, nbits=6, metric="cosine")
+        got = idx.search(spark, q, k=10, probe_hamming=2, tiebreak=["vec_id"])
+        got_ids = {r["vec_id"] for r in got.collect()}
+        want = knn(emb, "embedding", q, k=10, metric="cosine", dim=DIM, tiebreak=["vec_id"])
+        want_ids = {r["vec_id"] for r in want.collect()}
+        assert len(got_ids & want_ids) / 10 >= 0.3
