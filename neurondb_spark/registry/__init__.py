@@ -19,6 +19,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def collect() -> dict[str, tuple[QueryFn, str | None]]:
     from neurondb_spark.registry import (
         core,
+        embed_rerank,
         events,
         index_queries,
         ml_queries,
@@ -27,7 +28,10 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (core, search, text_pipeline, events, index_queries, ml_queries):
+    for mod in (
+        core, search, text_pipeline, events, index_queries, ml_queries,
+        embed_rerank,
+    ):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

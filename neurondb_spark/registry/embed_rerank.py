@@ -1,0 +1,148 @@
+"""Embedding / reranker / sparse-retrieval queries (SURVEY §2.6-2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neurondb_spark import oracle as O
+from neurondb_spark.functions.embed import (
+    hash_embed_expr,
+    hash_embed_py,
+    sql_hash_embed_cols,
+)
+from neurondb_spark.functions.text import _py_tokenize, sql_tokenize
+from neurondb_spark.operators.rerank import (
+    mmr_rerank,
+    rerank_cross_encoder,
+    rerank_ltr,
+)
+from neurondb_spark.operators.sparse import build_inverted_index, sparse_search
+from neurondb_spark.registry.common import EMB_DIM, qvec, t
+
+EMBED_DIM_Q = 8
+RERANK_QUERY = "fast hash join on big table"
+LTR_WEIGHTS = [0.5, -0.25, 1.5, 0.75]
+
+
+def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    e = hash_embed_expr("text", EMBED_DIM_Q)
+    cols = [F.element_at(e, i + 1).alias(f"e{i}") for i in range(EMBED_DIM_Q)]
+    return docs.select("doc_id", *cols)
+
+
+def _sql_hash_embed() -> str:
+    cols = sql_hash_embed_cols("text", EMBED_DIM_Q)
+    sel = ", ".join(f"{c} AS e{i}" for i, c in enumerate(cols))
+    return f"SELECT doc_id, {sel} FROM documents WHERE doc_id <= 100"
+
+
+def _q_rag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval: deterministic query embedding (djb2) → cosine kNN
+    over the embeddings corpus, joined back to document text metadata."""
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    qv = hash_embed_py(RERANK_QUERY, EMB_DIM)
+    from neurondb_spark.operators.knn import knn
+
+    top = knn(emb, "embedding", qv, k=8, metric="cosine", dim=EMB_DIM, tiebreak=["vec_id"])
+    return top.join(F.broadcast(docs), top.vec_id == docs.doc_id).select(
+        "vec_id", "lang", "source", "distance"
+    )
+
+
+def _sql_rag_query() -> str:
+    qv = hash_embed_py(RERANK_QUERY, EMB_DIM)
+    lit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    d = O.sql_cosine_distance("e.embedding", "q.qe", EMB_DIM)
+    return f"""WITH q AS (SELECT {lit}::DOUBLE[] AS qe),
+top AS (
+  SELECT e.vec_id, {d} AS distance
+  FROM embeddings e CROSS JOIN q
+  ORDER BY distance ASC, e.vec_id ASC LIMIT 8)
+SELECT top.vec_id, d.lang, d.source, top.distance
+FROM top JOIN documents d ON top.vec_id = d.doc_id"""
+
+
+def _q_rerank_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return rerank_cross_encoder(
+        docs, "text", RERANK_QUERY, k=15, tiebreak=["doc_id"]
+    ).select("doc_id", "rerank_score")
+
+
+def _sql_rerank_lexical() -> str:
+    toks = sql_tokenize("text")
+    qtok = []
+    for tk in _py_tokenize(RERANK_QUERY):
+        if tk not in qtok:
+            qtok.append(tk)
+    hits = " + ".join(
+        f"(CASE WHEN list_contains({toks}, '{tk}') THEN 1.0 ELSE 0.0 END)"
+        for tk in qtok
+    )
+    return f"""SELECT doc_id, ({hits}) / {float(len(qtok))!r} AS rerank_score
+FROM documents ORDER BY rerank_score DESC, doc_id ASC LIMIT 15"""
+
+
+def _q_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return rerank_ltr(
+        emb, "embedding", LTR_WEIGHTS, k=15, tiebreak=["vec_id"]
+    ).select("vec_id", "ltr_score")
+
+
+def _sql_ltr() -> str:
+    terms = " + ".join(
+        f"({O.elem('embedding', i + 1)}) * ({float(w)!r})"
+        for i, w in enumerate(LTR_WEIGHTS)
+    )
+    return f"""SELECT vec_id, ({terms}) AS ltr_score
+FROM embeddings ORDER BY ltr_score DESC, vec_id ASC LIMIT 15"""
+
+
+def _q_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    inv = build_inverted_index(docs, "text", "doc_id")
+    return sparse_search(inv, RERANK_QUERY, "doc_id", k=10)
+
+
+def _sql_sparse_search() -> str:
+    qtok = []
+    for tk in _py_tokenize(RERANK_QUERY):
+        if tk not in qtok:
+            qtok.append(tk)
+    inlist = ", ".join(f"'{tk}'" for tk in qtok)
+    return f"""WITH ex AS (
+  SELECT doc_id, unnest({sql_tokenize('text')}) AS term FROM documents),
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM ex GROUP BY term, doc_id)
+SELECT doc_id, SUM(CAST(tf AS DOUBLE) * 1.0) AS sparse_score
+FROM postings WHERE term IN ({inlist})
+GROUP BY doc_id ORDER BY sparse_score DESC, doc_id ASC LIMIT 10"""
+
+
+def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (driver-side greedy over a bounded candidate
+    set — sequential by nature, ml_mmr.c:75). Deterministic but not
+    SQL-expressible → rows-only check; ordering asserted in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    from neurondb_spark.operators.knn import knn
+
+    cands = knn(emb, "embedding", q, k=50, metric="cosine", dim=EMB_DIM, tiebreak=["vec_id"])
+    sel = mmr_rerank(cands, "embedding", "vec_id", q, lam=0.7, k=10)
+    return spark.createDataFrame(
+        [(i + 1, int(v)) for i, v in enumerate(sel)], "mmr_rank int, vec_id bigint"
+    )
+
+
+QUERIES = {
+    "hash_embed": (_q_hash_embed, _sql_hash_embed()),
+    "rag_query": (_q_rag_query, _sql_rag_query()),
+    "rerank_lexical": (_q_rerank_lexical, _sql_rerank_lexical()),
+    "ltr_rerank": (_q_ltr, _sql_ltr()),
+    "sparse_search_tf": (_q_sparse_search, _sql_sparse_search()),
+    "mmr_rerank": (_q_mmr, None),
+}
