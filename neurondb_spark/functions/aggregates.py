@@ -31,6 +31,20 @@ def dsum(c: Column | str, scale: int = 6) -> Column:
     return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
 
 
+def bsum(c: Column | str, bits: int = 40) -> Column:
+    """Order-independent SUM via binary fixed-point: x·2^bits is an EXACT
+    double operation (power-of-two scaling), round-to-integer is identical
+    across engines on identical doubles, the long sum is exact, and the
+    final /2^bits is again exact. Unlike high-scale decimal casts this has
+    NO cross-engine rounding ambiguity (decimal grids finer than ~1e-15
+    fall within double-ulp distance of the string-vs-binary cast paths and
+    diverge). Use when the needed precision exceeds decimal scale ~12.
+    Quantization: 2^-bits per addend; range: |Σ x·2^bits| < 2^63."""
+    c = F.col(c) if isinstance(c, str) else c
+    factor = float(2 ** bits)
+    return F.sum(F.round(c * factor, 0).cast("long")).cast("double") / factor
+
+
 def davg(c: Column | str, scale: int = 6) -> Column:
     """Order-independent mean: exact decimal sum / count."""
     c = F.col(c) if isinstance(c, str) else c

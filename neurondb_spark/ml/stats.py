@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from neurondb_spark.functions.aggregates import dsum
+from neurondb_spark.functions.aggregates import bsum, dsum
 
 
 def simple_linreg(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
@@ -113,7 +113,7 @@ def centroid_drift(
     b = centroid(df_b, "cb")
     j = a.join(b, "pos")
     return j.agg(
-        F.sqrt(dsum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")), scale=18)).alias("centroid_drift")
+        F.sqrt(bsum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))).alias("centroid_drift")
     )
 
 

@@ -1,0 +1,151 @@
+"""Graph operators over edge DataFrames (SURVEY §2.9).
+
+Reference: vgraph BFS/DFS/PageRank/community over single graph *values*
+(NeuronDB/src/vector/vector_graph_ops.c:176-701) and build_knn_graph
+(src/ml/analytics.c:1286). Here the graph is an edge DataFrame (src, dst) —
+the scale-out representation: every algorithm below is iterative joins +
+aggregations, shuffling only on node keys, so a 100 TB edge list
+distributes naturally (the reference's graphs must fit in one varlena).
+
+Determinism: PageRank contributions are summed through DECIMAL so ranks
+are identical regardless of partitioning/ordering — required for the
+DuckDB-oracle gate and a good idea generally (reproducible ranks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neurondb_spark.functions.aggregates import bsum
+
+
+def bfs(
+    edges: DataFrame, start, max_depth: int = 3,
+    src: str = "src", dst: str = "dst", directed: bool = False,
+) -> DataFrame:
+    """Frontier-expansion BFS: (node, depth of first reach), depth ≤
+    max_depth (vgraph_bfs, vector_graph_ops.c:176). One join per level;
+    visited set kept as a DataFrame and unioned per level."""
+    e = edges.select(src, dst)
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
+    e = e.distinct().cache()
+    visited = (
+        e.sparkSession.createDataFrame([(start, 0)], ["node", "depth"])
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.cache()
+        if nxt.head(1) == []:
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 5, damping: float = 0.85,
+    src: str = "src", dst: str = "dst", exact: bool = True,
+) -> DataFrame:
+    """Iterative PageRank: pr = (1−d)/N + d·Σ_in pr(u)/outdeg(u)
+    (vgraph_pagerank, vector_graph_ops.c:519). Dangling nodes keep the
+    teleport term only. ``exact`` routes the contribution sums through
+    binary fixed-point (bsum) for bit-reproducible ranks."""
+    e = edges.select(src, dst).distinct().cache()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(e, ranks.node == e[src])
+            .join(outdeg, src)
+            .select(F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        summed = contrib.groupBy("node").agg(
+            (bsum(F.col("c")) if exact else F.sum("c")).alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation to fixpoint → (node, component) where
+    component = min node id reachable (vgraph_community analog; exact CC).
+    Converges in O(diameter) iterations; each is one join+groupBy."""
+    e = edges.select(src, dst)
+    e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst))).distinct().cache()
+    labels = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            labels.join(e, labels.node == e[src])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.min("comp").alias("nb"))
+        )
+        new_labels = (
+            labels.join(nb_min, "node", "left")
+            .select("node", F.least(F.col("comp"), F.coalesce(F.col("nb"), F.col("comp"))).alias("comp"))
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .head(1)
+        )
+        labels = new_labels
+        if changed == []:
+            break
+    return labels
+
+
+def build_knn_graph(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 3,
+    on: list[str] | None = None, metric: str = "l2", dim: int | None = None,
+) -> DataFrame:
+    """kNN graph: edge (id, neighbor, distance) per k nearest
+    (build_knn_graph, analytics.c:1286) — blocked kNN join."""
+    from neurondb_spark.operators.joins import knn_join
+
+    right = df.select(
+        *( [F.col(c) for c in (on or [])] ),
+        F.col(id_col).alias("_nbr"),
+        F.col(vec_col).alias("_nvec"),
+    )
+    out = knn_join(
+        df.select(*([F.col(c) for c in (on or [])] + [F.col(id_col), F.col(vec_col)])),
+        right, vec_col, "_nvec", id_col, k=k + 1, on=on, metric=metric, dim=dim,
+    )
+    return (
+        out.where(F.col(id_col) != F.col("_nbr"))
+        .select(F.col(id_col).alias("src"), F.col("_nbr").alias("dst"), "distance")
+    )

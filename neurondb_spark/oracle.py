@@ -100,6 +100,15 @@ def dsum(expr: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST(CAST({expr} AS DOUBLE) AS DECIMAL(38,{scale}))) AS DOUBLE)"
 
 
+def bsum(expr: str, bits: int = 40) -> str:
+    """Order-independent binary fixed-point sum (see aggregates.bsum)."""
+    factor = float(2 ** bits)
+    return (
+        f"(CAST(CAST(SUM(CAST(round(CAST({expr} AS DOUBLE) * {factor!r}) AS BIGINT)) "
+        f"AS BIGINT) AS DOUBLE) / {factor!r})"
+    )
+
+
 def davg(expr: str, scale: int = 6) -> str:
     """Order-independent mean: exact decimal sum / exact count."""
     return f"(CAST(SUM(CAST(CAST({expr} AS DOUBLE) AS DECIMAL(38,{scale}))) AS DOUBLE) / COUNT(*))"

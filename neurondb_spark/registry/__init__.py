@@ -23,6 +23,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         events,
         index_queries,
         ml_queries,
+        quant_graph,
         search,
         text_pipeline,
     )
@@ -30,7 +31,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
     out: dict[str, tuple[QueryFn, str | None]] = {}
     for mod in (
         core, search, text_pipeline, events, index_queries, ml_queries,
-        embed_rerank,
+        embed_rerank, quant_graph,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -54,7 +54,7 @@ def _q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_drift(a, b, "embedding", EMB_DIM)
 
 
-_SQL_DRIFT = """WITH ex AS (
+_SQL_DRIFT = f"""WITH ex AS (
   SELECT vec_id % 2 AS half, unnest(embedding) AS v,
          generate_subscripts(embedding, 1) AS pos
   FROM embeddings),
@@ -65,7 +65,7 @@ c AS (
     CAST(SUM(CASE WHEN half = 1 THEN CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9)) END) AS DOUBLE)
       / COUNT(CASE WHEN half = 1 THEN 1 END) AS cb
   FROM ex GROUP BY pos)
-SELECT sqrt(CAST(SUM(CAST(CAST((ca - cb) * (ca - cb) AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS centroid_drift
+SELECT sqrt({O.bsum('(ca - cb) * (ca - cb)')}) AS centroid_drift
 FROM c"""
 
 

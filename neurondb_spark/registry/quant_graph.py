@@ -1,0 +1,140 @@
+"""Quantization + graph queries (SURVEY §2.9-2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neurondb_spark import oracle as O
+from neurondb_spark.functions.quantization import (
+    binary_hamming,
+    int8_roundtrip_error,
+    int8_scale,
+)
+from neurondb_spark.operators.graph import bfs, pagerank
+from neurondb_spark.registry.common import EMB_DIM, QVEC_CTE, qvec, t
+
+
+def _q_int8_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        int8_scale("embedding").alias("int8_scale"),
+        int8_roundtrip_error("embedding").alias("mean_abs_err"),
+    )
+
+
+def _sql_int8_analysis() -> str:
+    absmax = ", ".join(f"abs({O.elem('embedding', i)})" for i in range(1, EMB_DIM + 1))
+    scale = f"(CASE WHEN greatest({absmax}) = 0.0 THEN 1.0 ELSE 127.0 / greatest({absmax}) END)"
+    errs = []
+    for i in range(1, EMB_DIM + 1):
+        e = O.elem("embedding", i)
+        q = f"CAST(trunc(least(greatest(({e}) * s, -127.0), 127.0)) AS INTEGER)"
+        errs.append(f"abs(({e}) - (CAST({q} AS DOUBLE) / s))")
+    return f"""WITH sc AS (SELECT vec_id, embedding, {scale} AS s FROM embeddings)
+SELECT vec_id, s AS int8_scale,
+       ({' + '.join(errs)}) / {float(EMB_DIM)!r} AS mean_abs_err
+FROM sc"""
+
+
+def _q_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        emb.select("vec_id", binary_hamming("embedding", qlit).alias("hamming_bits"))
+        .orderBy(F.col("hamming_bits").asc(), F.col("vec_id").asc())
+        .limit(15)
+    )
+
+
+def _sql_binary_hamming_knn() -> str:
+    terms = []
+    for i in range(1, EMB_DIM + 1):
+        a = f"(CASE WHEN {O.elem('e.embedding', i)} >= 0.0 THEN 1 ELSE 0 END)"
+        b = f"(CASE WHEN {O.elem('q.qe', i)} >= 0.0 THEN 1 ELSE 0 END)"
+        terms.append(f"(CASE WHEN {a} <> {b} THEN 1 ELSE 0 END)")
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, ({' + '.join(terms)}) AS hamming_bits
+FROM embeddings e CROSS JOIN q
+ORDER BY hamming_bits ASC, e.vec_id ASC LIMIT 15"""
+
+
+# ---------------------------------------------------------------- graph
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite part↔supplier graph from lineitem (distinct edges),
+    node keys prefixed to disambiguate id spaces."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+
+
+_SQL_EDGES = """SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+FROM lineitem"""
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    pr = pagerank(e, iterations=3, damping=0.85, exact=True)
+    return pr.select("node", "pr").orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+
+
+def _sql_pagerank() -> str:
+    """3 unrolled PR iterations with decimal-routed contribution sums."""
+    contrib_sum = O.bsum("r{P}.pr / o.outdeg")
+    it = (
+        """r{K} AS (
+  SELECT n.node,
+         ({teleport} + 0.85 * COALESCE(s.c, 0.0)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, """
+        + contrib_sum
+        + """ AS c
+    FROM r{P} JOIN edges e ON r{P}.node = e.src
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) s ON n.node = s.node)"""
+    )
+    # Python double parity: DuckDB would evaluate the literal expression
+    # 1.0 - 0.85 in exact DECIMAL (= 0.15), but Spark computes the Python
+    # double 0.15000000000000002 — inline that double with a forced cast.
+    tele = f"(CAST('{(1.0 - 0.85)!r}' AS DOUBLE) / (SELECT n FROM nn))"
+    body = ",\n".join(it.format(K=k, P=k - 1, teleport=tele) for k in (1, 2, 3))
+    return f"""WITH edges AS ({_SQL_EDGES}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, (1.0 / (SELECT n FROM nn)) AS pr FROM nodes),
+{body}
+SELECT node, pr FROM r3 ORDER BY pr DESC, node ASC LIMIT 20"""
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    return bfs(e, "s1", max_depth=2).select(
+        "node", F.col("depth").cast("int").alias("depth")
+    )
+
+
+_SQL_BFS = f"""WITH edges AS ({_SQL_EDGES}),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+d0 AS (SELECT 's1' AS node),
+d1 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN d0 ON u.src = d0.node
+       WHERE u.dst NOT IN (SELECT node FROM d0)),
+d2 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN d1 ON u.src = d1.node
+       WHERE u.dst NOT IN (SELECT node FROM d0)
+         AND u.dst NOT IN (SELECT node FROM d1))
+SELECT node, 0 AS depth FROM d0
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2"""
+
+
+QUERIES = {
+    "int8_quantize_analysis": (_q_int8_analysis, _sql_int8_analysis()),
+    "binary_hamming_knn": (_q_binary_hamming_knn, _sql_binary_hamming_knn()),
+    "graph_pagerank": (_q_pagerank, _sql_pagerank()),
+    "graph_bfs": (_q_bfs, _SQL_BFS),
+}

@@ -1,0 +1,158 @@
+"""M5 surface tests: streaming job queue, multimodal plumbing, graph
+algorithms, quantization codecs."""
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def test_job_queue_worker_drains_pending(spark):
+    from neurondb_spark.streaming.queue import JobQueueWorker, enqueue_jobs
+
+    with tempfile.TemporaryDirectory() as td:
+        qdir = os.path.join(td, "queue")
+        odir = os.path.join(td, "out")
+        enqueue_jobs(
+            spark, qdir,
+            [
+                {"id": 1, "job_type": "embed", "payload": {"k": 1}},
+                {"id": 2, "job_type": "reindex"},
+                {"id": 3, "job_type": "embed", "status": "complete"},
+            ],
+        )
+        w = JobQueueWorker(spark, qdir, odir, handlers={"embed": lambda r: r})
+        w.run_once()
+        done = w.processed()
+        rows = {r["id"]: r for r in done.collect()}
+        assert set(rows) == {1, 2}  # only pending jobs drained
+        assert rows[1]["status"] == "complete"
+        assert rows[1]["result"] == "handled"
+        assert rows[2]["result"] == "no_handler"
+        # idempotent re-drain: checkpoint prevents reprocessing
+        w.run_once()
+        assert w.processed().count() == 2
+
+
+def test_monitor_stream_windowed_agg(spark):
+    from pyspark.sql import types as T
+
+    from neurondb_spark.streaming.queue import monitor_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "events")
+        df = spark.createDataFrame(
+            [("2026-01-01 00:10:00", "click", 1.0), ("2026-01-01 00:20:00", "click", 3.0),
+             ("2026-01-01 01:10:00", "view", 5.0)],
+            "ts string, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.parquet(src)
+        agg = monitor_stream(spark, src, schema, window="1 hour")
+        q = (
+            agg.writeStream.format("memory").queryName("mon")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT event_type, n, avg_value FROM mon").collect()
+        d = {r["event_type"]: r for r in rows}
+        assert d["click"]["n"] == 2 and d["click"]["avg_value"] == 2.0
+        assert d["view"]["n"] == 1
+
+
+def test_multimodal_decode_and_features(spark):
+    from neurondb_spark.operators.multimodal import (
+        cross_modal_search,
+        decode_media,
+        frame_sample,
+        media_features,
+    )
+
+    rows = [(1, "image", b"\x01\x02\x03", (4, 4, "png", None)),
+            (2, "image", b"\xff\xee", (2, 2, "png", None))]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,format:string,duration_ms:int>",
+    )
+    dec = decode_media(df)
+    r = {x["media_id"]: x for x in dec.collect()}
+    assert len(r[1]["pixels"]) == 16
+    assert r[1]["pixels"] != r[2]["pixels"]  # content-dependent
+    dec2 = decode_media(df)
+    assert dec2.collect()[0]["pixels"] == dec.collect()[0]["pixels"]  # deterministic
+
+    feats = media_features(dec)
+    fr = feats.collect()[0]
+    assert len(fr["media_embedding"]) == 3
+
+    frames = frame_sample(df, n_frames=3)
+    assert len(frames.collect()[0]["frames"]) == 3
+
+    top = cross_modal_search(feats, "sunset photo", k=1)
+    assert top.count() == 1
+
+    with pytest.raises(NotImplementedError):
+        decode_media(df, decode="strict")
+
+
+def test_graph_connected_components(spark):
+    from neurondb_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 12)], "src int, dst int"
+    )
+    cc = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[12] == 12
+
+
+def test_graph_bfs_depths(spark):
+    from neurondb_spark.operators.graph import bfs
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    out = {r["node"]: r["depth"] for r in bfs(edges, "a", max_depth=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_quantization_roundtrips(spark):
+    from neurondb_spark.functions.quantization import (
+        fp16_roundtrip_udf,
+        int8_roundtrip_error,
+        vector_to_int8,
+        vector_to_ternary,
+        vector_to_uint8,
+    )
+
+    df = spark.createDataFrame(
+        [([0.5, -1.0, 0.25, 0.0],), ([2.0, 2.0, 2.0, 2.0],)], "v array<float>"
+    )
+    r = df.select(
+        vector_to_int8("v").alias("i8"),
+        vector_to_uint8("v").alias("u8"),
+        vector_to_ternary("v").alias("t"),
+        int8_roundtrip_error("v").alias("err"),
+        fp16_roundtrip_udf()(F.col("v")).alias("f16"),
+    ).collect()
+    assert r[0]["i8"] == [63, -127, 31, 0]  # 0.5*127=63.5 → trunc 63
+    assert max(r[0]["u8"]) == 255 and min(r[0]["u8"]) == 0
+    assert r[0]["t"] == [1, -1, 0, 0]
+    assert r[0]["err"] < 0.01
+    assert r[1]["u8"] == [0, 0, 0, 0]  # constant vector rule
+    assert r[0]["f16"] == [0.5, -1.0, 0.25, 0.0]  # exactly representable
