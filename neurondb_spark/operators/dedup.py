@@ -133,29 +133,62 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity over candidate pairs: |A∩B|/|A∪B| on
-    distinct shingle sets, pairs with sim ≥ threshold. ``block_col`` limits
-    the self-join (at scale, feed candidates from minhash_lsh_pairs
-    instead)."""
+    """Exact n-gram Jaccard ≥ threshold via an inverted shingle index:
+    explode distinct shingles, self-join on the shingle (only pairs sharing
+    ≥1 shingle ever meet — valid because threshold > 0), count the common
+    shingles, then |A∪B| = |A|+|B|−common.
+
+    Scale: shuffles on the shingle key instead of materializing O(n²)
+    pairs — candidate count is Σ_shingle df(s)², bounded by shingle
+    selectivity, not corpus size. ``max_df`` is the stop-shingle cap:
+    shingles occurring in more than max_df docs are dropped BEFORE pairing
+    (Jaccard is then over the rare-shingle sets — the standard
+    set-similarity-join trick for boilerplate; it also removes the skew
+    keys). None = exact over all shingles.
+    """
+    if threshold <= 0.0:
+        raise ValueError("neurondb: ngram_jaccard_pairs needs threshold > 0")
+    # single-file parquet scans arrive as one partition; the shingle
+    # computation is CPU-heavy per row, so spread it across the cluster
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    blk = [F.col(block_col)] if block_col else []
     base = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
-        *([F.col(block_col)] if block_col else []),
+        F.col(id_col), *blk,
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ex = base.select(F.col(id_col), *blk, F.explode("_sh").alias("_s"))
+    if max_df is not None:
+        dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(dfreq.where(F.col("_df") <= max_df).select("_s"), "_s")
+    # materialize the inverted index once — it feeds the self-join twice
+    # plus the size aggregation (at warehouse scale this is a written
+    # table, sparse_index_create-style)
+    ex = ex.persist()
+    sizes = ex.groupBy(F.col(id_col), *blk).agg(F.count(F.lit(1)).alias("_n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a._s") == F.col("b._s")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
-    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh"))).cast("double")
-    sim = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
-    return (
+    common = (
         a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("jaccard_sim"),
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    sim = F.col("_common").cast("double") / (
+        (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", sim.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= F.lit(float(threshold)))
     )
 

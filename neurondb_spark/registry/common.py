@@ -5,7 +5,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EMB_DIM = 64  # driver embeddings.embedding dimension
+EMB_DIM = 64  # driver embeddings.embedding dimension (oracle SQL generation)
+
+# Distance-expression compilation strategy for registry queries:
+# None → aggregate/zip_with fold (small analysis cost — wins when the scan
+# is small, as with the 2k-row embeddings table); EMB_DIM → unrolled
+# whole-stage-codegen chain (wins on large scans). Both produce
+# bit-identical results (same left-assoc order), so the oracles don't care.
+COMPILE_DIM: int | None = None
 
 _qvec_cache: dict[tuple[str, int], list[float]] = {}
 

@@ -16,7 +16,7 @@ from neurondb_spark.operators.knn import (
     multi_vector_search,
     vec_window_rank,
 )
-from neurondb_spark.registry.common import EMB_DIM, QVEC_CTE, qvec, t
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, QVEC_CTE, qvec, t
 
 
 def _mk_knn(metric: str):
@@ -24,7 +24,7 @@ def _mk_knn(metric: str):
         emb = t(spark, sf_dir, "embeddings")
         q = qvec(spark, sf_dir)
         return knn(
-            emb, "embedding", q, k=10, metric=metric, dim=EMB_DIM,
+            emb, "embedding", q, k=10, metric=metric, dim=COMPILE_DIM,
             tiebreak=["vec_id"],
         ).select("vec_id", "label", "distance")
 
@@ -161,7 +161,7 @@ def _q_faceted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = qvec(spark, sf_dir)
     return faceted_vector_search(
         emb, "embedding", q, facet_col="label", per_facet_k=3,
-        metric="l2", dim=EMB_DIM, tiebreak=["vec_id"],
+        metric="l2", dim=COMPILE_DIM, tiebreak=["vec_id"],
     ).select("label", "vec_id", "distance", F.col("facet_rank").cast("int").alias("facet_rank"))
 
 
@@ -181,7 +181,7 @@ def _q_multi_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = qvec(spark, sf_dir, 2)
     return multi_vector_search(
         emb, "embedding", [q1, q2], k=10, metric="l2", agg="min",
-        dim=EMB_DIM, tiebreak=["vec_id"],
+        dim=COMPILE_DIM, tiebreak=["vec_id"],
     ).select("vec_id", "distance")
 
 
@@ -200,7 +200,7 @@ def _q_vec_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = qvec(spark, sf_dir)
     out = vec_window_rank(
         emb, "embedding", q, partition_col="label", metric="cosine",
-        dim=EMB_DIM, tiebreak=["vec_id"],
+        dim=COMPILE_DIM, tiebreak=["vec_id"],
     )
     return out.where(F.col("vrank") <= 5).select(
         "label", "vec_id", "distance", F.col("vrank").cast("int").alias("vrank")

@@ -18,7 +18,7 @@ from neurondb_spark.operators.rerank import (
     rerank_ltr,
 )
 from neurondb_spark.operators.sparse import build_inverted_index, sparse_search
-from neurondb_spark.registry.common import EMB_DIM, qvec, t
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, qvec, t
 
 EMBED_DIM_Q = 8
 RERANK_QUERY = "fast hash join on big table"
@@ -46,7 +46,7 @@ def _q_rag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = hash_embed_py(RERANK_QUERY, EMB_DIM)
     from neurondb_spark.operators.knn import knn
 
-    top = knn(emb, "embedding", qv, k=8, metric="cosine", dim=EMB_DIM, tiebreak=["vec_id"])
+    top = knn(emb, "embedding", qv, k=8, metric="cosine", dim=COMPILE_DIM, tiebreak=["vec_id"])
     return top.join(F.broadcast(docs), top.vec_id == docs.doc_id).select(
         "vec_id", "lang", "source", "distance"
     )
@@ -131,7 +131,7 @@ def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = qvec(spark, sf_dir)
     from neurondb_spark.operators.knn import knn
 
-    cands = knn(emb, "embedding", q, k=50, metric="cosine", dim=EMB_DIM, tiebreak=["vec_id"])
+    cands = knn(emb, "embedding", q, k=50, metric="cosine", dim=COMPILE_DIM, tiebreak=["vec_id"])
     sel = mmr_rerank(cands, "embedding", "vec_id", q, lam=0.7, k=10)
     return spark.createDataFrame(
         [(i + 1, int(v)) for i, v in enumerate(sel)], "mmr_rank int, vec_id bigint"

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from neurondb_spark import oracle as O
 from neurondb_spark.index.ivf import IVFIndex
-from neurondb_spark.registry.common import EMB_DIM, QVEC_CTE, qvec, t
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, QVEC_CTE, qvec, t
 
 NLISTS = 16
 _cache: dict[str, IVFIndex] = {}
@@ -33,7 +33,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> IVFIndex:
     else:
         emb = t(spark, sf_dir, "embeddings")
         idx = IVFIndex.build(
-            emb, "embedding", path, nlists=NLISTS, metric="l2", dim=EMB_DIM
+            emb, "embedding", path, nlists=NLISTS, metric="l2", dim=COMPILE_DIM
         )
     _cache[key] = idx
     return idx

@@ -17,7 +17,7 @@ from neurondb_spark.ml.stats import (
     sql_simple_linreg,
     zscore_outliers,
 )
-from neurondb_spark.registry.common import EMB_DIM, QVEC_CTE, qvec, t
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, QVEC_CTE, qvec, t
 
 
 def _q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +72,7 @@ FROM c"""
 def _q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = qvec(spark, sf_dir)
-    return knn_classify_vote(emb, "embedding", "label", q, k=25, dim=EMB_DIM)
+    return knn_classify_vote(emb, "embedding", "label", q, k=25, dim=COMPILE_DIM)
 
 
 def _sql_knn_vote() -> str:
@@ -88,7 +88,7 @@ ORDER BY votes DESC, label ASC"""
 def _q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = qvec(spark, sf_dir)
-    return label_recall_at_k(emb, "embedding", "label", q, query_label=0, k=20, dim=EMB_DIM)
+    return label_recall_at_k(emb, "embedding", "label", q, query_label=0, k=20, dim=COMPILE_DIM)
 
 
 def _sql_recall_at_k() -> str:

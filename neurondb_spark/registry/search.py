@@ -14,7 +14,7 @@ from neurondb_spark.operators.hybrid import (
     reciprocal_rank_fusion,
 )
 from neurondb_spark.operators.joins import vec_join
-from neurondb_spark.registry.common import EMB_DIM, QVEC_CTE, qvec, t
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, QVEC_CTE, qvec, t
 
 QUERY_TEXT = "hash join merge sort"
 
@@ -31,7 +31,7 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hybrid_search(
         df, "embedding", "text", q, QUERY_TEXT,
         filters={"lang": "en"}, vector_weight=0.7, k=10,
-        metric="l2", dim=EMB_DIM, tiebreak=["doc_id"],
+        metric="l2", dim=COMPILE_DIM, tiebreak=["doc_id"],
     )
     return out.select("doc_id", "hybrid_score")
 
@@ -71,7 +71,7 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dense = rank_list(
         df, "doc_id",
-        l2_distance("embedding", _query_lit(q), dim=EMB_DIM, checked=False).asc(),
+        l2_distance("embedding", _query_lit(q), dim=COMPILE_DIM, checked=False).asc(),
     )
     sparse = rank_list(df, "doc_id", bm25_score(QUERY_TEXT, "text").desc())
     return reciprocal_rank_fusion([dense, sparse], "doc_id", k0=60.0, k=20)
@@ -101,7 +101,7 @@ def _q_vec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = vec_join(
         emb, emb.withColumnRenamed("vec_id", "vec_id_r"),
         "embedding", "embedding", threshold=1.15,
-        on=["label"], metric="l2", dim=EMB_DIM,
+        on=["label"], metric="l2", dim=COMPILE_DIM,
     )
     return (
         out.where(F.col("vec_id") < F.col("vec_id_r"))

@@ -26,7 +26,7 @@ from neurondb_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from neurondb_spark.registry.common import EMB_DIM, t
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, t
 
 NUM_MINHASHES = 8
 
@@ -149,40 +149,49 @@ def _sql_simhash() -> str:
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.03, shingle_n=2, block_col="lang"
+        docs, "text", "doc_id", threshold=0.03, shingle_n=3, block_col="lang",
+        max_df=20,
     )
 
 
 def _sql_ngram_jaccard() -> str:
     toks = sql_tokenize("text")
     sh = (
-        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - 1, 1)), "
-        f"i -> array_to_string({toks}[i:i+1], ' ')))"
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
+        f"i -> array_to_string({toks}[i:i+2], ' ')))"
     )
-    return f"""WITH s AS (SELECT doc_id, lang, {sh} AS sh FROM documents)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) AS jaccard_sim
-FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.03"""
+    return f"""WITH s AS (SELECT doc_id, lang, {sh} AS sh FROM documents),
+ex0 AS (SELECT doc_id, lang, unnest(sh) AS sing FROM s),
+keep AS (SELECT sing FROM ex0 GROUP BY sing HAVING COUNT(*) <= 20),
+ex AS (SELECT ex0.* FROM ex0 JOIN keep ON ex0.sing = keep.sing),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b
+    ON a.sing = b.sing AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard_sim
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.03"""
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
+    # pair-heavy join → unrolled (codegen) distance, 3-bit sign blocking
     return embedding_neardup_pairs(
-        emb, "embedding", "vec_id", threshold=0.25, dim=EMB_DIM, sign_bits=2
+        emb, "embedding", "vec_id", threshold=0.25, dim=EMB_DIM, sign_bits=3
     )
 
 
 def _sql_embedding_neardup() -> str:
     sim = O.sql_cosine_similarity("a.embedding", "b.embedding", EMB_DIM)
-    blk = (
-        "concat(CASE WHEN {t}.embedding[1] >= 0 THEN '1' ELSE '0' END, "
-        "CASE WHEN {t}.embedding[2] >= 0 THEN '1' ELSE '0' END)"
-    )
+    bit = "(CASE WHEN {t}.embedding[{i}] >= 0 THEN '1' ELSE '0' END)"
+    blk = "concat(" + ", ".join(
+        bit.replace("{i}", str(i)) for i in (1, 2, 3)
+    ) + ")"
     return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine_sim
 FROM embeddings a JOIN embeddings b
   ON {blk.format(t='a')} = {blk.format(t='b')} AND a.vec_id < b.vec_id
