@@ -1,0 +1,93 @@
+"""AutoML (SURVEY §2.8): auto_train / cross_validate / hyperparameter
+search / leaderboard.
+
+Reference: ml_automl.c:119-2020 (auto_train tries candidate algorithms,
+cross-validates, keeps a leaderboard); ml_hyperparameter_tuning.c:39-41
+(grid/random search). Spark mapping: CrossValidator / TrainValidationSplit
++ ParamGridBuilder — distributed folds, no sample cap.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+
+from neurondb_spark.catalog import Catalog
+from neurondb_spark.ml.api import MLEngine, _algorithms, _featurize
+
+
+def cross_validate(
+    df: DataFrame, algorithm: str, features: list[str], target: str,
+    param_grid: dict[str, list] | None = None, folds: int = 3, seed: int = 42,
+) -> dict:
+    """K-fold CV for one algorithm; returns avg metric + best params."""
+    from pyspark.ml.evaluation import (
+        MulticlassClassificationEvaluator,
+        RegressionEvaluator,
+    )
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    factory, task = _algorithms()[algorithm]
+    est = factory({})
+    est.setFeaturesCol("features").setLabelCol(target)
+    data = _featurize(df, features)
+    gb = ParamGridBuilder()
+    for pname, values in (param_grid or {}).items():
+        gb = gb.addGrid(est.getParam(pname), values)
+    grid = gb.build()
+    if task == "regression":
+        ev = RegressionEvaluator(labelCol=target, metricName="rmse")
+        bigger_better = False
+    else:
+        ev = MulticlassClassificationEvaluator(labelCol=target, metricName="accuracy")
+        bigger_better = True
+    cv = CrossValidator(
+        estimator=est, estimatorParamMaps=grid, evaluator=ev,
+        numFolds=folds, seed=seed, parallelism=4,
+    )
+    model = cv.fit(data)
+    metrics = list(model.avgMetrics)
+    best_i = max(range(len(metrics)), key=lambda i: metrics[i] if bigger_better else -metrics[i])
+    best_params = {p.name: v for p, v in grid[best_i].items()}
+    return {
+        "algorithm": algorithm,
+        "task": task,
+        "metric": "accuracy" if bigger_better else "rmse",
+        "best_score": metrics[best_i],
+        "best_params": best_params,
+        "all_scores": metrics,
+    }
+
+
+def auto_train(
+    df: DataFrame, features: list[str], target: str, task: str,
+    candidates: list[str] | None = None, folds: int = 3,
+    catalog: Catalog | None = None, seed: int = 42,
+) -> dict:
+    """auto_train (ml_automl.c:119): CV each candidate, train the winner on
+    the full data, register it, return the leaderboard."""
+    if candidates is None:
+        candidates = (
+            ["linear_regression", "ridge", "random_forest_regressor", "gbt_regressor"]
+            if task == "regression"
+            else ["logistic_regression", "random_forest", "gbt", "naive_bayes"]
+        )
+    board = []
+    for algo in candidates:
+        t0 = time.time()
+        try:
+            res = cross_validate(df, algo, features, target, folds=folds, seed=seed)
+            res["seconds"] = time.time() - t0
+            board.append(res)
+        except Exception as e:  # a candidate failing must not sink the rest
+            board.append({"algorithm": algo, "error": str(e)[:200]})
+    scored = [b for b in board if "best_score" in b]
+    bigger_better = task != "regression"
+    scored.sort(key=lambda b: b["best_score"], reverse=bigger_better)
+    result = {"leaderboard": board, "best": scored[0] if scored else None}
+    if scored and catalog is not None:
+        eng = MLEngine(catalog)
+        mid = eng.train(df, scored[0]["algorithm"], features, target=target)
+        result["model_id"] = mid
+    return result

@@ -26,12 +26,14 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         quant_graph,
         search,
         text_pipeline,
+        timeseries_rel,
+        vector_ops_queries,
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
     for mod in (
         core, search, text_pipeline, events, index_queries, ml_queries,
-        embed_rerank, quant_graph,
+        embed_rerank, quant_graph, timeseries_rel, vector_ops_queries,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -1,0 +1,136 @@
+"""DBSCAN, AutoML, ALS, ops-surface tests."""
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def test_dbscan_finds_planted_clusters(spark):
+    from neurondb_spark.ml.dbscan import dbscan
+
+    # two tight planted clusters + isolated noise points
+    rows = []
+    for i in range(20):
+        rows.append((i, [0.0 + i * 0.01, 0.0]))
+    for i in range(20, 40):
+        rows.append((i, [10.0 + (i - 20) * 0.01, 10.0]))
+    rows += [(100, [50.0, 50.0]), (101, [-50.0, 30.0])]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    out = dbscan(df, "v", "id", eps=0.5, min_samples=3, allow_cross=True)
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    c0 = {got[i] for i in range(20)}
+    c1 = {got[i] for i in range(20, 40)}
+    assert len(c0) == 1 and len(c1) == 1 and c0 != c1
+    assert got[100] == -1 and got[101] == -1
+
+
+def test_auto_train_leaderboard(spark):
+    from neurondb_spark.catalog import Catalog
+    from neurondb_spark.ml.automl import auto_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "y", (F.col("label") < 5).cast("double")
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="automl_"))
+    res = auto_train(
+        emb, ["embedding"], "y", task="classification",
+        candidates=["logistic_regression", "naive_bayes"], folds=2, catalog=cat,
+    )
+    assert res["best"] is not None
+    assert len(res["leaderboard"]) == 2
+    assert "model_id" in res
+    assert cat.get("models", res["model_id"])["status"] == "ready"
+
+
+def test_cross_validate_param_grid(spark):
+    from neurondb_spark.ml.automl import cross_validate
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "y", (F.col("label") < 5).cast("double")
+    )
+    res = cross_validate(
+        emb, "logistic_regression", ["embedding"], "y",
+        param_grid={"regParam": [0.0, 0.5]}, folds=2,
+    )
+    assert len(res["all_scores"]) == 2
+    assert res["best_params"]["regParam"] in (0.0, 0.5)
+
+
+def test_als_recommender(spark):
+    from neurondb_spark.catalog import Catalog
+    from neurondb_spark.ml.api import MLEngine
+    from neurondb_spark.registry.common import events as load_events
+
+    ev = load_events(spark, SF_DIR)
+    ratings = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+        .withColumn("item_id", F.abs(F.hash("event_type")) % 1000)
+    )
+    eng = MLEngine(Catalog(tempfile.mkdtemp(prefix="als_")))
+    mid = eng.train(
+        ratings, "collaborative_filter", features=[], target=None,
+        params={"userCol": "user_id", "itemCol": "item_id", "ratingCol": "rating", "rank": 4},
+    )
+    model, meta = eng._load(mid)
+    recs = model.recommendForAllUsers(2)
+    assert recs.count() > 0
+    assert {"user_id", "recommendations"} <= set(recs.columns)
+
+
+def test_ops_surface(spark):
+    from neurondb_spark.catalog import Catalog
+    from neurondb_spark.ops import (
+        Metrics,
+        QuotaManager,
+        assert_recall,
+        assert_vector_equal,
+        health,
+        tenant_view,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (1, "c")], "tenant int, v string")
+    assert tenant_view(df, "tenant", 1).count() == 2
+
+    qm = QuotaManager(Catalog(tempfile.mkdtemp(prefix="quota_")))
+    qm.set_quota("t1", 100)
+    assert qm.check_and_consume("t1", 60)
+    assert not qm.check_and_consume("t1", 60)
+    qm.reset("t1")
+    assert qm.check_and_consume("t1", 60)
+    assert qm.usage("t1")["used_rows"] == 60
+
+    m = Metrics()
+    m.incr("knn_queries")
+    with m.time("knn"):
+        pass
+    assert "neurondb_knn_queries 1" in m.prometheus()
+    assert m.to_df(spark).count() == 3
+
+    h = health(spark)
+    assert h["status"] == "ok" and h["default_parallelism"] >= 1
+
+    assert_vector_equal([1.0, 2.0], [1.0, 2.0])
+    with pytest.raises(AssertionError):
+        assert_vector_equal([1.0], [1.0, 2.0])
+    assert assert_recall([1, 2, 3], [1, 2], 0.5) == 1.0
+    with pytest.raises(AssertionError):
+        assert_recall([9], [1, 2], 0.5)
+
+
+def test_explain_shows_pushdown(spark):
+    from neurondb_spark.ops import explain_vector_query
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").where(
+        F.col("l_quantity") > 40
+    ).select("l_orderkey", "l_quantity")
+    plan = explain_vector_query(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan
