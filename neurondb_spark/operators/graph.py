@@ -31,21 +31,20 @@ def bfs(
     if not directed:
         e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
     e = e.distinct().cache()
-    visited = (
-        e.sparkSession.createDataFrame([(start, 0)], ["node", "depth"])
-    )
+    start_df = e.sparkSession.createDataFrame([(start, 0)], ["node", "depth"])
+    visited = start_df.withColumn("depth", F.col("depth").cast("int"))
     frontier = visited
     for d in range(1, max_depth + 1):
+        # no per-level driver action: an empty frontier just propagates
+        # empty frames through the remaining (bounded) levels
         nxt = (
             frontier.join(e, frontier.node == e[src])
             .select(F.col(dst).alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
+            .cache()
         )
-        nxt = nxt.cache()
-        if nxt.head(1) == []:
-            break
         visited = visited.union(nxt)
         frontier = nxt
     return visited
@@ -59,7 +58,7 @@ def pagerank(
     (vgraph_pagerank, vector_graph_ops.c:519). Dangling nodes keep the
     teleport term only. ``exact`` routes the contribution sums through
     binary fixed-point (bsum) for bit-reproducible ranks."""
-    e = edges.select(src, dst).distinct().cache()
+    e = edges.select(src, dst).distinct()
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
@@ -68,12 +67,13 @@ def pagerank(
     )
     n = nodes.count()
     outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    # pre-join the per-edge weight once — each iteration is then a single
+    # join + aggregation instead of two joins
+    e_w = e.join(outdeg, src).select(src, dst, F.col("outdeg")).cache()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iterations):
-        contrib = (
-            ranks.join(e, ranks.node == e[src])
-            .join(outdeg, src)
-            .select(F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+        contrib = ranks.join(e_w, ranks.node == e_w[src]).select(
+            F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c")
         )
         summed = contrib.groupBy("node").agg(
             (bsum(F.col("c")) if exact else F.sum("c")).alias("s")

@@ -76,6 +76,34 @@ def sql_chebyshev(a: str, b: str, dim: int) -> str:
     return f"greatest({args})"
 
 
+def sql_canberra(a: str, b: str, dim: int) -> str:
+    """Σ |a−b|/(|a|+|b|), zero-denominator terms contribute 0."""
+    return _terms(
+        a, b, dim,
+        lambda x, y: (
+            f"(CASE WHEN abs({x}) + abs({y}) = 0.0 THEN 0.0 "
+            f"ELSE abs(({x}) - ({y})) / (abs({x}) + abs({y})) END)"
+        ),
+    )
+
+
+def sql_bray_curtis(a: str, b: str, dim: int) -> str:
+    num = _terms(a, b, dim, lambda x, y: f"abs(({x}) - ({y}))")
+    den = _terms(a, b, dim, lambda x, y: f"abs(({x}) + ({y}))")
+    return f"(({num}) / ({den}))"
+
+
+def sql_minkowski_p3_rounded(a: str, b: str, dim: int, digits: int = 6) -> str:
+    """p=3 Minkowski with exact cubes; the final 1/3 root goes through
+    pow() (not correctly rounded everywhere) so the result is rounded."""
+    s = _terms(
+        a, b, dim,
+        lambda x, y: f"(abs(({x}) - ({y})) * abs(({x}) - ({y})) * abs(({x}) - ({y})))",
+    )
+    third = repr(1.0 / 3.0)
+    return f"round(pow({s}, {third}), {digits})"
+
+
 def sql_distance(a: str, b: str, metric: str, dim: int) -> str:
     m = metric.lower()
     return {

@@ -22,6 +22,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         embed_rerank,
         events,
         index_queries,
+        metrics_extra,
         ml_queries,
         quant_graph,
         search,
@@ -34,6 +35,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
     for mod in (
         core, search, text_pipeline, events, index_queries, ml_queries,
         embed_rerank, quant_graph, timeseries_rel, vector_ops_queries,
+        metrics_extra,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -64,16 +64,17 @@ ORDER BY hamming_bits ASC, e.vec_id ASC LIMIT 15"""
 # ---------------------------------------------------------------- graph
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bipartite part↔supplier graph from lineitem (distinct edges),
-    node keys prefixed to disambiguate id spaces."""
+    """Bipartite part↔supplier graph from lineitem (distinct edges).
+    Integer node encoding (part → 2k, supplier → 2k+1) keeps the joins on
+    narrow int64 keys — markedly faster than string keys at every scale."""
     li = t(spark, sf_dir, "lineitem")
     return li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
 
 
-_SQL_EDGES = """SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+_SQL_EDGES = """SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
 FROM lineitem"""
 
 
@@ -114,14 +115,14 @@ SELECT node, pr FROM r3 ORDER BY pr DESC, node ASC LIMIT 20"""
 
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
-    return bfs(e, "s1", max_depth=2).select(
+    return bfs(e, 3, max_depth=2).select(  # node 3 = supplier 1
         "node", F.col("depth").cast("int").alias("depth")
     )
 
 
 _SQL_BFS = f"""WITH edges AS ({_SQL_EDGES}),
 und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-d0 AS (SELECT 's1' AS node),
+d0 AS (SELECT CAST(3 AS BIGINT) AS node),
 d1 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN d0 ON u.src = d0.node
        WHERE u.dst NOT IN (SELECT node FROM d0)),
 d2 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN d1 ON u.src = d1.node
