@@ -23,6 +23,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         events,
         index_queries,
         metrics_extra,
+        misc_queries,
         ml_queries,
         quant_graph,
         search,
@@ -35,7 +36,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
     for mod in (
         core, search, text_pipeline, events, index_queries, ml_queries,
         embed_rerank, quant_graph, timeseries_rel, vector_ops_queries,
-        metrics_extra,
+        metrics_extra, misc_queries,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

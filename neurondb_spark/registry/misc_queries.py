@@ -1,0 +1,158 @@
+"""Final breadth queries: centroid routing, batch ANN top-k (kNN join
+shape), tokenize/detokenize round-trip, fp16 round-trip (rows-only),
+streaming job-queue drain (rows-only)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from neurondb_spark import oracle as O
+from neurondb_spark.functions.text import sql_tokenize, tokenize
+from neurondb_spark.operators.knn import vec_route
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, qvec, t
+
+N_ROUTE_CENTROIDS = 4
+N_BATCH_QUERIES = 5
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    return [qvec(spark, sf_dir, vid) for vid in range(1, N_ROUTE_CENTROIDS + 1)]
+
+
+def _q_vec_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_route (operators.c:1155+): nearest-centroid assignment with
+    lowest-index tie-break, centroids inlined as literals."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    out = vec_route(emb, "embedding", cents, metric="l2", dim=COMPILE_DIM)
+    return out.groupBy(F.col("route").cast("int").alias("route")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _sql_vec_route() -> str:
+    cte = ",\n".join(
+        f"q{v} AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {v})"
+        for v in range(1, N_ROUTE_CENTROIDS + 1)
+    )
+    dists = [
+        O.sql_l2("e.embedding", f"q{v}.qe", EMB_DIM)
+        for v in range(1, N_ROUTE_CENTROIDS + 1)
+    ]
+    least = "least(" + ", ".join(f"d{i}" for i in range(N_ROUTE_CENTROIDS)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = {least} THEN {i}" for i in range(N_ROUTE_CENTROIDS)
+    ) + " END"
+    joins = " ".join(f"CROSS JOIN q{v}" for v in range(1, N_ROUTE_CENTROIDS + 1))
+    dcols = ", ".join(f"{d} AS d{i}" for i, d in enumerate(dists))
+    return f"""WITH {cte},
+d AS (SELECT e.vec_id, {dcols} FROM embeddings e {joins})
+SELECT CAST({case} AS INTEGER) AS route, COUNT(*) AS n
+FROM d GROUP BY 1"""
+
+
+def _q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN baseline: top-3 neighbors for each of 5 query vectors in
+    ONE plan — the brute-force kNN-join shape (window top-k per query)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    from neurondb_spark.functions.distance import l2_distance
+
+    joined = emb.crossJoin(F.broadcast(queries))
+    d = l2_distance("embedding", "qvec", dim=COMPILE_DIM, checked=False)
+    w = W.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("distance", d)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "vec_id", "distance", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _sql_ann_batch_topk() -> str:
+    d = O.sql_l2("e.embedding", "q.qvec", EMB_DIM)
+    return f"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+           FROM embeddings WHERE vec_id <= {N_BATCH_QUERIES})
+SELECT qid, vec_id, distance, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT q.qid, e.vec_id, {d} AS distance,
+         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {d} ASC, e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN q)
+WHERE rn <= 3"""
+
+
+def _q_detokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize→detokenize round-trip (neurondb.tokenize/detokenize,
+    neurondb--1.0.sql:5411-5469): normalized text + token count."""
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    toks = tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(toks, " ").alias("detokenized"),
+    )
+
+
+def _sql_detokenize() -> str:
+    toks = sql_tokenize("text")
+    return f"""SELECT doc_id, CAST(len({toks}) AS INTEGER) AS n_tokens,
+  array_to_string({toks}, ' ') AS detokenized
+FROM documents WHERE doc_id <= 200"""
+
+
+def _q_fp16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """halfvec surface (quantization.c:152-227): IEEE fp16 round-trip max
+    error per vector. numpy float16 is bit-exact but DuckDB has no half
+    type → rows-only check; exactness asserted in tests."""
+    from neurondb_spark.functions.quantization import fp16_roundtrip_udf
+
+    emb = t(spark, sf_dir, "embeddings")
+    rt = fp16_roundtrip_udf()(F.col("embedding"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            rt.cast("array<double>"),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return emb.select("vec_id", err.alias("fp16_max_err")).where(
+        F.col("fp16_max_err") < 1.0
+    )
+
+
+def _q_stream_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming job-queue drain (worker_queue.c analog):
+    enqueue deterministic jobs, AvailableNow drain, return processed
+    counts by type. Side-effecting (writes under /tmp) → rows-only."""
+    from neurondb_spark.streaming.queue import JobQueueWorker, enqueue_jobs
+
+    td = tempfile.mkdtemp(prefix="neurondb_stream_q_")
+    qdir, odir = os.path.join(td, "queue"), os.path.join(td, "out")
+    jobs = [
+        {"id": i, "job_type": ("embed" if i % 3 == 0 else "reindex" if i % 3 == 1 else "compact")}
+        for i in range(30)
+    ]
+    enqueue_jobs(spark, qdir, jobs)
+    w = JobQueueWorker(spark, qdir, odir, handlers={"embed": lambda r: r})
+    w.run_once()
+    return (
+        w.processed()
+        .groupBy("job_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("job_type")
+    )
+
+
+QUERIES = {
+    "vec_route_counts": (_q_vec_route, _sql_vec_route()),
+    "ann_batch_topk": (_q_ann_batch_topk, _sql_ann_batch_topk()),
+    "detokenize_roundtrip": (_q_detokenize, _sql_detokenize()),
+    "fp16_roundtrip_err": (_q_fp16_roundtrip, None),
+    "stream_job_queue": (_q_stream_queue, None),
+}
