@@ -144,6 +144,7 @@ def build_knn_graph(
     out = knn_join(
         df.select(*([F.col(c) for c in (on or [])] + [F.col(id_col), F.col(vec_col)])),
         right, vec_col, "_nvec", id_col, k=k + 1, on=on, metric=metric, dim=dim,
+        tiebreak=["_nbr"],
     )
     return (
         out.where(F.col(id_col) != F.col("_nbr"))

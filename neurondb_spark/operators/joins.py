@@ -74,11 +74,13 @@ def knn_join(
     dim: int | None = None,
     dist_col: str = "distance",
     rsuffix: str = "_r",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, its k nearest right rows (within the block key if
     given) — the kNN-join primitive behind build_knn_graph
     (src/ml/analytics.c:1286). Window top-k per left id after the blocked
-    join; one shuffle on the block key + one on left_id."""
+    join; one shuffle on the block key + one on left_id. ``tiebreak``
+    columns make the k-th-neighbor cut deterministic under distance ties."""
     from pyspark.sql import Window as W
 
     for c in set(left.columns) & set(right.columns):
@@ -89,7 +91,9 @@ def knn_join(
             right_vec = c + rsuffix
     joined = left.crossJoin(right) if on is None else left.join(right, on=on)
     d = distance(left_vec, right_vec, metric, dim=dim, checked=False)
-    w = W.partitionBy(left_id).orderBy(F.col(dist_col).asc())
+    w = W.partitionBy(left_id).orderBy(
+        F.col(dist_col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]
+    )
     return (
         joined.withColumn(dist_col, d)
         .withColumn("_knn_rn", F.row_number().over(w))

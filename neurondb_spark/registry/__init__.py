@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def collect() -> dict[str, tuple[QueryFn, str | None]]:
     from neurondb_spark.registry import (
+        composite_queries,
         core,
         embed_rerank,
         events,
@@ -36,7 +37,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
     for mod in (
         core, search, text_pipeline, events, index_queries, ml_queries,
         embed_rerank, quant_graph, timeseries_rel, vector_ops_queries,
-        metrics_extra, misc_queries,
+        metrics_extra, misc_queries, composite_queries,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

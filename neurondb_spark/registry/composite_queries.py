@@ -1,0 +1,202 @@
+"""Composite / remaining-surface queries: graph-constrained kNN
+(operators.c:743-949), ensemble rerankers (§2.6), vector casts (§2.1),
+Mahalanobis (§2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from neurondb_spark import oracle as O
+from neurondb_spark.functions.distance import l2_distance, mahalanobis_distance
+from neurondb_spark.functions.vector import (
+    vec,
+    vector_cast_dimension,
+    vector_concat,
+    vector_slice,
+)
+from neurondb_spark.operators.graph import bfs, build_knn_graph
+from neurondb_spark.operators.rerank import rerank_ensemble_borda, rerank_ensemble_weighted
+from neurondb_spark.operators.hybrid import rank_list
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, QVEC_CTE, qvec, t
+
+# fixed diagonal-inverse-covariance weights for Mahalanobis: deterministic
+# pattern 1.0, 0.5, 1.0, 0.5, ...
+MAHAL_W = [1.0 if i % 2 == 0 else 0.5 for i in range(EMB_DIM)]
+
+
+def _q_graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_knn (operators.c:743-949): kNN restricted to nodes within
+    max_hops of a start node in the kNN graph. Pipeline: build 3-NN graph
+    over embeddings → BFS 2 hops from vec_id=1 → exact kNN among the
+    reachable set."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    g = build_knn_graph(emb, "embedding", "vec_id", k=3, dim=COMPILE_DIM)
+    reach = bfs(g.select("src", "dst"), 1, max_depth=2).select(
+        F.col("node").alias("vec_id")
+    )
+    cand = emb.join(reach, "vec_id")
+    d = l2_distance("embedding", F.array(*[F.lit(float(x)) for x in q]),
+                    dim=COMPILE_DIM, checked=False)
+    return (
+        cand.withColumn("distance", d)
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "distance")
+    )
+
+
+def _sql_graph_knn() -> str:
+    d_pair = O.sql_l2("a.embedding", "b.embedding", EMB_DIM)
+    d_q = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE},
+pd AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {d_pair} AS pdist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+pairs AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY pdist ASC, dst ASC) AS rn
+  FROM pd),
+g AS (SELECT src, dst FROM pairs WHERE rn <= 3),
+und AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+d0 AS (SELECT CAST(1 AS BIGINT) AS node),
+d1 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN d0 ON u.src = d0.node
+       WHERE u.dst NOT IN (SELECT node FROM d0)),
+d2 AS (SELECT DISTINCT u.dst AS node FROM und u JOIN d1 ON u.src = d1.node
+       WHERE u.dst NOT IN (SELECT node FROM d0)
+         AND u.dst NOT IN (SELECT node FROM d1)),
+reach AS (SELECT node FROM d0 UNION ALL SELECT node FROM d1
+          UNION ALL SELECT node FROM d2)
+SELECT e.vec_id, {d_q} AS distance
+FROM embeddings e JOIN reach r ON e.vec_id = r.node CROSS JOIN q
+ORDER BY distance ASC, e.vec_id ASC LIMIT 5"""
+
+
+def _ranked_lists(spark: SparkSession, sf_dir: str):
+    """Two candidate score lists over documents: L2 similarity rank and
+    lexical rank — the ensemble inputs."""
+    from neurondb_spark.functions.text import bm25_score
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    q = qvec(spark, sf_dir)
+    d = l2_distance("embedding", F.array(*[F.lit(float(x)) for x in q]),
+                    dim=COMPILE_DIM, checked=False)
+    vec_scores = j.select("doc_id", (1.0 / (1.0 + d)).alias("vscore"))
+    text_scores = j.select(
+        "doc_id", bm25_score("fast hash join on big table", "text").alias("tscore")
+    )
+    return vec_scores, text_scores
+
+
+def _q_ensemble_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vs, ts = _ranked_lists(spark, sf_dir)
+    return rerank_ensemble_weighted(
+        [vs, ts], "doc_id", ["vscore", "tscore"], [0.6, 0.4], k=15
+    )
+
+
+def _sql_ensemble_weighted() -> str:
+    from neurondb_spark.functions.text import sql_bm25_score
+
+    d = O.sql_l2("j.embedding", "q.qe", EMB_DIM)
+    ts = sql_bm25_score("fast hash join on big table", "j.text")
+    return f"""{QVEC_CTE},
+j AS (SELECT doc.doc_id, doc.text, e.embedding
+      FROM documents doc JOIN embeddings e ON doc.doc_id = e.vec_id)
+SELECT j.doc_id,
+       (0.6 * (1.0 / (1.0 + {d})) + 0.4 * ({ts})) AS ensemble_score
+FROM j CROSS JOIN q
+ORDER BY ensemble_score DESC, j.doc_id ASC LIMIT 15"""
+
+
+def _q_ensemble_borda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vs, ts = _ranked_lists(spark, sf_dir)
+    lv = rank_list(vs, "doc_id", F.col("vscore").desc())
+    lt = rank_list(ts, "doc_id", F.col("tscore").desc())
+    return rerank_ensemble_borda([lv, lt], "doc_id", k=15)
+
+
+def _sql_ensemble_borda() -> str:
+    from neurondb_spark.functions.text import sql_bm25_score
+
+    d = O.sql_l2("j.embedding", "q.qe", EMB_DIM)
+    ts = sql_bm25_score("fast hash join on big table", "j.text")
+    return f"""{QVEC_CTE},
+j AS (SELECT doc.doc_id, doc.text, e.embedding
+      FROM documents doc JOIN embeddings e ON doc.doc_id = e.vec_id),
+n AS (SELECT COUNT(*) AS cnt FROM j),
+lv AS (SELECT j.doc_id,
+       ROW_NUMBER() OVER (ORDER BY (1.0 / (1.0 + {d})) DESC, j.doc_id ASC) AS rank
+       FROM j CROSS JOIN q),
+lt AS (SELECT j.doc_id,
+       ROW_NUMBER() OVER (ORDER BY ({ts}) DESC, j.doc_id ASC) AS rank
+       FROM j)
+SELECT lv.doc_id,
+       (CAST((SELECT cnt FROM n) - lv.rank AS DOUBLE)
+        + CAST((SELECT cnt FROM n) - lt.rank AS DOUBLE)) AS borda_score
+FROM lv JOIN lt ON lv.doc_id = lt.doc_id
+ORDER BY borda_score DESC, lv.doc_id ASC LIMIT 15"""
+
+
+def _q_vector_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 cast surface: pad/truncate, slice, concat-with-self prefix."""
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 100)
+    padded = vector_cast_dimension("embedding", 80)
+    truncated = vector_cast_dimension("embedding", 16)
+    sl = vector_slice("embedding", 5, 3)
+    cc = vector_concat(vector_slice("embedding", 1, 2), vector_slice("embedding", 63, 2))
+    return emb.select(
+        "vec_id",
+        F.size(padded).alias("pad_dim"),
+        F.element_at(padded, 70).alias("pad_e70"),
+        F.size(truncated).alias("trunc_dim"),
+        F.element_at(sl, 1).alias("slice_e1"),
+        F.element_at(cc, 3).alias("concat_e3"),
+    )
+
+
+def _sql_vector_casts() -> str:
+    return f"""SELECT vec_id,
+  80 AS pad_dim,
+  0.0 AS pad_e70,
+  16 AS trunc_dim,
+  {O.elem('embedding', 5)} AS slice_e1,
+  {O.elem('embedding', 63)} AS concat_e3
+FROM embeddings WHERE vec_id <= 100"""
+
+
+def _q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    wlit = F.array(*[F.lit(w) for w in MAHAL_W])
+    d = mahalanobis_distance("embedding", qlit, wlit, dim=EMB_DIM, checked=False)
+    return (
+        emb.select("vec_id", d.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(12)
+    )
+
+
+def _sql_mahalanobis() -> str:
+    terms = []
+    for i in range(1, EMB_DIM + 1):
+        e, qe = O.elem("e.embedding", i), O.elem("q.qe", i)
+        terms.append(f"((({e}) - ({qe})) * (({e}) - ({qe})) * {MAHAL_W[i - 1]!r})")
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, sqrt({' + '.join(terms)}) AS distance
+FROM embeddings e CROSS JOIN q
+ORDER BY distance ASC, e.vec_id ASC LIMIT 12"""
+
+
+QUERIES = {
+    "graph_knn": (_q_graph_knn, _sql_graph_knn()),
+    "rerank_ensemble_weighted": (_q_ensemble_weighted, _sql_ensemble_weighted()),
+    "rerank_ensemble_borda": (_q_ensemble_borda, _sql_ensemble_borda()),
+    "vector_casts": (_q_vector_casts, _sql_vector_casts()),
+    "knn_mahalanobis": (_q_mahalanobis, _sql_mahalanobis()),
+}
