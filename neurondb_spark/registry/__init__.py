@@ -26,6 +26,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         metrics_extra,
         misc_queries,
         ml_queries,
+        quality_queries,
         quant_graph,
         search,
         text_pipeline,
@@ -37,7 +38,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
     for mod in (
         core, search, text_pipeline, events, index_queries, ml_queries,
         embed_rerank, quant_graph, timeseries_rel, vector_ops_queries,
-        metrics_extra, misc_queries, composite_queries,
+        metrics_extra, misc_queries, composite_queries, quality_queries,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -33,7 +33,11 @@ def _q_graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable set."""
     emb = t(spark, sf_dir, "embeddings")
     q = qvec(spark, sf_dir)
-    g = build_knn_graph(emb, "embedding", "vec_id", k=3, dim=COMPILE_DIM)
+    # quadratic pair join → unrolled codegen distance, and spread the
+    # single-file scan across cores before the cross join
+    par = spark.sparkContext.defaultParallelism
+    emb_p = emb.repartition(par)
+    g = build_knn_graph(emb_p, "embedding", "vec_id", k=3, dim=EMB_DIM)
     reach = bfs(g.select("src", "dst"), 1, max_depth=2).select(
         F.col("node").alias("vec_id")
     )
