@@ -99,7 +99,12 @@ def _algorithms():
             lambda p: RandomForestClassifier(seed=p.pop("seed", 42), **p),
             "classification",
         ),
-        "naive_bayes": (lambda p: NaiveBayes(**p), "classification"),
+        # reference NB is Gaussian (ml_naive_bayes.c:110) — also the only
+        # variant that accepts negative feature values
+        "naive_bayes": (
+            lambda p: NaiveBayes(modelType=p.pop("modelType", "gaussian"), **p),
+            "classification",
+        ),
         "xgboost": (lambda p: GBTClassifier(seed=p.pop("seed", 42), **p), "classification"),
         "lightgbm": (lambda p: GBTClassifier(seed=p.pop("seed", 42), **p), "classification"),
         "catboost": (lambda p: GBTClassifier(seed=p.pop("seed", 42), **p), "classification"),
