@@ -110,8 +110,9 @@ def vector_prepend(x, a) -> Column:
 
 
 def vector_get(a, i: int) -> Column:
-    """1-indexed element access (vector_ops.c:32)."""
-    return F.element_at(vec(a), i)
+    """1-indexed element access (vector_ops.c:32). Out-of-bounds → NULL
+    (PostgreSQL array-subscript semantics; ANSI element_at would throw)."""
+    return F.try_element_at(vec(a), F.lit(i))
 
 
 # --- intra-vector reductions (vector_ops.c:361-551, vector_advanced.c:78-171)
