@@ -1,0 +1,173 @@
+"""NeuronSparkEngine — the user-facing facade tying the surface together.
+
+A user of the reference talks to SQL functions (neurondb.train, hybrid_search,
+CREATE INDEX … USING ivf, embed_text, …). This facade is the 1:1 entry
+point for that workflow on Spark: one object holding the session, catalog,
+config namespace, metrics, and the operator modules.
+
+It also implements the SURVEY §4 "cost-based ANN routing" as an API-level
+rule: ``knn()`` consults the catalog for an index on the table and rewrites
+the query into the probe plan (IVF partition-pruned scan / LSH bucket
+probe) when one exists and the table is large enough; otherwise exact
+TakeOrderedAndProject. ``explain_route`` shows the decision — the honest
+row-count rule replacing the reference's string-matching heuristic
+(auto_route_query, src/planner/planner.c:49-91).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neurondb_spark.catalog import Catalog
+from neurondb_spark.ops import Metrics
+from neurondb_spark.session import get_conf, get_spark, set_conf
+
+EXACT_SCAN_THRESHOLD = 100_000  # below this, exact scan beats any index
+
+
+class NeuronSparkEngine:
+    def __init__(self, spark: SparkSession | None = None, catalog_dir: str = "/tmp/neurondb_catalog"):
+        self.spark = spark or get_spark()
+        self.catalog = Catalog(catalog_dir)
+        self.metrics = Metrics()
+
+    # ------------------------------------------------------------ config
+
+    def get_config(self, key: str, default: str | None = None) -> str:
+        return get_conf(self.spark, key, default)
+
+    def set_config(self, key: str, value: str) -> None:
+        set_conf(self.spark, key, value)
+
+    # ------------------------------------------------------------- index
+
+    def create_index(
+        self, name: str, df: DataFrame, vec_col: str, method: str = "ivf",
+        metric: str = "l2", dim: int | None = None, **params,
+    ):
+        """CREATE INDEX … USING {ivf|lsh} analog (neurondb--1.0.sql:2709-2713)."""
+        path = self.catalog.artifact_dir("indexes", name)
+        if method == "ivf":
+            from neurondb_spark.index.ivf import IVFIndex
+
+            nlists = params.pop("nlists", int(self.get_config("ivf.nlists", "100")))
+            idx = IVFIndex.build(df, vec_col, path, nlists=nlists, metric=metric, dim=dim, **params)
+        elif method in ("lsh", "hnsw"):
+            # "hnsw" maps onto the LSH backend — the scan-friendly index
+            # serving the same approximate-kNN niche (see index/__init__)
+            from neurondb_spark.index.lsh import LSHIndex
+
+            if dim is None:
+                raise ValueError("neurondb: lsh/hnsw index needs dim")
+            params.pop("m", None)
+            params.pop("ef_construction", None)  # HNSW reloptions: no-op here
+            idx = LSHIndex.build(df, vec_col, path, dim=dim, metric=metric, **params)
+            method = "lsh"
+        else:
+            raise ValueError(f"neurondb: unknown index method {method!r}")
+        self.catalog.register(
+            "indexes", name,
+            {"method": method, "vec_col": vec_col, "metric": metric,
+             "dim": dim, "path": path, "rows": idx.meta.get("total_rows") if method == "ivf" else None},
+        )
+        return idx
+
+    def _route(self, index_name: str | None, n_rows: int | None) -> dict:
+        """The routing rule: exact below threshold or without an index."""
+        if index_name is None:
+            return {"route": "exact", "reason": "no index registered"}
+        meta = self.catalog.get("indexes", index_name)
+        if meta is None:
+            return {"route": "exact", "reason": f"unknown index {index_name!r}"}
+        rows = n_rows or meta.get("rows") or 0
+        if rows and rows < EXACT_SCAN_THRESHOLD:
+            return {
+                "route": "exact",
+                "reason": f"{rows} rows < {EXACT_SCAN_THRESHOLD}: scan beats probe",
+            }
+        return {"route": meta["method"], "reason": "indexed probe", "meta": meta}
+
+    def explain_route(self, index_name: str | None = None, n_rows: int | None = None) -> dict:
+        return self._route(index_name, n_rows)
+
+    def knn(
+        self, df: DataFrame, vec_col: str, query, k: int = 10,
+        metric: str = "l2", dim: int | None = None, index: str | None = None,
+        tiebreak: list[str] | None = None, **probe_params,
+    ) -> DataFrame:
+        """ORDER BY distance LIMIT k with index-aware routing."""
+        with self.metrics.time("knn"):
+            decision = self._route(index, df.count() if index else None)
+            if decision["route"] == "ivf":
+                from neurondb_spark.index.ivf import IVFIndex
+
+                idx = IVFIndex.load(decision["meta"]["path"])
+                return idx.search(self.spark, list(query), k=k,
+                                  nprobe=probe_params.get("nprobe"), tiebreak=tiebreak)
+            if decision["route"] == "lsh":
+                from neurondb_spark.index.lsh import LSHIndex
+
+                idx = LSHIndex.load(decision["meta"]["path"])
+                return idx.search(self.spark, list(query), k=k,
+                                  probe_hamming=probe_params.get("probe_hamming", 1),
+                                  tiebreak=tiebreak)
+            from neurondb_spark.operators.knn import knn as exact_knn
+
+            return exact_knn(df, vec_col, query, k=k, metric=metric, dim=dim,
+                             tiebreak=tiebreak or [])
+
+    # ------------------------------------------------------------ search
+
+    def hybrid_search(self, df, vec_col, text_col, query_vec, query_text, **kw):
+        from neurondb_spark.operators.hybrid import hybrid_search
+
+        with self.metrics.time("hybrid_search"):
+            return hybrid_search(df, vec_col, text_col, query_vec, query_text, **kw)
+
+    def rag_query(self, df, vec_col, text_cols, query_text, **kw):
+        from neurondb_spark.functions.embed import rag_query
+
+        return rag_query(df, vec_col, text_cols, query_text, **kw)
+
+    def embed(self, df, text_col, **kw):
+        from neurondb_spark.functions.embed import embed_text
+
+        return embed_text(df, text_col, **kw)
+
+    # ---------------------------------------------------------------- ML
+
+    @property
+    def ml(self):
+        from neurondb_spark.ml.api import MLEngine
+
+        if not hasattr(self, "_ml"):
+            self._ml = MLEngine(self.catalog)
+        return self._ml
+
+    def train(self, df, algorithm, features, target=None, **kw):
+        """neurondb.train analog."""
+        return self.ml.train(df, algorithm, features, target=target, **kw)
+
+    def predict(self, df, model_id):
+        return self.ml.predict(df, model_id)
+
+    def evaluate(self, df, model_id):
+        return self.ml.evaluate(df, model_id)
+
+    def list_algorithms(self):
+        from neurondb_spark.ml.api import list_algorithms
+
+        return list_algorithms()
+
+    # ----------------------------------------------------------- ops
+
+    def health(self) -> dict:
+        from neurondb_spark.ops import health
+
+        return health(self.spark)
+
+    def version(self) -> str:
+        from neurondb_spark import __version__
+
+        return __version__
