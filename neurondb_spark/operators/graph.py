@@ -50,6 +50,39 @@ def bfs(
     return visited
 
 
+def dfs(
+    edges: DataFrame, start, max_depth: int = 10,
+    src: str = "src", dst: str = "dst", directed: bool = False,
+    max_nodes: int = 100_000,
+) -> list:
+    """Depth-first preorder with ascending-neighbor tie-break
+    (vgraph_dfs, vector_graph_ops.c:335). The reference's vgraph values are
+    single (small) graph literals, so DFS — inherently sequential — runs on
+    a collected adjacency list, bounded by ``max_nodes``. For corpus-scale
+    traversal use :func:`bfs` (level-parallel)."""
+    e = edges.select(src, dst)
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
+    rows = e.distinct().limit(max_nodes).collect()
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[0], []).append(r[1])
+    for k in adj:
+        adj[k].sort()
+    order, seen = [], set()
+    stack = [(start, 0)]
+    while stack:
+        node, depth = stack.pop()
+        if node in seen or depth > max_depth:
+            continue
+        seen.add(node)
+        order.append(node)
+        for nb in reversed(adj.get(node, [])):
+            if nb not in seen:
+                stack.append((nb, depth + 1))
+    return order
+
+
 def pagerank(
     edges: DataFrame, iterations: int = 5, damping: float = 0.85,
     src: str = "src", dst: str = "dst", exact: bool = True,

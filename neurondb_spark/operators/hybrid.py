@@ -72,13 +72,24 @@ def semantic_keyword_search(
 
 
 def rank_list(
-    df: DataFrame, id_col: str, order: Column, rank_col: str = "rank"
+    df: DataFrame, id_col: str, order: Column, rank_col: str = "rank",
+    score: Column | None = None, ascending: bool = True,
 ) -> DataFrame:
-    """Materialize a ranked list (id, rank) from an ordering — helper for
-    fusion operators. Global ranking: single window without partition (fine
-    for top-N candidate lists; bounded by upstream limit)."""
+    """Materialize a ranked list (id, rank) — helper for fusion operators.
+
+    Prefer passing ``score`` (a plain Column) + ``ascending``: the score is
+    computed DISTRIBUTED first, and only (id, score) pairs enter the
+    single-partition global window — sorting precomputed doubles is
+    trivial at candidate-list sizes. Passing a SortOrder via ``order``
+    evaluates the expression inside the window task (single-core) — kept
+    for compatibility."""
     from pyspark.sql import Window as W
 
+    if score is not None:
+        scored = df.select(F.col(id_col), score.alias("_score"))
+        o = F.col("_score").asc() if ascending else F.col("_score").desc()
+        w = W.orderBy(o, F.col(id_col).asc())
+        return scored.select(id_col, F.row_number().over(w).alias(rank_col))
     w = W.orderBy(order, F.col(id_col).asc())
     return df.select(id_col, F.row_number().over(w).alias(rank_col))
 
@@ -125,7 +136,11 @@ def hybrid_dense_sparse_search(
     (src/search/hybrid_dense_sparse.c): rank by vector distance and by BM25
     independently, fuse 1/(k0+rank)."""
     dense = rank_list(
-        df, id_col, distance(dense_col, _query_lit(query_vec), "l2", dim=dim, checked=False).asc()
+        df, id_col, None,
+        score=distance(dense_col, _query_lit(query_vec), "l2", dim=dim, checked=False),
+        ascending=True,
     )
-    sparse = rank_list(df, id_col, bm25_score(query_text, text_col).desc())
+    sparse = rank_list(
+        df, id_col, None, score=bm25_score(query_text, text_col), ascending=False
+    )
     return reciprocal_rank_fusion([dense, sparse], id_col, k0=k0, k=k)

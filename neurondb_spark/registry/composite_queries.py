@@ -119,8 +119,8 @@ ORDER BY ensemble_score DESC, j.doc_id ASC LIMIT 15"""
 
 def _q_ensemble_borda(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs, ts = _ranked_lists(spark, sf_dir)
-    lv = rank_list(vs, "doc_id", F.col("vscore").desc())
-    lt = rank_list(ts, "doc_id", F.col("tscore").desc())
+    lv = rank_list(vs, "doc_id", None, score=F.col("vscore"), ascending=False)
+    lt = rank_list(ts, "doc_id", None, score=F.col("tscore"), ascending=False)
     return rerank_ensemble_borda([lv, lt], "doc_id", k=15)
 
 

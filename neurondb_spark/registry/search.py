@@ -70,10 +70,13 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neurondb_spark.operators.knn import _query_lit
 
     dense = rank_list(
-        df, "doc_id",
-        l2_distance("embedding", _query_lit(q), dim=COMPILE_DIM, checked=False).asc(),
+        df, "doc_id", None,
+        score=l2_distance("embedding", _query_lit(q), dim=COMPILE_DIM, checked=False),
+        ascending=True,
     )
-    sparse = rank_list(df, "doc_id", bm25_score(QUERY_TEXT, "text").desc())
+    sparse = rank_list(
+        df, "doc_id", None, score=bm25_score(QUERY_TEXT, "text"), ascending=False
+    )
     return reciprocal_rank_fusion([dense, sparse], "doc_id", k0=60.0, k=20)
 
 

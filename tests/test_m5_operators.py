@@ -156,3 +156,14 @@ def test_quantization_roundtrips(spark):
     assert r[0]["err"] < 0.01
     assert r[1]["u8"] == [0, 0, 0, 0]  # constant vector rule
     assert r[0]["f16"] == [0.5, -1.0, 0.25, 0.0]  # exactly representable
+
+
+def test_graph_dfs_preorder(spark):
+    from neurondb_spark.operators.graph import dfs
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("x", "y")], "src string, dst string"
+    )
+    order = dfs(edges, "a")
+    assert order == ["a", "b", "d", "c"]  # preorder, ascending neighbors
+    assert dfs(edges, "x") == ["x", "y"]
