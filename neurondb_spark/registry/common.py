@@ -18,6 +18,9 @@ _qvec_cache: dict[tuple[str, int], list[float]] = {}
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics (date_trunc/epoch) must match DuckDB's naive
+    # reads regardless of how the caller's session is configured
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -133,7 +133,36 @@ EXCEPT
 SELECT user_id FROM events WHERE event_type = 'error'"""
 
 
+def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decompose: centered 5-row trend + per-phase (period=4)
+    seasonal means; window avgs rounded on both sides (windowed AVG
+    association differs across engines)."""
+    from neurondb_spark.ml.timeseries import seasonal_decompose
+
+    ev = load_events(spark, sf_dir).where(F.col("user_id") <= 5)
+    out = seasonal_decompose(ev, "ts", "value", ["user_id"], period=4,
+                             order_extra=["event_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("trend", 6).alias("trend"),
+        F.col("phase").cast("int").alias("phase"),
+        F.round("seasonal", 6).alias("seasonal"),
+    )
+
+
+_SQL_SEASONAL = """WITH tr AS (
+  SELECT event_id, user_id, ts, value,
+         AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
+         CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) % 4 AS INTEGER) AS phase
+  FROM events WHERE user_id <= 5)
+SELECT event_id, user_id, round(trend, 6) AS trend, phase,
+       round(AVG(value - trend) OVER (PARTITION BY user_id, phase), 6) AS seasonal
+FROM tr"""
+
+
 QUERIES = {
+    "ts_seasonal_decompose": (_q_seasonal, _SQL_SEASONAL),
     "ts_moving_stats": (_q_moving_stats, _SQL_MOVING_STATS),
     "ts_rolling_anomalies": (_q_rolling_anomalies, _SQL_ROLLING_ANOMALIES),
     "ts_ar1_forecast": (_q_ar1, _SQL_AR1),

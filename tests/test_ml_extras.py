@@ -134,3 +134,32 @@ def test_explain_shows_pushdown(spark):
     ).select("l_orderkey", "l_quantity")
     plan = explain_vector_query(df)
     assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_topic_discovery(spark):
+    from neurondb_spark.ml.topics import discover_topics
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = discover_topics(docs, emb, "text", "doc_id", "vec_id", "embedding",
+                          n_topics=3, top_terms=4)
+    rows = out.collect()
+    topics = {r["topic"] for r in rows}
+    assert topics == {0, 1, 2}
+    for t in topics:
+        ranks = [r["term_rank"] for r in rows if r["topic"] == t]
+        assert ranks == [1, 2, 3, 4]
+
+
+def test_whitening_unit_variance(spark):
+    from pyspark.sql import functions as F
+
+    from neurondb_spark.ml.topics import whiten_embeddings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = whiten_embeddings(emb, "embedding", k=4)
+    stats = out.select(
+        *[F.stddev_pop(F.col("whitened")[i]).alias(f"s{i}") for i in range(4)]
+    ).head()
+    for i in range(4):
+        assert abs(stats[f"s{i}"] - 1.0) < 1e-6
