@@ -49,5 +49,7 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) parquet (Spark refuses nanos without the legacy conf;
     values are positive so DIV 1000 = truncation on both engines)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match DuckDB's
+    # naive reads for date_trunc/epoch regardless of caller session TZ
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
