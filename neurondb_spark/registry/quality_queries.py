@@ -100,7 +100,10 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neurondb_spark.registry.quant_graph import _edges
 
     e = _edges(spark, sf_dir)
-    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().cache()
+    # bipartite int encoding (even→odd) means the reversed half can't
+    # collide with the forward half, and min-propagation is insensitive to
+    # duplicate edges — skip the distinct shuffle entirely
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
