@@ -31,18 +31,44 @@ def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
 
 
-def signature_expr(vec_col: str, planes: list[list[float]]) -> Column:
-    """Bucket signature: bit b = sign(<v, plane_b>) — unrolled dot products
-    (JVM codegen, no shuffle)."""
-    sig = None
-    for b, plane in enumerate(planes):
-        dot = None
-        for i, w in enumerate(plane):
-            term = F.element_at(F.col(vec_col).cast("array<double>"), i + 1) * F.lit(w)
-            dot = term if dot is None else dot + term
-        bit = F.when(dot >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig.cast("long")
+def signature_expr(
+    vec_col: str, planes: list[list[float]], unroll: bool = False
+) -> Column:
+    """Bucket signature: bit b = sign(<v, plane_b>).
+
+    Two compilation strategies with bit-identical results (same left-assoc
+    double accumulation; a fold seeded with 0.0 equals an unrolled chain):
+
+    - ``unroll=False`` (default): one fold over a plane-matrix array
+      literal — tiny analysis/codegen cost, right for interactive queries
+      and small scans.
+    - ``unroll=True``: fully unrolled element_at chains — large generated
+      code (seconds of janino compile) but maximal whole-stage-codegen
+      throughput, right for huge scans where compile time amortizes.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    if unroll:
+        sig = None
+        for b, plane in enumerate(planes):
+            dot = None
+            for i, w in enumerate(plane):
+                term = F.element_at(v, i + 1) * F.lit(w)
+                dot = term if dot is None else dot + term
+            bit = F.when(dot >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return sig.cast("long")
+    mat = F.array(*[F.array(*[F.lit(float(w)) for w in p]) for p in planes])
+    powers = F.array(*[F.lit(2 ** b) for b in range(len(planes))])
+    dots = F.transform(
+        mat,
+        lambda p: F.aggregate(
+            F.zip_with(v, p, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+        ),
+    )
+    bits = F.zip_with(
+        dots, powers, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 class LSHIndex:

@@ -11,9 +11,11 @@ All hashing is md5-derived so Spark and a SQL oracle agree bit-for-bit
   inside a band bucket (shuffle key = (band, band_hash)) — never O(n²).
 - ngram_jaccard_pairs: blocked self-join + exact Jaccard on token n-gram
   sets.
-- simhash: 16-bit signature per doc via per-token md5 bit votes.
-- embedding_neardup_pairs: cosine threshold inside coarse sign-prefix
-  buckets (cheap LSH over the embedding's first bits).
+- simhash: 16-bit signature per doc via per-token md5 bit votes; pair
+  search blocks on max_hamming+1 disjoint signature segments (pigeonhole →
+  full recall).
+- embedding_neardup_pairs: exact cosine threshold inside banded
+  random-hyperplane LSH buckets (bands × band_bits, index/lsh.py planes).
 """
 
 from __future__ import annotations
@@ -134,6 +136,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     block_col: str | None = None,
     max_df: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold via an inverted shingle index:
     explode distinct shingles, self-join on the shingle (only pairs sharing
@@ -147,6 +150,11 @@ def ngram_jaccard_pairs(
     (Jaccard is then over the rare-shingle sets — the standard
     set-similarity-join trick for boilerplate; it also removes the skew
     keys). None = exact over all shingles.
+
+    ``eager=True`` (default) materializes the small pairs result via
+    ``localCheckpoint`` and unpersists the inverted index before returning,
+    so no cached partitions leak into later queries; ``eager=False`` keeps
+    the plan lazy and leaves the index cached for the caller to manage.
     """
     if threshold <= 0.0:
         raise ValueError("neurondb: ngram_jaccard_pairs needs threshold > 0")
@@ -185,48 +193,93 @@ def ngram_jaccard_pairs(
     sim = F.col("_common").cast("double") / (
         (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double")
     )
-    return (
+    out = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", sim.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= F.lit(float(threshold)))
     )
+    if eager:
+        # pairs output is tiny relative to the index; materialize it, then
+        # release the cached index so nothing leaks into later queries
+        out = out.localCheckpoint(eager=True)
+        ex.unpersist()
+    return out
 
 
 def simhash(text, bits: int = 16) -> Column:
     """SimHash signature over tokens: bit j set iff Σ_tokens (±1 by md5 bit
-    j) > 0. 16 bits keeps the oracle SQL tractable; the operator accepts up
-    to 60."""
+    j) > 0. The operator accepts up to 60 bits.
+
+    All ``bits`` vote counters accumulate in ONE fold over the token hashes
+    (array accumulator + zip_with), not one fold per bit — the signature
+    cost is O(tokens · bits) with a single pass over the data. Votes are
+    integer sums, so the result is order-independent and matches a
+    per-bit-fold oracle exactly."""
     toks = tokenize(text)
     h = F.transform(toks, _md5_long)
-    def _vote(j: int):
-        jl = F.lit(j)
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    sig = None
-    for j in range(bits):
-        vote = F.aggregate(h, F.lit(0), _vote(j))
-        bit = F.when(vote > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig.cast("long")
+    powers = F.array(*[F.lit(2 ** j) for j in range(bits)])
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                powers,
+                lambda p: F.when(x.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # single reference to `votes` → the fold is evaluated once
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_neardup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 2, bits: int = 16
 ) -> DataFrame:
-    """Near-dup candidates by SimHash Hamming distance ≤ max_hamming,
-    blocked on the signature's high byte to avoid O(n²) at scale."""
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming with FULL
+    recall: the signature is split into ``max_hamming + 1`` disjoint bit
+    segments; by pigeonhole, two signatures within max_hamming differing
+    bits agree on at least one whole segment, so the union of per-segment
+    blocked joins meets every qualifying pair. (Replaces high-half-only
+    blocking, which silently dropped pairs whose differing bits fell in the
+    high half.)
+
+    Scale: shuffle keys are (segment index, segment value) — candidates are
+    bounded per segment bucket, never all-pairs; the exact Hamming filter
+    then removes band-collision false positives."""
+    nseg = max_hamming + 1
+    if bits < nseg:
+        raise ValueError("neurondb: simhash bits must be >= max_hamming + 1")
     base = df.select(F.col(id_col), simhash(text_col, bits).alias("_sh"))
-    base = base.withColumn("_blk", F.shiftright("_sh", bits // 2))
-    a, b = base.alias("a"), base.alias("b")
-    xor = F.col("a._sh").bitwiseXOR(F.col("b._sh"))
-    hamming = F.bit_count(xor)
+    bounds = [round(j * bits / nseg) for j in range(nseg + 1)]
+    segs = [
+        F.struct(
+            F.lit(j).alias("seg"),
+            F.shiftright("_sh", bounds[j])
+            .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
+            .alias("sval"),
+        )
+        for j in range(nseg)
+    ]
+    ex = base.select(id_col, "_sh", F.explode(F.array(*segs)).alias("_b")).select(
+        id_col, "_sh",
+        F.col("_b.seg").alias("_seg"), F.col("_b.sval").alias("_sval"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).cast("int")
     return (
         a.join(
             b,
-            (F.col("a._blk") == F.col("b._blk"))
+            (F.col("a._seg") == F.col("b._seg"))
+            & (F.col("a._sval") == F.col("b._sval"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -235,6 +288,7 @@ def simhash_neardup_pairs(
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -244,28 +298,57 @@ def embedding_neardup_pairs(
     id_col: str,
     threshold: float = 0.95,
     dim: int | None = None,
-    sign_bits: int = 4,
+    bands: int = 8,
+    band_bits: int = 16,
+    seed: int = 42,
+    eager: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates: pairs with cosine sim ≥ threshold.
-    Blocked by the sign pattern of the first ``sign_bits`` dimensions (a
-    1-permutation hyperplane LSH): true near-dups almost always share the
-    block; at scale raise sign_bits or use index/lsh.py multi-probe."""
-    sign_key = F.concat_ws(
-        "",
-        *[
-            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(sign_bits)
-        ],
+    """Embedding-cosine near-duplicates: pairs sharing ≥ 1 LSH band with
+    exact cosine sim ≥ threshold. Blocking is banded random-hyperplane LSH
+    (reusing index/lsh.py signatures): each of ``bands`` bands hashes the
+    vector through ``band_bits`` seeded hyperplanes into one of
+    2**band_bits buckets; candidates meet only inside a (band, bucket).
+
+    Scale: bucket count per band is 2**band_bits (defaults: 65536), so
+    within-bucket work is O((n/2^band_bits)^2) per band — tune band_bits to
+    keep buckets ~1k rows at corpus size; more bands = higher recall.
+    (Replaces first-``sign_bits``-dimensions sign blocking whose 8-16
+    global buckets made every bucket quadratic at scale.)
+
+    ``eager=True`` materializes the signed+exploded base once via
+    ``localCheckpoint`` so the self-join's two sides don't each recompute
+    the signatures (and the join plans against accurate size stats)."""
+    if dim is None:
+        raise ValueError("neurondb: embedding_neardup_pairs requires dim")
+    from neurondb_spark.index.lsh import _hyperplanes, signature_expr
+
+    planes = _hyperplanes(dim, bands * band_bits, seed)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            signature_expr(
+                vec_col, planes[j * band_bits : (j + 1) * band_bits]
+            ).alias("bval"),
+        )
+        for j in range(bands)
+    ]
+    ex = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("_e")
+    ).select(
+        id_col, vec_col,
+        F.col("_e.band").alias("_band"), F.col("_e.bval").alias("_bval"),
     )
-    base = df.select(F.col(id_col), F.col(vec_col), sign_key.alias("_blk"))
-    a, b = base.alias("a"), base.alias("b")
+    if eager:
+        ex = ex.localCheckpoint(eager=True)
+    a, b = ex.alias("a"), ex.alias("b")
     sim = cosine_similarity(
         F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim=dim, checked=False
     )
     return (
         a.join(
             b,
-            (F.col("a._blk") == F.col("b._blk"))
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bval") == F.col("b._bval"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -274,4 +357,5 @@ def embedding_neardup_pairs(
             sim.alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .distinct()
     )

@@ -25,6 +25,7 @@ from neurondb_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, t
 
@@ -133,17 +134,37 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash("text", 16).alias("simhash16"))
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_expr(bits: int = 16) -> str:
+    """DuckDB expression for the ``bits``-bit simhash of ``text``."""
     toks = sql_tokenize("text")
     h = f"list_transform({toks}, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))"
-    bits = []
-    for j in range(16):
+    out = []
+    for j in range(bits):
         vote = (
             f"list_aggregate(list_transform({h}, x -> CASE WHEN (x >> {j}) & 1 = 1 "
             f"THEN 1 ELSE -1 END), 'sum')"
         )
-        bits.append(f"(CASE WHEN ({vote}) > 0 THEN {2 ** j} ELSE 0 END)")
-    return f"SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS simhash16 FROM documents"
+        out.append(f"(CASE WHEN ({vote}) > 0 THEN {2 ** j} ELSE 0 END)")
+    return f"CAST({' + '.join(out)} AS BIGINT)"
+
+
+def _sql_simhash() -> str:
+    return f"SELECT doc_id, {_sql_simhash_expr(16)} AS simhash16 FROM documents"
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=2, bits=32)
+
+
+def _sql_simhash_pairs() -> str:
+    # oracle is the SEMANTIC contract (all pairs with Hamming <= 2);
+    # banded blocking has full recall by pigeonhole, so they must agree
+    return f"""WITH s AS (SELECT doc_id, {_sql_simhash_expr(32)} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 2"""
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,23 +199,46 @@ JOIN sizes sb ON common.id_b = sb.doc_id
 WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.03"""
 
 
+# gate LSH blocking config: 4 bands x 8 bits = 256 buckets/band (oracle SQL
+# stays tractable; production defaults in dedup.py are 8 x 16)
+_ND_BANDS, _ND_BITS, _ND_SEED = 4, 8, 42
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    # pair-heavy join → unrolled (codegen) distance, 3-bit sign blocking
     return embedding_neardup_pairs(
-        emb, "embedding", "vec_id", threshold=0.25, dim=EMB_DIM, sign_bits=3
+        emb, "embedding", "vec_id", threshold=0.25, dim=EMB_DIM,
+        bands=_ND_BANDS, band_bits=_ND_BITS, seed=_ND_SEED,
     )
 
 
+def _sql_lsh_band(planes: list[list[float]]) -> str:
+    """DuckDB expression for one hyperplane-LSH band value of ``embedding``
+    — identical arithmetic to index/lsh.py signature_expr (left-assoc dot
+    of DOUBLE-cast elements with string-cast double literals)."""
+    bits = []
+    for b, plane in enumerate(planes):
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST('{w!r}' AS DOUBLE)"
+            for i, w in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {2 ** b} ELSE 0 END)")
+    return f"CAST({' + '.join(bits)} AS BIGINT)"
+
+
 def _sql_embedding_neardup() -> str:
+    from neurondb_spark.index.lsh import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, _ND_BANDS * _ND_BITS, _ND_SEED)
+    band_cols = ", ".join(
+        f"{_sql_lsh_band(planes[j * _ND_BITS:(j + 1) * _ND_BITS])} AS b{j}"
+        for j in range(_ND_BANDS)
+    )
+    any_band = " OR ".join(f"a.b{j} = b.b{j}" for j in range(_ND_BANDS))
     sim = O.sql_cosine_similarity("a.embedding", "b.embedding", EMB_DIM)
-    bit = "(CASE WHEN {t}.embedding[{i}] >= 0 THEN '1' ELSE '0' END)"
-    blk = "concat(" + ", ".join(
-        bit.replace("{i}", str(i)) for i in (1, 2, 3)
-    ) + ")"
-    return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine_sim
-FROM embeddings a JOIN embeddings b
-  ON {blk.format(t='a')} = {blk.format(t='b')} AND a.vec_id < b.vec_id
+    return f"""WITH s AS (SELECT vec_id, embedding, {band_cols} FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine_sim
+FROM s a JOIN s b ON ({any_band}) AND a.vec_id < b.vec_id
 WHERE {sim} >= 0.25"""
 
 
@@ -222,6 +266,7 @@ QUERIES = {
     "fingerprint_dedup": (_q_fingerprint_dedup, _sql_fingerprint_dedup()),
     "minhash_signatures": (_q_minhash_signatures, _sql_minhash_signatures()),
     "simhash_signatures": (_q_simhash, _sql_simhash()),
+    "simhash_neardup_pairs": (_q_simhash_pairs, _sql_simhash_pairs()),
     "ngram_jaccard_pairs": (_q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_neardup_pairs": (_q_embedding_neardup, _sql_embedding_neardup()),
     "chunk_documents": (_q_chunks, _sql_chunks()),
