@@ -166,6 +166,60 @@ def dice_distance(a, b, dim: int | None = None, checked: bool = True) -> Column:
     )
 
 
+def _binary_n(a: Column, dim: int | None) -> Column:
+    return F.lit(float(dim)) if dim is not None else F.size(a).cast("double")
+
+
+def _binary_diff(a: Column, b: Column, dim: int | None) -> Column:
+    """Count of positions whose non-zero membership disagrees (b+c)."""
+    return _fold_sum(
+        a, b,
+        lambda x, y: F.when((x != 0.0) != (y != 0.0), F.lit(1.0)).otherwise(F.lit(0.0)),
+        dim,
+    )
+
+
+def _binary_inter(a: Column, b: Column, dim: int | None) -> Column:
+    """Count of positions non-zero in both (a11)."""
+    return _fold_sum(
+        a, b,
+        lambda x, y: F.when((x != 0.0) & (y != 0.0), F.lit(1.0)).otherwise(F.lit(0.0)),
+        dim,
+    )
+
+
+def sokal_michener_distance(a, b, dim: int | None = None, checked: bool = True) -> Column:
+    """(b+c)/n — 1 − simple-matching similarity over non-zero membership
+    (tests-only metric, sql/03_distance_metrics.sql:179)."""
+    a, b = vec(a), vec(b)
+    return _dim_check(a, b, _binary_diff(a, b, dim) / _binary_n(a, dim), checked)
+
+
+def rogers_tanimoto_distance(a, b, dim: int | None = None, checked: bool = True) -> Column:
+    """2(b+c) / ((a+d) + 2(b+c)) over non-zero membership
+    (sql/03_distance_metrics.sql:182)."""
+    a, b = vec(a), vec(b)
+    n = _binary_n(a, dim)
+    diff = _binary_diff(a, b, dim)
+    return _dim_check(a, b, (2.0 * diff) / ((n - diff) + 2.0 * diff), checked)
+
+
+def russell_rao_distance(a, b, dim: int | None = None, checked: bool = True) -> Column:
+    """(n − a11)/n over non-zero membership
+    (sql/03_distance_metrics.sql:188)."""
+    a, b = vec(a), vec(b)
+    n = _binary_n(a, dim)
+    return _dim_check(a, b, (n - _binary_inter(a, b, dim)) / n, checked)
+
+
+def matching_coefficient(a, b, dim: int | None = None, checked: bool = True) -> Column:
+    """SIMILARITY (a+d)/n — simple matching coefficient
+    (sql/03_distance_metrics.sql:192)."""
+    a, b = vec(a), vec(b)
+    n = _binary_n(a, dim)
+    return _dim_check(a, b, (n - _binary_diff(a, b, dim)) / n, checked)
+
+
 def mahalanobis_distance(a, b, inv_diag, dim: int | None = None, checked: bool = True) -> Column:
     """Diagonal-covariance Mahalanobis: sqrt(sum w_i (a_i-b_i)^2)
     (vector_distance.c:545)."""
@@ -218,6 +272,9 @@ _METRICS = {
     "dice": dice_distance,
     "braycurtis": bray_curtis_distance,
     "canberra": canberra_distance,
+    "sokal_michener": sokal_michener_distance,
+    "rogers_tanimoto": rogers_tanimoto_distance,
+    "russell_rao": russell_rao_distance,
 }
 
 
@@ -241,5 +298,7 @@ def similarity(a, b, metric: str = "cosine", dim: int | None = None, checked: bo
         return cosine_similarity(a, b, dim=dim, checked=checked)
     if m in ("ip", "inner_product", "dot"):
         return inner_product(a, b, dim=dim, checked=checked)
+    if m in ("matching", "matching_coefficient"):
+        return matching_coefficient(a, b, dim=dim, checked=checked)
     # similarity = 1 / (1 + distance) for metric distances (reference wrapper)
     return 1.0 / (1.0 + distance(a, b, m, dim=dim, checked=checked))

@@ -16,6 +16,7 @@ The reference fits ARIMA in C on a single backend's series. Here:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -126,3 +127,227 @@ def ar1_fit(
         c.alias("intercept"),
         (c + phi * last).alias("forecast_next"),
     )
+
+
+# --------------------------------------------------------------- ARIMA
+# Reference: train_arima / forecast_arima (ml_timeseries.c:443,702;
+# catalog neurondb--1.0.sql:1766-1779). Two paths:
+#
+# 1. arima2_fit — ARIMA(2,d,0), d∈{0,1}: fully distributed closed-form.
+#    Differencing + lag features are window expressions; the per-series
+#    normal equations aggregate through exact decimal sums; the 3×3 system
+#    solves by Cramer's rule. The Cramer/forecast FORMULA STRINGS below are
+#    evaluated verbatim by both Spark (F.expr) and the DuckDB oracle, so
+#    float association order — hence every bit — is identical by
+#    construction.
+# 2. arima_fit — general ARIMA(p,d,q) via groupBy().applyInPandas
+#    (Hannan–Rissanen two-stage least squares per series). The reference
+#    fits each series single-node too; here every series fits in parallel
+#    across executors, which is the right 100 TB shape for many-series
+#    corpora (one series never exceeds a partition).
+
+# Cramer's rule for [c0, a1, a2] in:  [n s1 s2; s1 s11 s12; s2 s12 s22]
+# · [c0 a1 a2]' = [sy s1y s2y]  (AR(2)+intercept normal equations; s_i are
+# exact-decimal sums so any row order yields the same doubles).
+ARIMA2_DET = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+ARIMA2_C0 = (
+    "((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    f" + s2 * (s1y * s12 - s11 * s2y)) / {ARIMA2_DET})"
+)
+ARIMA2_A1 = (
+    "((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    f" + s2 * (s1 * s2y - s1y * s2)) / {ARIMA2_DET})"
+)
+ARIMA2_A2 = (
+    "((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    f" + sy * (s1 * s12 - s11 * s2)) / {ARIMA2_DET})"
+)
+
+
+def arima2_forecast_exprs(d: int, horizon: int) -> list[tuple[str, str]]:
+    """(name, expression) layers for the h-step forecast recursion; each
+    layer may reference previous names. Shared by Spark and the oracle."""
+    out = []
+    for h in range(1, horizon + 1):
+        prev1 = f"fz{h - 1}" if h >= 2 else "lz1"
+        prev2 = f"fz{h - 2}" if h >= 3 else ("lz1" if h == 2 else "lz2")
+        out.append((f"fz{h}", f"(c0 + a1 * {prev1} + a2 * {prev2})"))
+    for h in range(1, horizon + 1):
+        if d == 0:
+            out.append((f"forecast_{h}", f"fz{h}"))
+        else:  # integrate once: x*_{T+h} = x_T + Σ z*
+            base = f"forecast_{h - 1}" if h >= 2 else "lx"
+            out.append((f"forecast_{h}", f"({base} + fz{h})"))
+    return out
+
+
+def arima2_fit(
+    df: DataFrame, ts_col: str, value_col: str, partition_cols: list[str],
+    d: int = 1, horizon: int = 3, order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Closed-form distributed ARIMA(2,d,0) fit + h-step forecast per
+    series (see module comment). Returns one row per series with c0/a1/a2
+    and forecast_1..forecast_h columns."""
+    if d not in (0, 1):
+        raise ValueError("neurondb: arima2_fit supports d in {0, 1}; "
+                         "use arima_fit for general (p,d,q)")
+    wn = W.partitionBy(*partition_cols).orderBy(ts_col, *(order_extra or []))
+    out = df.withColumn("_x", F.col(value_col).cast("double")).withColumn(
+        "_z", F.col("_x")
+    )
+    for _ in range(d):
+        out = (
+            out.withColumn("_zl", F.lag("_z").over(wn))
+            .where(F.col("_zl").isNotNull())
+            .withColumn("_z", F.col("_z") - F.col("_zl"))
+            .drop("_zl")
+        )
+    out = (
+        out.withColumn("_z1", F.lag("_z", 1).over(wn))
+        .withColumn("_z2", F.lag("_z", 2).over(wn))
+        .where(F.col("_z2").isNotNull())
+    )
+    z, z1, z2 = F.col("_z"), F.col("_z1"), F.col("_z2")
+    order_struct = F.struct(
+        F.col(ts_col).alias("_t"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_extra or [])],
+        z.alias("_lz1"), z1.alias("_lz2"), F.col("_x").alias("_lx"),
+    )
+    agg = out.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(z1).alias("s1"), dsum(z2).alias("s2"), dsum(z).alias("sy"),
+        dsum(z1 * z1).alias("s11"), dsum(z1 * z2).alias("s12"),
+        dsum(z2 * z2).alias("s22"),
+        dsum(z1 * z).alias("s1y"), dsum(z2 * z).alias("s2y"),
+        F.max(order_struct).alias("_last"),
+    )
+    params = agg.select(
+        *partition_cols, "n", "s1", "s2", "sy", "s11", "s12", "s22",
+        "s1y", "s2y",
+        F.col("_last._lz1").alias("lz1"), F.col("_last._lz2").alias("lz2"),
+        F.col("_last._lx").alias("lx"),
+    ).select(
+        *partition_cols,
+        F.expr(ARIMA2_C0).alias("c0"),
+        F.expr(ARIMA2_A1).alias("a1"),
+        F.expr(ARIMA2_A2).alias("a2"),
+        "lz1", "lz2", "lx",
+    )
+    for name, expr in arima2_forecast_exprs(d, horizon):
+        params = params.withColumn(name, F.expr(expr))
+    return params.select(
+        *partition_cols, "c0", "a1", "a2",
+        *[f"forecast_{h}" for h in range(1, horizon + 1)],
+    )
+
+
+def _hannan_rissanen(z, p: int, q: int):
+    """Two-stage least-squares ARMA fit (deterministic, numpy-only).
+    Returns (phi[p], theta[q], intercept, residuals)."""
+    import numpy as np
+
+    z = np.asarray(z, dtype=float)
+    m = max(p + q + 5, 2 * max(p, q, 1))
+    if len(z) < m + max(p, q) + 5:
+        mu = float(np.mean(z)) if len(z) else 0.0
+        return [0.0] * p, [0.0] * q, mu, z - mu if len(z) else z
+    if q == 0:
+        cols = [np.ones(len(z) - p)] + [z[p - 1 - i : len(z) - 1 - i] for i in range(p)]
+        X = np.stack(cols, axis=1)
+        y = z[p:]
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        return list(map(float, beta[1 : 1 + p])), [], float(beta[0]), resid
+    # stage 1: long-AR(m) residuals
+    Xm = np.stack(
+        [np.ones(len(z) - m)] + [z[m - 1 - i : len(z) - 1 - i] for i in range(m)],
+        axis=1,
+    )
+    ym = z[m:]
+    bm, *_ = np.linalg.lstsq(Xm, ym, rcond=None)
+    e = np.concatenate([np.zeros(m), ym - Xm @ bm])  # aligned with z
+    # stage 2: regress z_t on p z-lags + q e-lags
+    k = max(p, q)
+    start = m + k
+    rows = len(z) - start
+    cols = [np.ones(rows)]
+    cols += [z[start - 1 - i : len(z) - 1 - i] for i in range(p)]
+    cols += [e[start - 1 - i : len(e) - 1 - i] for i in range(q)]
+    X = np.stack(cols, axis=1)
+    y = z[start:]
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    return (
+        list(map(float, beta[1 : 1 + p])),
+        list(map(float, beta[1 + p : 1 + p + q])),
+        float(beta[0]),
+        resid,
+    )
+
+
+def arima_fit(
+    df: DataFrame, ts_col: str, value_col: str, partition_cols: list[str],
+    p: int = 1, d: int = 0, q: int = 0, horizon: int = 1,
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """General ARIMA(p,d,q) fit + forecast, one series per group via
+    applyInPandas (Arrow-batched; series-parallel across executors).
+    Output: partition cols + phi array, theta array, intercept, sigma2,
+    forecast array (h values on the ORIGINAL scale)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    key_fields = [df.schema[c] for c in partition_cols]
+    schema = StructType(
+        list(key_fields)
+        + [
+            StructField("phi", ArrayType(DoubleType())),
+            StructField("theta", ArrayType(DoubleType())),
+            StructField("intercept", DoubleType()),
+            StructField("sigma2", DoubleType()),
+            StructField("forecast", ArrayType(DoubleType())),
+        ]
+    )
+    sort_cols = [ts_col] + list(order_extra or [])
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        z = x.copy()
+        tails = []
+        for _ in range(d):
+            tails.append(z[-1] if len(z) else 0.0)
+            z = np.diff(z)
+        phi, theta, c0, resid = _hannan_rissanen(z, p, q)
+        sigma2 = float(np.mean(resid ** 2)) if len(resid) else 0.0
+        zh, eh = list(z), list(resid)
+        fz: list[float] = []
+        for h in range(horizon):
+            val = c0
+            for i in range(p):
+                idx = h - 1 - i
+                if idx >= 0:
+                    val += phi[i] * fz[idx]
+                elif len(zh) >= -idx:
+                    val += phi[i] * zh[idx]
+            for i in range(q):
+                idx = h - 1 - i
+                if idx < 0 and len(eh) >= -idx:  # future shocks are 0
+                    val += theta[i] * eh[idx]
+            fz.append(float(val))
+        preds = np.asarray(fz)
+        for tail in reversed(tails):
+            preds = tail + np.cumsum(preds)
+        row = {c: pdf[c].iloc[0] for c in partition_cols}
+        row.update(
+            phi=phi, theta=theta, intercept=c0, sigma2=sigma2,
+            forecast=[float(v) for v in preds],
+        )
+        return pd.DataFrame([row])
+
+    return df.groupBy(*partition_cols).applyInPandas(_fit, schema)

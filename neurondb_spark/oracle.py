@@ -117,6 +117,12 @@ def sql_distance(a: str, b: str, metric: str, dim: int) -> str:
     }[m](a, b, dim)
 
 
+def dlit(x: float) -> str:
+    """Exact double literal: string-cast round-trips repr() precisely
+    (DuckDB parses bare decimals as DECIMAL, which would diverge)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def dsum(expr: str, scale: int = 6) -> str:
     """Order-independent cross-row sum of a double expression.
 

@@ -15,6 +15,10 @@ from neurondb_spark.functions.distance import (
     canberra_distance,
     dice_distance,
     jaccard_distance,
+    matching_coefficient,
+    rogers_tanimoto_distance,
+    russell_rao_distance,
+    sokal_michener_distance,
 )
 from neurondb_spark.functions.quantization import binary_signature_bits
 from neurondb_spark.functions.vector import vec
@@ -118,10 +122,50 @@ SELECT e.vec_id, {d} AS distance FROM embeddings e CROSS JOIN q
 ORDER BY distance ASC, e.vec_id ASC LIMIT 12"""
 
 
+def _q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four tests-only binary metrics (sokal-michener, rogers-tanimoto,
+    russell-rao, matching coefficient) over sign membership vs the query
+    vector — completes SURVEY §2.3."""
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 100)
+    q = qvec(spark, sf_dir)
+    sig_a = binary_signature_bits("embedding")
+    sig_q = binary_signature_bits(_qlit(q))
+    return emb.select(
+        "vec_id",
+        sokal_michener_distance(sig_a, sig_q, checked=False).alias("sokal_michener"),
+        rogers_tanimoto_distance(sig_a, sig_q, checked=False).alias("rogers_tanimoto"),
+        russell_rao_distance(sig_a, sig_q, checked=False).alias("russell_rao"),
+        matching_coefficient(sig_a, sig_q, checked=False).alias("matching_coef"),
+    )
+
+
+def _sql_binary_metrics() -> str:
+    me = [_sign_member_sql("e.embedding", i) for i in range(1, EMB_DIM + 1)]
+    mq = [_sign_member_sql("q.qe", i) for i in range(1, EMB_DIM + 1)]
+    diff = " + ".join(
+        f"(CASE WHEN {a} != {b} THEN 1.0 ELSE 0.0 END)" for a, b in zip(me, mq)
+    )
+    inter = " + ".join(
+        f"(CASE WHEN {a} = 1 AND {b} = 1 THEN 1.0 ELSE 0.0 END)"
+        for a, b in zip(me, mq)
+    )
+    n = "CAST(64 AS DOUBLE)"
+    return f"""{QVEC_CTE}, c AS (
+  SELECT e.vec_id, ({diff}) AS df, ({inter}) AS it FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <= 100)
+SELECT vec_id,
+  df / {n} AS sokal_michener,
+  (2.0 * df) / (({n} - df) + 2.0 * df) AS rogers_tanimoto,
+  ({n} - it) / {n} AS russell_rao,
+  ({n} - df) / {n} AS matching_coef
+FROM c"""
+
+
 QUERIES = {
     "knn_canberra": (_q_canberra, _sql_canberra()),
     "knn_braycurtis": (_q_braycurtis, _sql_braycurtis()),
     "knn_minkowski3": (_q_minkowski3, _sql_minkowski3()),
     "knn_jaccard_sign": (_q_jaccard_sign, _sql_set_distance("jaccard")),
     "knn_dice_sign": (_q_dice_sign, _sql_set_distance("dice")),
+    "binary_metrics4": (_q_binary_metrics, _sql_binary_metrics()),
 }

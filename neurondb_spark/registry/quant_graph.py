@@ -7,7 +7,11 @@ from pyspark.sql import functions as F
 
 from neurondb_spark import oracle as O
 from neurondb_spark.functions.quantization import (
+    FP8_FORMATS,
     binary_hamming,
+    fp8_roundtrip_error,
+    int4_roundtrip_error,
+    int4_scale,
     int8_roundtrip_error,
     int8_scale,
 )
@@ -35,6 +39,55 @@ def _sql_int8_analysis() -> str:
     return f"""WITH sc AS (SELECT vec_id, embedding, {scale} AS s FROM embeddings)
 SELECT vec_id, s AS int8_scale,
        ({' + '.join(errs)}) / {float(EMB_DIM)!r} AS mean_abs_err
+FROM sc"""
+
+
+def _q_int4_fp8_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantize_analyze over the int4 and fp8 (e4m3/e5m2) codecs —
+    mirrors the int8 pattern (reference quantization.c:91-1697,
+    ml_quantization_fp8.c)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        int4_scale("embedding").alias("int4_scale"),
+        int4_roundtrip_error("embedding").alias("int4_err"),
+        fp8_roundtrip_error("embedding", "e4m3").alias("fp8_e4m3_err"),
+        fp8_roundtrip_error("embedding", "e5m2").alias("fp8_e5m2_err"),
+    )
+
+
+def _sql_fp8_err_expr(fmt: str) -> str:
+    """Mean |v − fp8(v)| as a DuckDB list lambda — same power-of-two
+    comparison ladder / floor(+0.5) rounding as fp8_round()."""
+    max_exp, min_exp, man, max_val = FP8_FORMATS[fmt]
+    xa = "abs(CAST(v AS DOUBLE))"
+    whens = " ".join(
+        f"WHEN {xa} >= {O.dlit(2.0 ** k)} THEN {O.dlit(2.0 ** (k - man))}"
+        for k in range(max_exp, min_exp - 1, -1)
+    )
+    ladder = f"(CASE {whens} ELSE {O.dlit(2.0 ** (min_exp - man))} END)"
+    q = f"least(floor({xa} / {ladder} + 0.5) * {ladder}, {O.dlit(max_val)})"
+    signed = f"((CASE WHEN CAST(v AS DOUBLE) < 0 THEN -1.0 ELSE 1.0 END) * {q})"
+    err = f"abs(CAST(v AS DOUBLE) - {signed})"
+    return (
+        f"(list_aggregate(list_transform(embedding, v -> {err}), 'sum')"
+        f" / {float(EMB_DIM)!r})"
+    )
+
+
+def _sql_int4_fp8_analysis() -> str:
+    absmax = ", ".join(f"abs({O.elem('embedding', i)})" for i in range(1, EMB_DIM + 1))
+    scale = f"(CASE WHEN greatest({absmax}) = 0.0 THEN 1.0 ELSE 7.0 / greatest({absmax}) END)"
+    errs = []
+    for i in range(1, EMB_DIM + 1):
+        e = O.elem("embedding", i)
+        q = f"CAST(trunc(least(greatest(({e}) * s, -7.0), 7.0)) AS INTEGER)"
+        errs.append(f"abs(({e}) - (CAST({q} AS DOUBLE) / s))")
+    return f"""WITH sc AS (SELECT vec_id, embedding, {scale} AS s FROM embeddings)
+SELECT vec_id, s AS int4_scale,
+       ({' + '.join(errs)}) / {float(EMB_DIM)!r} AS int4_err,
+       {_sql_fp8_err_expr('e4m3')} AS fp8_e4m3_err,
+       {_sql_fp8_err_expr('e5m2')} AS fp8_e5m2_err
 FROM sc"""
 
 
@@ -135,6 +188,7 @@ UNION ALL SELECT node, 2 FROM d2"""
 
 QUERIES = {
     "int8_quantize_analysis": (_q_int8_analysis, _sql_int8_analysis()),
+    "quantize_int4_fp8": (_q_int4_fp8_analysis, _sql_int4_fp8_analysis()),
     "binary_hamming_knn": (_q_binary_hamming_knn, _sql_binary_hamming_knn()),
     "graph_pagerank": (_q_pagerank, _sql_pagerank()),
     "graph_bfs": (_q_bfs, _SQL_BFS),

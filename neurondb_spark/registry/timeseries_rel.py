@@ -7,7 +7,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neurondb_spark import oracle as O
-from neurondb_spark.ml.timeseries import ar1_fit, moving_stats, rolling_anomalies
+from neurondb_spark.ml.timeseries import (
+    ARIMA2_A1,
+    ARIMA2_A2,
+    ARIMA2_C0,
+    ar1_fit,
+    arima2_fit,
+    arima2_forecast_exprs,
+    moving_stats,
+    rolling_anomalies,
+)
 from neurondb_spark.registry.common import events as load_events
 from neurondb_spark.registry.common import t
 
@@ -75,6 +84,51 @@ SELECT event_type,
   ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
    + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * last_v) AS forecast_next
 FROM s"""
+
+
+def _q_arima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return arima2_fit(ev, "ts", "value", ["event_type"], d=1, horizon=3,
+                      order_extra=["event_id"])
+
+
+def _sql_arima() -> str:
+    """Oracle replays the identical closed-form recursion: same exact-sum
+    normal equations, same Cramer strings, same forecast layers (the
+    formula strings are shared with ml/timeseries.py)."""
+    ok = "CAST(epoch_us(ts) AS HUGEINT) * 100000000 + event_id"
+    sql = f"""WITH x0 AS (
+  SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS z
+  FROM events),
+x1 AS (
+  SELECT event_type, ts, event_id, x, z,
+         lag(z, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS z1,
+         lag(z, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS z2
+  FROM x0 WHERE z IS NOT NULL),
+l AS (SELECT * FROM x1 WHERE z2 IS NOT NULL),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+    {O.dsum('z1')} AS s1, {O.dsum('z2')} AS s2, {O.dsum('z')} AS sy,
+    {O.dsum('z1 * z1')} AS s11, {O.dsum('z1 * z2')} AS s12,
+    {O.dsum('z2 * z2')} AS s22,
+    {O.dsum('z1 * z')} AS s1y, {O.dsum('z2 * z')} AS s2y,
+    max_by(z, {ok}) AS lz1, max_by(z1, {ok}) AS lz2, max_by(x, {ok}) AS lx
+  FROM l GROUP BY event_type),
+p0 AS (
+  SELECT event_type, {ARIMA2_C0} AS c0, {ARIMA2_A1} AS a1, {ARIMA2_A2} AS a2,
+         lz1, lz2, lx
+  FROM s)"""
+    prev = "p0"
+    for i, (name, expr) in enumerate(arima2_forecast_exprs(d=1, horizon=3)):
+        sql += f",\np{i + 1} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"p{i + 1}"
+    sql += (
+        f"\nSELECT event_type, c0, a1, a2, forecast_1, forecast_2, forecast_3"
+        f" FROM {prev}"
+    )
+    return sql
 
 
 # --------------------------------------------------- relational breadth
@@ -166,6 +220,7 @@ QUERIES = {
     "ts_moving_stats": (_q_moving_stats, _SQL_MOVING_STATS),
     "ts_rolling_anomalies": (_q_rolling_anomalies, _SQL_ROLLING_ANOMALIES),
     "ts_ar1_forecast": (_q_ar1, _SQL_AR1),
+    "ts_arima_forecast": (_q_arima, _sql_arima()),
     "rollup_lineitem": (_q_rollup_revenue, _SQL_ROLLUP_REVENUE),
     "semi_anti_join": (_q_semi_anti, _SQL_SEMI_ANTI),
     "set_ops_users": (_q_setops, _SQL_SETOPS),
