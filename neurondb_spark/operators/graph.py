@@ -25,25 +25,30 @@ def bfs(
     src: str = "src", dst: str = "dst", directed: bool = False,
 ) -> DataFrame:
     """Frontier-expansion BFS: (node, depth of first reach), depth ≤
-    max_depth (vgraph_bfs, vector_graph_ops.c:176). One join per level;
-    visited set kept as a DataFrame and unioned per level."""
+    max_depth (vgraph_bfs, vector_graph_ops.c:176). One join per level.
+
+    Checkpoint discipline: the edge frame and each level's frontier are
+    ``localCheckpoint``'d — without it every level's join re-derives the
+    whole upstream plan (for a kNN-graph input that means re-running the
+    graph build per level) and lineage grows per iteration. One bounded
+    materialization job per level instead. (On a multi-executor cluster
+    swap localCheckpoint for a reliable ``checkpoint`` dir if executor
+    loss during the traversal must be survivable.)"""
     e = edges.select(src, dst)
     if not directed:
         e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
-    e = e.distinct().cache()
+    e = e.distinct().localCheckpoint()
     start_df = e.sparkSession.createDataFrame([(start, 0)], ["node", "depth"])
     visited = start_df.withColumn("depth", F.col("depth").cast("int"))
     frontier = visited
     for d in range(1, max_depth + 1):
-        # no per-level driver action: an empty frontier just propagates
-        # empty frames through the remaining (bounded) levels
         nxt = (
             frontier.join(e, frontier.node == e[src])
             .select(F.col(dst).alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
-            .cache()
+            .localCheckpoint()
         )
         visited = visited.union(nxt)
         frontier = nxt
@@ -86,25 +91,31 @@ def dfs(
 def pagerank(
     edges: DataFrame, iterations: int = 5, damping: float = 0.85,
     src: str = "src", dst: str = "dst", exact: bool = True,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Iterative PageRank: pr = (1−d)/N + d·Σ_in pr(u)/outdeg(u)
     (vgraph_pagerank, vector_graph_ops.c:519). Dangling nodes keep the
     teleport term only. ``exact`` routes the contribution sums through
-    binary fixed-point (bsum) for bit-reproducible ranks."""
+    binary fixed-point (bsum) for bit-reproducible ranks.
+
+    The weighted edge list is materialized once (localCheckpoint) and the
+    rank frame is checkpointed every ``checkpoint_every`` iterations, so
+    plan depth (and recovery-chain length) stays bounded regardless of
+    iteration count."""
     e = edges.select(src, dst).distinct()
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     n = nodes.count()
     outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     # pre-join the per-edge weight once — each iteration is then a single
     # join + aggregation instead of two joins
-    e_w = e.join(outdeg, src).select(src, dst, F.col("outdeg")).cache()
+    e_w = e.join(outdeg, src).select(src, dst, F.col("outdeg")).localCheckpoint()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = ranks.join(e_w, ranks.node == e_w[src]).select(
             F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c")
         )
@@ -121,6 +132,8 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -129,56 +142,80 @@ def connected_components(
 ) -> DataFrame:
     """Min-label propagation to fixpoint → (node, component) where
     component = min node id reachable (vgraph_community analog; exact CC).
-    Converges in O(diameter) iterations; each is one join+groupBy."""
+    Converges in O(diameter) iterations; each is one join+groupBy.
+
+    Per-iteration checkpoint truncates the lineage, and convergence is
+    detected by the label-sum invariant: min-label propagation only ever
+    DECREASES labels, so Σcomp is strictly decreasing until the fixpoint —
+    one cheap scalar aggregate per iteration replaces the old
+    join-both-generations + head(1) change probe."""
     e = edges.select(src, dst)
-    e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst))).distinct().cache()
+    e = (
+        e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(max_iter):
         nb_min = (
             labels.join(e, labels.node == e[src])
             .groupBy(F.col(dst).alias("node"))
             .agg(F.min("comp").alias("nb"))
         )
-        new_labels = (
+        labels = (
             labels.join(nb_min, "node", "left")
             .select("node", F.least(F.col("comp"), F.coalesce(F.col("nb"), F.col("comp"))).alias("comp"))
+            .localCheckpoint()
         )
-        new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .head(1)
-        )
-        labels = new_labels
-        if changed == []:
+        cur_sum = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).head()[0]
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
 def build_knn_graph(
     df: DataFrame, vec_col: str, id_col: str, k: int = 3,
     on: list[str] | None = None, metric: str = "l2", dim: int | None = None,
+    num_blocks: int = 16,
 ) -> DataFrame:
     """kNN graph: edge (id, neighbor, distance) per k nearest
-    (build_knn_graph, analytics.c:1286) — blocked kNN join."""
-    from neurondb_spark.operators.joins import knn_join
+    (build_knn_graph, analytics.c:1286).
+
+    With a block key (``on``) the kNN join is an equi-join on that key;
+    without one, the exact all-pairs case routes through
+    :func:`~neurondb_spark.operators.joins.knn_join_gemm` — distributed
+    cogrouped block GEMM + top-k merge, no cross join (isotropic
+    embeddings admit no metric pruning, so the distance count is
+    inherent; the row blowup and single-task join are not)."""
+    from neurondb_spark.operators.joins import knn_join, knn_join_gemm
 
     right = df.select(
         *( [F.col(c) for c in (on or [])] ),
         F.col(id_col).alias("_nbr"),
         F.col(vec_col).alias("_nvec"),
     )
-    out = knn_join(
-        df.select(*([F.col(c) for c in (on or [])] + [F.col(id_col), F.col(vec_col)])),
-        right, vec_col, "_nvec", id_col, k=k + 1, on=on, metric=metric, dim=dim,
-        tiebreak=["_nbr"],
-    )
+    if on is None:
+        out = knn_join_gemm(
+            df.select(F.col(id_col), F.col(vec_col)),
+            right, vec_col, "_nvec", id_col, "_nbr", k=k + 1,
+            r_blocks=num_blocks, metric=metric,
+        )
+    else:
+        out = knn_join(
+            df.select(*([F.col(c) for c in on] + [F.col(id_col), F.col(vec_col)])),
+            right, vec_col, "_nvec", id_col, k=k + 1, on=on, metric=metric,
+            dim=dim, tiebreak=["_nbr"],
+        )
     return (
         out.where(F.col(id_col) != F.col("_nbr"))
         .select(F.col(id_col).alias("src"), F.col("_nbr").alias("dst"), "distance")

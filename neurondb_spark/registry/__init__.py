@@ -15,27 +15,66 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Queries with a green hash/rows check in CORRECTNESS_r01.json. The driver
-# caps per-round oracle checks at 50 and walks the registry in order, so
-# ``collect`` sorts not-yet-verified queries first to rotate coverage;
-# every declared query eventually accumulates a green row across rounds.
-VERIFIED_PRIOR_ROUNDS = frozenset({
-    "knn_l2", "knn_cosine", "knn_ip", "knn_l1", "knn_chebyshev",
-    "knn_squared_l2", "knn_hamming", "vector_norms", "vector_avg_by_label",
-    "tpch_q1", "top_revenue_customers", "orders_topk_per_segment",
-    "faceted_vector_search", "multi_vector_search", "vec_window_rank",
-    "hybrid_search", "bm25_topk", "rrf_fusion", "vec_join_threshold",
-    "text_stats", "lang_detect_counts", "fingerprint_dedup",
-    "minhash_signatures", "simhash_signatures", "ngram_jaccard_pairs",
-    "embedding_neardup_pairs", "chunk_documents", "events_hourly",
-    "events_topk_users", "events_time_decay", "events_sessionize",
-    "ivf_knn_full_probe", "ivf_knn_probe", "linreg_closed_form",
-    "zscore_outliers", "centroid_drift", "knn_classify_vote",
-    "label_recall_at_k", "ml_logreg_predictions", "ml_kmeans_clusters",
-    "hash_embed", "rag_query", "rerank_lexical", "ltr_rerank",
-    "sparse_search_tf", "mmr_rerank", "int8_quantize_analysis",
-    "binary_hamming_knn", "graph_pagerank", "graph_bfs",
+# Per-round driver-check history (which queries got a CORRECTNESS_r{N}
+# row — green OR rows-only). The driver caps per-round oracle checks at 50
+# and walks the registry in order, so ``collect`` sorts queries
+# least-recently-checked first: never-checked, then oldest-round-checked.
+# This rotates coverage deterministically — every query is re-verified on
+# a bounded cadence, and a rewrite never ships stale-green for long.
+CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
+    1: frozenset({
+        "knn_l2", "knn_cosine", "knn_ip", "knn_l1", "knn_chebyshev",
+        "knn_squared_l2", "knn_hamming", "vector_norms", "vector_avg_by_label",
+        "tpch_q1", "top_revenue_customers", "orders_topk_per_segment",
+        "faceted_vector_search", "multi_vector_search", "vec_window_rank",
+        "hybrid_search", "bm25_topk", "rrf_fusion", "vec_join_threshold",
+        "text_stats", "lang_detect_counts", "fingerprint_dedup",
+        "minhash_signatures", "simhash_signatures", "ngram_jaccard_pairs",
+        "embedding_neardup_pairs", "chunk_documents", "events_hourly",
+        "events_topk_users", "events_time_decay", "events_sessionize",
+        "ivf_knn_full_probe", "ivf_knn_probe", "linreg_closed_form",
+        "zscore_outliers", "centroid_drift", "knn_classify_vote",
+        "label_recall_at_k", "ml_logreg_predictions", "ml_kmeans_clusters",
+        "hash_embed", "rag_query", "rerank_lexical", "ltr_rerank",
+        "sparse_search_tf", "mmr_rerank", "int8_quantize_analysis",
+        "binary_hamming_knn", "graph_pagerank", "graph_bfs",
+    }),
+    2: frozenset({
+        "simhash_neardup_pairs", "quantize_int4_fp8", "ts_seasonal_decompose",
+        "ts_moving_stats", "ts_rolling_anomalies", "ts_ar1_forecast",
+        "ts_arima_forecast", "rollup_lineitem", "semi_anti_join",
+        "set_ops_users", "vector_arith_ops", "sparse_vector_dot",
+        "knn_canberra", "knn_braycurtis", "knn_minkowski3",
+        "knn_jaccard_sign", "knn_dice_sign", "binary_metrics4",
+        "vec_route_counts", "ann_batch_topk", "detokenize_roundtrip",
+        "fp16_roundtrip_err", "stream_job_queue", "graph_knn",
+        "rerank_ensemble_weighted", "rerank_ensemble_borda", "vector_casts",
+        "knn_mahalanobis", "davies_bouldin", "similarity_histogram",
+        "recommend_content_based", "community_label_propagation", "knn_l2",
+        "knn_cosine", "knn_ip", "knn_l1", "knn_chebyshev", "knn_squared_l2",
+        "knn_hamming", "vector_norms", "vector_avg_by_label", "tpch_q1",
+        "top_revenue_customers", "orders_topk_per_segment",
+        "faceted_vector_search", "multi_vector_search", "vec_window_rank",
+        "hybrid_search", "bm25_topk", "rrf_fusion",
+    }),
+}
+
+# Queries whose implementation changed since their last driver check —
+# treated as never-checked so the next round's first-50 re-verifies them.
+# Maintain this alongside any rewrite of a previously-checked query.
+FORCE_RECHECK = frozenset({
+    # rewritten in round 3 (codec parity, blocked graph build, queue):
+    "quantize_int4_fp8", "graph_knn", "stream_job_queue",
+    "simhash_neardup_pairs",
 })
+
+
+def _last_checked(name: str) -> int:
+    """0 = never checked (or force-recheck) — sorts first."""
+    if name in FORCE_RECHECK:
+        return 0
+    rounds = [r for r, names in CHECKED_BY_ROUND.items() if name in names]
+    return max(rounds) if rounds else 0
 
 
 def collect() -> dict[str, tuple[QueryFn, str | None]]:
@@ -66,11 +105,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = pair
-    # Not-yet-driver-verified queries first (driver checks the first 50).
-    ordered: dict[str, tuple[QueryFn, str | None]] = {}
-    for name in out:
-        if name not in VERIFIED_PRIOR_ROUNDS:
-            ordered[name] = out[name]
-    for name, pair in out.items():
-        ordered.setdefault(name, pair)
-    return ordered
+    # Least-recently-checked first (driver checks the first 50); ties keep
+    # registry declaration order (Python sort is stable).
+    names = sorted(out, key=_last_checked)
+    return {name: out[name] for name in names}

@@ -37,7 +37,7 @@ def _q_graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan across cores before the cross join
     par = spark.sparkContext.defaultParallelism
     emb_p = emb.repartition(par)
-    g = build_knn_graph(emb_p, "embedding", "vec_id", k=3, dim=EMB_DIM)
+    g = build_knn_graph(emb_p, "embedding", "vec_id", k=3)
     reach = bfs(g.select("src", "dst"), 1, max_depth=2).select(
         F.col("node").alias("vec_id")
     )

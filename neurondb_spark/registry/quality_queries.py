@@ -102,12 +102,16 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     # bipartite int encoding (even→odd) means the reversed half can't
     # collide with the forward half, and min-propagation is insensitive to
-    # duplicate edges — skip the distinct shuffle entirely
-    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    # duplicate edges — skip the distinct shuffle entirely. localCheckpoint
+    # materializes the edge frame once (each iteration re-reads blocks, not
+    # the union plan) and truncates per-iteration lineage growth.
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    for _ in range(3):
+    for i in range(3):
         nb = (
             labels.join(und, labels.node == und.src)
             .groupBy(F.col("dst").alias("node"))
@@ -116,6 +120,8 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = labels.join(nb, "node", "left").select(
             "node", F.least(F.col("lbl"), F.coalesce(F.col("nb_min"), F.col("lbl"))).alias("lbl")
         )
+        if i < 2:
+            labels = labels.localCheckpoint()
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("community_size"))
