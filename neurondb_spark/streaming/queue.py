@@ -7,10 +7,13 @@ GUC cadences neurondb_guc.c:415-604).
 
 Spark mapping: the queue is a parquet/Delta directory of job rows; a
 ``readStream`` file source + ``foreachBatch`` drains arriving jobs.
-Exactly-once: foreachBatch output writes are idempotent on job id (the
-SKIP LOCKED analog — each micro-batch owns its files; replays overwrite
-the same job ids). ``Trigger.AvailableNow`` gives the reference's
-run-once drain (neuranq_run_once, neurondb--1.0.sql:3136).
+Exactly-once: each micro-batch writes to a deterministic
+``done/batch_id=<id>`` directory with overwrite — a foreachBatch replay
+after failure rewrites that batch's files instead of appending
+duplicates (the idempotent-sink contract foreachBatch requires; the
+SKIP LOCKED analog is the checkpoint: a batch is owned by its id).
+``Trigger.AvailableNow`` gives the reference's run-once drain
+(neuranq_run_once, neurondb--1.0.sql:3136).
 """
 
 from __future__ import annotations
@@ -38,8 +41,17 @@ JOB_SCHEMA = T.StructType(
 class JobQueueWorker:
     """Drains a job directory via Structured Streaming.
 
-    ``handlers``: job_type → fn(pandas-free row dict) -> result dict.
-    Results land in ``out_dir`` as parquet keyed by job id (idempotent).
+    ``handlers``: job_type → fn(job row as a plain dict) -> result (dict
+    or str). Handlers run executor-side (mapInPandas over the batch, so a
+    wide batch of jobs dispatches in parallel); the JSON-encoded return
+    value lands in the ``result`` column, ``"no_handler"`` when the
+    job_type has no registered handler, ``"error: ..."`` if the handler
+    raised (the job is still marked complete — reference workers likewise
+    consume a job exactly once and record failure, worker_queue.c:4-9).
+
+    Exactly-once: results are written to ``done/batch_id=<id>`` with
+    overwrite, so a replayed micro-batch rewrites its own directory
+    rather than appending duplicate done-rows.
     """
 
     def __init__(
@@ -57,20 +69,41 @@ class JobQueueWorker:
         self.checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        handlers = self.handlers  # closure-captured; cloudpickled to executors
         pending = batch_df.where(F.col("status") == "pending")
-        handled = pending.withColumn(
-            "result",
-            F.when(
-                F.col("job_type").isin(*self.handlers.keys())
-                if self.handlers
-                else F.lit(False),
-                F.lit("handled"),
-            ).otherwise(F.lit("no_handler")),
-        ).withColumn("status", F.lit("complete")).withColumn(
-            "processed_at", F.current_timestamp()
+        out_fields = pending.schema.fieldNames()
+
+        def _dispatch(batches):
+            import pandas as pd  # noqa: F401
+
+            for pdf in batches:
+                results = []
+                for row in pdf.to_dict("records"):
+                    fn = handlers.get(row.get("job_type"))
+                    if fn is None:
+                        results.append("no_handler")
+                        continue
+                    try:
+                        out = fn(row)
+                        results.append(
+                            out if isinstance(out, str)
+                            else json.dumps(out, default=str, sort_keys=True)
+                        )
+                    except Exception as e:  # record failure, consume the job
+                        results.append(f"error: {e}")
+                yield pdf.assign(result=results)
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in pending.schema.fields
+        ) + ", result string"
+        handled = (
+            pending.mapInPandas(_dispatch, schema)
+            .withColumn("status", F.lit("complete"))
+            .withColumn("processed_at", F.current_timestamp())
+            .select(*out_fields, "result", "processed_at")
         )
-        (
-            handled.write.mode("append").parquet(os.path.join(self.out_dir, "done"))
+        handled.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, "done", f"batch_id={batch_id}")
         )
 
     def run_once(self) -> None:
@@ -111,15 +144,24 @@ def monitor_stream(
 
 
 def enqueue_jobs(spark: SparkSession, queue_dir: str, jobs: list[dict]) -> None:
-    """Test/demo helper: append job rows to the queue directory."""
-    rows = [
-        (
-            j["id"], j.get("job_type", "noop"), json.dumps(j.get("payload", {})),
-            j.get("tenant_id", 0), j.get("status", "pending"),
-        )
-        for j in jobs
-    ]
-    df = spark.createDataFrame(
-        rows, "id long, job_type string, payload string, tenant_id int, status string"
-    ).withColumn("created_at", F.current_timestamp())
-    df.write.mode("append").parquet(queue_dir)
+    """Test/demo helper: append job rows to the queue directory.
+
+    Built through pandas/Arrow (JVM-local data — a list-of-tuples
+    createDataFrame would round-trip every write through a pickled-RDD
+    python worker, ~4-6s of overhead for a 30-row control-plane write)
+    and coalesced to one file per enqueue call."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "id": pd.Series([j["id"] for j in jobs], dtype="int64"),
+            "job_type": [j.get("job_type", "noop") for j in jobs],
+            "payload": [json.dumps(j.get("payload", {})) for j in jobs],
+            "tenant_id": pd.Series([j.get("tenant_id", 0) for j in jobs], dtype="int32"),
+            "status": [j.get("status", "pending") for j in jobs],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "created_at", F.current_timestamp()
+    )
+    df.coalesce(1).write.mode("append").parquet(queue_dir)

@@ -28,17 +28,49 @@ def test_job_queue_worker_drains_pending(spark):
                 {"id": 3, "job_type": "embed", "status": "complete"},
             ],
         )
-        w = JobQueueWorker(spark, qdir, odir, handlers={"embed": lambda r: r})
+        w = JobQueueWorker(
+            spark, qdir, odir,
+            handlers={"embed": lambda r: {"echo_id": r["id"]},
+                      "boom": lambda r: 1 / 0},
+        )
         w.run_once()
         done = w.processed()
         rows = {r["id"]: r for r in done.collect()}
         assert set(rows) == {1, 2}  # only pending jobs drained
         assert rows[1]["status"] == "complete"
-        assert rows[1]["result"] == "handled"
+        # handler actually ran and its return value is recorded
+        assert rows[1]["result"] == '{"echo_id": 1}'
         assert rows[2]["result"] == "no_handler"
         # idempotent re-drain: checkpoint prevents reprocessing
         w.run_once()
         assert w.processed().count() == 2
+
+
+def test_job_queue_batch_replay_is_exactly_once(spark):
+    """A foreachBatch replay (same batch_id after a failure) must rewrite
+    its batch directory, not append duplicate done-rows; a raising handler
+    records the error and still consumes the job."""
+    from neurondb_spark.streaming.queue import JOB_SCHEMA, JobQueueWorker
+
+    with tempfile.TemporaryDirectory() as td:
+        odir = os.path.join(td, "out")
+        w = JobQueueWorker(
+            spark, os.path.join(td, "queue"), odir,
+            handlers={"embed": lambda r: {"ok": True}, "boom": lambda r: 1 / 0},
+        )
+        batch = spark.createDataFrame(
+            [(1, "embed", "{}", 0, "pending", None),
+             (2, "boom", "{}", 0, "pending", None)],
+            JOB_SCHEMA,
+        )
+        w._process_batch(batch, 7)
+        w._process_batch(batch, 7)  # replay of the same micro-batch
+        done = w.processed()
+        assert done.count() == 2  # no duplicates
+        rows = {r["id"]: r for r in done.collect()}
+        assert rows[1]["result"] == '{"ok": true}'
+        assert rows[2]["result"].startswith("error:")
+        assert rows[2]["status"] == "complete"
 
 
 def test_monitor_stream_windowed_agg(spark):
