@@ -115,6 +115,61 @@ def vector_get(a, i: int) -> Column:
     return F.try_element_at(vec(a), F.lit(i))
 
 
+def vector_set(a, i: int, x) -> Column:
+    """Set element i (1-indexed here; the reference's vector_set takes a
+    0-based index, vector_ops.c:32-154) to x, returning the new vector.
+    Out-of-bounds index raises like the reference."""
+    x = F.lit(float(x)) if not isinstance(x, Column) else x
+    a = vec(a)
+    return F.when(
+        (F.lit(i) < 1) | (F.lit(i) > F.size(a)),
+        F.raise_error(f"neurondb: vector_set index {i} out of bounds"),
+    ).otherwise(
+        F.transform(a, lambda e, idx: F.when(idx == i - 1, x.cast("double")).otherwise(e))
+    )
+
+
+# --- masked / affine ops (vector_advanced.c:259-445)
+
+def vector_scale(a, factors) -> Column:
+    """Element-wise multiply by a per-dimension factor array
+    (vector_scale, vector_advanced.c:259-331)."""
+    return F.zip_with(vec(a), vec(factors), lambda x, s: x * s)
+
+
+def vector_translate(a, offsets) -> Column:
+    """Element-wise add a per-dimension offset vector
+    (vector_translate, vector_advanced.c:333-380)."""
+    return F.zip_with(vec(a), vec(offsets), lambda x, o: x + o)
+
+
+def vector_filter(a, mask) -> Column:
+    """Keep elements where the boolean mask is true; the result is the
+    (shorter) selected subvector (vector_filter, vector_advanced.c:382-445;
+    an all-false mask raises there)."""
+    mask = F.col(mask) if isinstance(mask, str) else mask
+    pairs = F.zip_with(
+        vec(a), mask, lambda x, m: F.struct(x.alias("v"), m.alias("m"))
+    )
+    kept = F.transform(
+        F.filter(pairs, lambda s: s["m"]), lambda s: s["v"]
+    )
+    return F.when(
+        F.size(kept) == 0,
+        F.raise_error("neurondb: filter mask must have at least one true value"),
+    ).otherwise(kept)
+
+
+def vector_where(cond, value, else_value) -> Column:
+    """Element-wise select: cond[i] != 0 ? value[i] : else_value
+    (vector_where, vector_advanced.c:447-493)."""
+    e = F.lit(float(else_value)) if not isinstance(else_value, Column) else else_value
+    return F.zip_with(
+        vec(cond), vec(value),
+        lambda c, v: F.when(c != 0.0, v).otherwise(e.cast("double")),
+    )
+
+
 # --- intra-vector reductions (vector_ops.c:361-551, vector_advanced.c:78-171)
 
 def vector_element_sum(a) -> Column:
@@ -156,6 +211,34 @@ def vector_median(a) -> Column:
     odd = F.element_at(s, mid + 1)
     even = (F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2.0
     return F.when(n % 2 == 1, odd).otherwise(even)
+
+
+def vector_percentile(a, p: float) -> Column:
+    """Percentile of the elements, nearest-rank-floor: sort ascending and
+    take sorted[int(p·(dim−1))] — no interpolation (vector_percentile,
+    vector_advanced.c:78-171)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError("neurondb: percentile must be between 0 and 1")
+    a = vec(a)
+    idx = F.floor(F.lit(float(p)) * (F.size(a) - 1)).cast("int") + 1
+    return F.element_at(F.sort_array(a), idx)
+
+
+def vector_quantile(a, ps: list[float]) -> Column:
+    """Multiple percentiles at once → array<double> (vector_quantile,
+    vector_advanced.c:173-257; same nearest-rank-floor rule)."""
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("neurondb: quantile must be between 0 and 1")
+    a = vec(a)
+    s = F.sort_array(a)
+    n1 = F.size(a) - 1
+    return F.array(
+        *[
+            F.element_at(s, F.floor(F.lit(float(p)) * n1).cast("int") + 1)
+            for p in ps
+        ]
+    )
 
 
 def vector_norm(a) -> Column:

@@ -170,6 +170,17 @@ def recall_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
     )
 
 
+def f1_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
+    """f1_at_k (ml_recall_metrics.c:192-254): harmonic mean of P@k and R@k;
+    0 when both are ~0 (the reference's 1e-10 guard). Duplicate retrieved
+    ids count once (array_intersect), matching the reference's
+    break-on-first-match inner loop."""
+    p = precision_at_k(retrieved, relevant, k)
+    r = recall_at_k(retrieved, relevant, k)
+    # parenthesization matches the reference exactly: 2.0 * (p * r) / (p + r)
+    return F.when(p + r < 1e-10, F.lit(0.0)).otherwise(2.0 * (p * r) / (p + r))
+
+
 def mean_reciprocal_rank(retrieved: Column, first_relevant: Column) -> Column:
     """MRR for a single query row: 1/position of the first relevant id."""
     pos = F.array_position(retrieved, first_relevant)

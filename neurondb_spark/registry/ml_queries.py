@@ -101,6 +101,40 @@ SELECT CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE) / 20.0 AS reca
 FROM top"""
 
 
+def _q_f1_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f1_at_k (ml_recall_metrics.c:192-254) over the retrieved-ids /
+    relevant-ids array contract: retrieved = top-20 vec_ids by L2,
+    relevant = all label-0 vec_ids."""
+    from neurondb_spark.operators.knn import knn
+    from neurondb_spark.operators.rerank import f1_at_k
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    top = knn(emb, "embedding", q, k=20, dim=COMPILE_DIM, tiebreak=["vec_id"])
+    retrieved = top.agg(F.sort_array(F.collect_list("vec_id")).alias("retrieved"))
+    relevant = (
+        emb.where(F.col("label") == 0)
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("relevant"))
+    )
+    return retrieved.join(relevant).select(
+        f1_at_k(F.col("retrieved"), F.col("relevant"), 20).alias("f1_at_k")
+    )
+
+
+def _sql_f1_at_k() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE},
+top AS (
+  SELECT e.vec_id, e.label FROM embeddings e CROSS JOIN q
+  ORDER BY {d} ASC, e.vec_id ASC LIMIT 20),
+f AS (SELECT CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS found FROM top),
+nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_rel FROM embeddings WHERE label = 0),
+pr AS (SELECT (found / 20.0) AS p, (found / n_rel) AS r FROM f CROSS JOIN nr)
+SELECT CASE WHEN p + r < 1e-10 THEN 0.0
+       ELSE 2.0 * (p * r) / (p + r) END AS f1_at_k
+FROM pr"""
+
+
 # ------------------------------------------------- MLlib (rows-only checks)
 
 _ml_cache: dict[str, object] = {}
@@ -152,6 +186,7 @@ QUERIES = {
     "centroid_drift": (_q_drift, _SQL_DRIFT),
     "knn_classify_vote": (_q_knn_vote, _sql_knn_vote()),
     "label_recall_at_k": (_q_recall_at_k, _sql_recall_at_k()),
+    "label_f1_at_k": (_q_f1_at_k, _sql_f1_at_k()),
     "ml_logreg_predictions": (_q_logreg_train_predict, None),
     "ml_kmeans_clusters": (_q_kmeans_clusters, None),
 }

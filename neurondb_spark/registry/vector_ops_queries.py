@@ -91,7 +91,153 @@ SELECT e.vec_id,
 FROM embeddings e CROSS JOIN q"""
 
 
+def _q_masked_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 masked/affine surface (vector_advanced.c:259-445, 78-171;
+    vector_ops.c:32-154): scale, translate, where, set, filter,
+    percentile/quantile — one probe column each."""
+    from neurondb_spark.functions.vector import (
+        vector_element_sum,
+        vector_filter,
+        vector_percentile,
+        vector_quantile,
+        vector_scale,
+        vector_set,
+        vector_translate,
+        vector_where,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 100)
+    q = qvec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    mask = F.transform(vec("embedding"), lambda x: x > 0)
+    kept = vector_filter("embedding", mask)
+    return emb.select(
+        "vec_id",
+        F.element_at(vector_scale("embedding", qlit), 4).alias("scale_e4"),
+        F.element_at(vector_translate("embedding", qlit), 2).alias("trans_e2"),
+        F.element_at(vector_where("embedding", qlit, 0.5), 7).alias("where_e7"),
+        vector_element_sum(vector_set("embedding", 3, 1.5)).alias("set_sum"),
+        F.size(kept).alias("filter_n"),
+        F.element_at(kept, 1).alias("filter_e1"),
+        vector_percentile("embedding", 0.25).alias("p25"),
+        F.element_at(vector_quantile("embedding", [0.25, 0.75]), 2).alias("p75"),
+    )
+
+
+def _sql_masked_ops() -> str:
+    e = "CAST(e.embedding[{i}] AS DOUBLE)"
+    qv = "CAST(q.qe[{i}] AS DOUBLE)"
+    set_terms = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, " + str(EMB_DIM) + "), "
+        "i -> CASE WHEN i = 3 THEN CAST(1.5 AS DOUBLE) "
+        "ELSE CAST(e.embedding[i] AS DOUBLE) END)), (a, b) -> a + b)"
+    )
+    kept = (
+        "list_filter(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+        "x -> x > 0)"
+    )
+    srt = "list_sort(list_transform(e.embedding, x -> CAST(x AS DOUBLE)))"
+    p25_idx = "CAST(floor(0.25 * " + str(EMB_DIM - 1) + ") AS INTEGER) + 1"
+    p75_idx = "CAST(floor(0.75 * " + str(EMB_DIM - 1) + ") AS INTEGER) + 1"
+    return f"""{QVEC_CTE}
+SELECT e.vec_id,
+  ({e.format(i=4)}) * ({qv.format(i=4)}) AS scale_e4,
+  ({e.format(i=2)}) + ({qv.format(i=2)}) AS trans_e2,
+  (CASE WHEN ({e.format(i=7)}) <> 0.0 THEN ({qv.format(i=7)}) ELSE 0.5 END) AS where_e7,
+  {set_terms} AS set_sum,
+  CAST(len({kept}) AS INTEGER) AS filter_n,
+  ({kept})[1] AS filter_e1,
+  ({srt})[{p25_idx}] AS p25,
+  ({srt})[{p75_idx}] AS p75
+FROM embeddings e CROSS JOIN q WHERE e.vec_id <= 100"""
+
+
+def _q_sparse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparsevec metric surface beyond the dot (vector_types.c:735-800,
+    vector_sparse.c:45-230): l2/cosine/inner-product + norm over
+    sparsified embeddings vs the sparsified query, top-12 by cosine
+    distance. Rows whose sparsification empties (zero norm) are excluded
+    (cosine of a zero sparse vector raises, as in the reference)."""
+    from neurondb_spark.functions.sparse import (
+        sparse_cosine_distance,
+        sparse_inner_product,
+        sparse_l2_distance,
+        sparse_l2_norm,
+        sparse_nnz,
+        sparsify,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    sa = sparsify("embedding", SPARSE_T)
+    sq = sparsify(qlit, SPARSE_T)
+    base = emb.select(
+        "vec_id",
+        sparse_nnz(sa).alias("nnz"),
+        sparse_l2_norm(sa).alias("s_norm"),
+        sparse_inner_product(sa, sq).alias("s_ip"),
+        sparse_l2_distance(sa, sq).alias("s_l2"),
+        F.when(sparse_l2_norm(sa) > 0.0, sparse_cosine_distance(sa, sq))
+        .otherwise(F.lit(None))
+        .alias("s_cos_dist"),
+    )
+    return (
+        base.where(F.col("s_norm") > 0.0)
+        .orderBy(F.col("s_cos_dist").asc(), F.col("vec_id").asc())
+        .limit(12)
+    )
+
+
+def _sql_sparse_metrics() -> str:
+    ak = (
+        f"list_filter(generate_series(1, {EMB_DIM}), "
+        f"k -> abs(CAST(e.embedding[k] AS DOUBLE)) >= {SPARSE_T!r})"
+    )
+    qk = (
+        f"list_filter(generate_series(1, {EMB_DIM}), "
+        f"k -> abs(CAST(q.qe[k] AS DOUBLE)) >= {SPARSE_T!r})"
+    )
+    av = "CASE WHEN abs(CAST(s.embedding[k] AS DOUBLE)) >= " + repr(SPARSE_T) + \
+         " THEN CAST(s.embedding[k] AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    qv = "CASE WHEN abs(CAST(s.qe[k] AS DOUBLE)) >= " + repr(SPARSE_T) + \
+         " THEN CAST(s.qe[k] AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (a, b) -> a + b)"
+    ip = fold.format(
+        terms=f"list_transform(list_sort(list_filter(s.ak, k -> list_contains(s.qk, k))), "
+        f"k -> ({av}) * ({qv}))"
+    )
+    l2 = fold.format(
+        terms=f"list_transform(list_sort(list_distinct(s.ak || s.qk)), "
+        f"k -> (({av}) - ({qv})) * (({av}) - ({qv})))"
+    )
+    norm = fold.format(
+        terms=f"list_transform(s.ak, k -> ({av}) * ({av}))"
+    )
+    qnorm = fold.format(
+        terms=f"list_transform(s.qk, k -> ({qv}) * ({qv}))"
+    )
+    return f"""{QVEC_CTE},
+s AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, q.qe, {ak} AS ak, {qk} AS qk
+  FROM embeddings e CROSS JOIN q),
+m AS (
+  SELECT s.vec_id,
+    CAST(len(s.ak) AS INTEGER) AS nnz,
+    sqrt({norm}) AS s_norm,
+    {ip} AS s_ip,
+    sqrt({l2}) AS s_l2,
+    ({ip}) / (sqrt({norm}) * sqrt({qnorm})) AS cos_sim
+  FROM s)
+SELECT vec_id, nnz, s_norm, s_ip, s_l2, (1.0 - cos_sim) AS s_cos_dist
+FROM m WHERE s_norm > 0.0
+ORDER BY s_cos_dist ASC, vec_id ASC LIMIT 12"""
+
+
 QUERIES = {
     "vector_arith_ops": (_q_vector_arith, _sql_vector_arith()),
     "sparse_vector_dot": (_q_sparse_dot, _sql_sparse_dot()),
+    "vector_masked_ops": (_q_masked_ops, _sql_masked_ops()),
+    "sparse_metrics_knn": (_q_sparse_metrics, _sql_sparse_metrics()),
 }
