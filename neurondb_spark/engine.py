@@ -69,7 +69,7 @@ class NeuronSparkEngine:
         self.catalog.register(
             "indexes", name,
             {"method": method, "vec_col": vec_col, "metric": metric,
-             "dim": dim, "path": path, "rows": idx.meta.get("total_rows") if method == "ivf" else None},
+             "dim": dim, "path": path, "rows": idx.meta.get("total_rows")},
         )
         return idx
 
@@ -96,20 +96,49 @@ class NeuronSparkEngine:
         metric: str = "l2", dim: int | None = None, index: str | None = None,
         tiebreak: list[str] | None = None, **probe_params,
     ) -> DataFrame:
-        """ORDER BY distance LIMIT k with index-aware routing."""
+        """ORDER BY distance LIMIT k with index-aware routing.
+
+        Routing uses the row count recorded in the catalog at build time —
+        no count job per query (the reference likewise costs from stored
+        reltuples stats, hnsw_am.c:735-783).
+
+        Snapshot semantics: an indexed probe searches the data as of
+        ``create_index`` (the partitioned parquet artifact), like a
+        database index that is only as fresh as its last build/rebuild —
+        rows appended to ``df`` afterwards are NOT visible until the index
+        is rebuilt. The exact path always scans ``df`` itself.
+
+        The indexed path requires a concrete query vector (list/tuple/
+        1-D array of numbers); a Column query is only meaningful for the
+        exact path (per-row queries can't use a prebuilt probe).
+        """
         with self.metrics.time("knn"):
-            decision = self._route(index, df.count() if index else None)
+            decision = self._route(index, None)
+            if decision["route"] in ("ivf", "lsh"):
+                from pyspark.sql import Column
+
+                if isinstance(query, (Column, str)):
+                    raise ValueError(
+                        "neurondb: indexed knn needs a literal query vector; "
+                        "per-row Column queries only route to the exact path"
+                    )
+                qvec = [float(x) for x in query]
+                meta = decision["meta"]
+                if meta.get("dim") is not None and len(qvec) != meta["dim"]:
+                    raise ValueError(
+                        f"neurondb: query dim {len(qvec)} != index dim {meta['dim']}"
+                    )
             if decision["route"] == "ivf":
                 from neurondb_spark.index.ivf import IVFIndex
 
                 idx = IVFIndex.load(decision["meta"]["path"])
-                return idx.search(self.spark, list(query), k=k,
+                return idx.search(self.spark, qvec, k=k,
                                   nprobe=probe_params.get("nprobe"), tiebreak=tiebreak)
             if decision["route"] == "lsh":
                 from neurondb_spark.index.lsh import LSHIndex
 
                 idx = LSHIndex.load(decision["meta"]["path"])
-                return idx.search(self.spark, list(query), k=k,
+                return idx.search(self.spark, qvec, k=k,
                                   probe_hamming=probe_params.get("probe_hamming", 1),
                                   tiebreak=tiebreak)
             from neurondb_spark.operators.knn import knn as exact_knn

@@ -67,54 +67,63 @@ def int8_roundtrip_error(a: Column | str) -> Column:
 
 
 def int4_scale(a: Column | str) -> Column:
-    """7 / max|v| — symmetric signed 4-bit range [-7, 7] (reference int4
-    codec, quantization.c:91-1697); max_abs=0 → scale 1.0."""
+    """float32(7 / max|v|) — the reference computes the scale in float4
+    (quantize_vector_int4, quantization.c:1560-1594); max_abs=0 → scale
+    1.0. Returned as the double value of that float32."""
     a = vec(a)
     m = _max_abs(a)
-    return F.when(m == 0.0, F.lit(1.0)).otherwise(7.0 / m)
-
-
-def vector_to_int4(a: Column | str) -> Column:
-    """array<int> in [-7,7], C truncation semantics (mirrors int8)."""
-    a = vec(a)
-    s = int4_scale(a)
-    return F.transform(
-        a,
-        lambda x: F.least(F.greatest(x * s, F.lit(-7.0)), F.lit(7.0)).cast("int"),
+    return F.when(m == 0.0, F.lit(1.0)).otherwise(
+        (7.0 / m).cast("float").cast("double")
     )
 
 
+def _int4_value(x: Column, s: Column) -> Column:
+    """quantize_vector_int4 (quantization.c:1608-1632): scaled = v·scale in
+    float32; clamp to [−8, 7] with asymmetric bounds; otherwise
+    rintf (round-half-to-EVEN) — Spark's bround is exactly HALF_EVEN."""
+    scaled = (x.cast("float") * s.cast("float")).cast("double")
+    return (
+        F.when(scaled > 7.0, F.lit(7))
+        .when(scaled < -8.0, F.lit(-8))
+        .otherwise(F.bround(scaled, 0).cast("int"))
+    )
+
+
+def vector_to_int4(a: Column | str) -> Column:
+    """array<int> in [-8,7] with rintf rounding (quantization.c:1614-1621)."""
+    a = vec(a)
+    s = int4_scale(a)
+    return F.transform(a, lambda x: _int4_value(x, s))
+
+
 def int4_pack(q: Column | str) -> Column:
-    """Pack int4 values two-per-byte (lo nibble = even index, hi nibble =
-    odd index; two's-complement nibbles) — the storage layout the reference
-    uses for int4 vectors. Returns array<int> of bytes."""
+    """Pack int4 values two-per-byte in the reference's storage layout
+    (quantization.c:1623-1637): OFFSET-8 nibbles (uvalue = value + 8, so
+    −8..−1 → 0..7 and 0..7 → 8..15); lo nibble = even index, hi nibble =
+    odd index. Returns array<int> of bytes."""
     q = F.col(q) if isinstance(q, str) else q
     nbytes = ((F.size(q) + 1) / 2).cast("int")
     idx = F.sequence(F.lit(0), nbytes - 1)
     return F.transform(
         idx,
         lambda i: F.shiftleft(
-            F.coalesce(F.element_at(q, i * 2 + 2), F.lit(0)).bitwiseAND(F.lit(15)), 4
-        ).bitwiseOR(
-            F.coalesce(F.element_at(q, i * 2 + 1), F.lit(0)).bitwiseAND(F.lit(15))
-        ),
+            # a missing odd element packs as nibble 0 (reference zeroes the
+            # byte buffer before OR-ing nibbles in)
+            F.coalesce(F.element_at(q, i * 2 + 2) + 8, F.lit(0)), 4
+        ).bitwiseOR(F.coalesce(F.element_at(q, i * 2 + 1) + 8, F.lit(0))),
     )
 
 
 def int4_unpack(p: Column | str, n: Column | None = None) -> Column:
-    """Inverse of int4_pack (sign-extends each nibble). ``n`` trims a
-    padded trailing nibble when the original length was odd."""
+    """Inverse of int4_pack: value = nibble − 8 (quantization.c:1290-1300).
+    ``n`` trims a padded trailing nibble when the original length was odd."""
     p = F.col(p) if isinstance(p, str) else p
-
-    def _ext(nib):
-        return F.when(nib > 7, nib - 16).otherwise(nib)
-
     flat = F.flatten(
         F.transform(
             p,
             lambda b: F.array(
-                _ext(b.bitwiseAND(F.lit(15))),
-                _ext(F.shiftright(b, 4).bitwiseAND(F.lit(15))),
+                b.bitwiseAND(F.lit(15)) - 8,
+                F.shiftright(b, 4).bitwiseAND(F.lit(15)) - 8,
             ),
         )
     )
@@ -122,54 +131,64 @@ def int4_unpack(p: Column | str, n: Column | None = None) -> Column:
 
 
 def int4_roundtrip_error(a: Column | str) -> Column:
-    """Mean |v − dequant(quant(v))| for the int4 codec (mirrors
-    int8_roundtrip_error)."""
+    """Mean |v − dequant(quant(v))| for the int4 codec: dequant is
+    float32(value / scale), error accumulated in double
+    (quantize_analyze_int4, quantization.c:1290-1320). Spark's Divide
+    always runs in double, so the float32 quotient is reproduced by
+    double-divide → round-to-float32 — identical to the reference's
+    single-rounded float division except at quotient ulp boundaries
+    (none occur on the test data; worst case one fp32 ulp)."""
     a = vec(a)
     s = int4_scale(a)
     deq = F.transform(
         a,
-        lambda x: F.least(F.greatest(x * s, F.lit(-7.0)), F.lit(7.0))
-        .cast("int")
-        .cast("double")
-        / s,
+        lambda x: (_int4_value(x, s).cast("double") / s)
+        .cast("float")
+        .cast("double"),
     )
     abs_err = F.zip_with(a, deq, lambda x, y: F.abs(x - y))
     return F.aggregate(abs_err, F.lit(0.0), lambda acc, x: acc + x) / F.size(a)
 
 
-# OCP 8-bit float formats: name -> (max_exp, min_normal_exp, mantissa_bits,
-# max_finite). e4m3: bias 7, max 1.75·2^8 = 448; e5m2: bias 15,
-# max 1.75·2^15 = 57344. (reference ml_quantization_fp8.c)
+# Reference 8-bit float formats (ml_quantization_fp8.c:63-195):
+# name -> (max_exp, min_normal_exp, mantissa_bits, overflow_decode).
+# The reference TRUNCATES the top mantissa bits (round-toward-zero),
+# saturates overflow (fp32 exponent > max_exp) to byte 0x7F — which
+# DECODES as exp=max_exp+1 with a full mantissa: 2^8·1.875 = 480 for
+# e4m3, 2^16·1.75 = 114688 for e5m2 — and flushes |x| < 2^min_exp to
+# +0.0 (encode drops the sign; decode maps exp-field 0 to 0.0, no
+# subnormals).
 FP8_FORMATS = {
-    "e4m3": (8, -6, 3, 448.0),
-    "e5m2": (15, -14, 2, 57344.0),
+    "e4m3": (7, -6, 3, 480.0),
+    "e5m2": (15, -14, 2, 114688.0),
 }
 
 
 def fp8_round(x: Column, fmt: str = "e4m3") -> Column:
-    """Round a double onto the fp8 grid of ``fmt``, saturating at the max
-    finite value (training-style saturation, no inf/nan production).
+    """Encode→decode round-trip of the reference fp8 codec
+    (float_to_fp8_e4m3/e5m2 + fp8_*_to_float, ml_quantization_fp8.c:63-195)
+    as one expression.
 
-    Cross-engine-exact by construction: the exponent is found by a
+    Cross-engine-exact by construction: the fp32 exponent is found by a
     comparison ladder against exact power-of-two literals (no log), the
-    quantization step is a power of two (division exact), and rounding is
-    floor(|x|/step + 0.5) — half away from zero, matching the reference's
-    (int)(x/step + 0.5f) on magnitudes. Subnormals use the fixed step
-    2^(min_exp − mantissa_bits)."""
+    step is a power of two, and the mantissa truncation is
+    floor(|x|/step)·step — round-toward-zero exactly like the reference's
+    top-bits extraction. Overflow → ±overflow_decode; underflow and zero
+    → +0.0 (sign dropped, as the reference's byte-0 path does)."""
     if fmt not in FP8_FORMATS:
         raise ValueError(f"neurondb: unknown fp8 format {fmt!r}")
-    max_exp, min_exp, man, max_val = FP8_FORMATS[fmt]
+    max_exp, min_exp, man, omax = FP8_FORMATS[fmt]
     xa = F.abs(x)
-    w = None
-    for k in range(max_exp, min_exp - 1, -1):
-        c = xa >= F.lit(2.0 ** k)
-        s = F.lit(2.0 ** (k - man))
-        w = F.when(c, s) if w is None else w.when(c, s)
-    step = w.otherwise(F.lit(2.0 ** (min_exp - man)))
-    q = F.floor(xa / step + F.lit(0.5)).cast("double") * step
-    q = F.least(q, F.lit(max_val))
+    w = F.when(xa >= F.lit(2.0 ** (max_exp + 1)), F.lit(float(omax)))
+    for e in range(max_exp, min_exp - 1, -1):
+        step = 2.0 ** (e - man)
+        w = w.when(
+            xa >= F.lit(2.0 ** e),
+            F.floor(xa / F.lit(step)).cast("double") * F.lit(step),
+        )
+    q = w.otherwise(F.lit(0.0))  # zero + flush-to-zero underflow
     sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-    return sign * q
+    return F.when(q == 0.0, F.lit(0.0)).otherwise(sign * q)
 
 
 def vector_to_fp8(a: Column | str, fmt: str = "e4m3") -> Column:

@@ -91,6 +91,11 @@ class LSHIndex:
         df.withColumn("bucket", sig).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(os.path.join(path, "data"))
+        # row count recorded at build time (one metadata-only scan of the
+        # just-written parquet) so query-time routing never runs a count job
+        total_rows = (
+            df.sparkSession.read.parquet(os.path.join(path, "data")).count()
+        )
         meta = {
             "version": 1,
             "method": "lsh",
@@ -100,6 +105,7 @@ class LSHIndex:
             "nbits": nbits,
             "seed": seed,
             "planes": planes,
+            "total_rows": total_rows,
             "built_at": time.time(),
         }
         with open(os.path.join(path, "meta.json"), "w") as f:

@@ -117,6 +117,49 @@ def centroid_drift(
     )
 
 
+def distribution_divergence(
+    df_baseline: DataFrame, df_current: DataFrame, vec_col: str
+) -> DataFrame:
+    """compute_distribution_divergence (ml_drift_detection.c:279-460):
+    per-dimension Gaussian KL approximation between two embedding cohorts —
+    KL(P‖Q) ≈ Σ_d 0.5·[log(σq²/σp²) + σp²/σq² + (μp−μq)²/σq² − 1], with
+    dimensions whose variance < 1e-10 skipped (the reference's guard).
+    Population variance (÷n), like the reference.
+
+    Exactness: means via decimal sums, scatter and the final over-dims sum
+    via bsum (binary fixed-point) — order-independent, so a SQL oracle
+    matches bit-for-bit. Two aggregation passes per cohort (mean, then
+    centered variance), shuffling only on the 64-row pos key."""
+    def stats(df: DataFrame, mtag: str, vtag: str) -> DataFrame:
+        ex = df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+        )
+        m = ex.groupBy("pos").agg(
+            (dsum(F.col("v"), scale=9) / F.count(F.lit(1))).alias(mtag),
+            F.count(F.lit(1)).cast("double").alias("_n"),
+        )
+        j = ex.join(F.broadcast(m), "pos")
+        return j.groupBy("pos").agg(
+            F.first(mtag).alias(mtag),
+            (
+                bsum((F.col("v") - F.col(mtag)) * (F.col("v") - F.col(mtag)))
+                / F.first("_n")
+            ).alias(vtag),
+        )
+
+    b = stats(df_baseline, "mb", "vb")
+    c = stats(df_current, "mc", "vc")
+    j = b.join(c, "pos")
+    var_ratio = F.col("vc") / F.col("vb")
+    md = F.col("mb") - F.col("mc")
+    term = F.when(
+        (F.col("vb") < 1e-10) | (F.col("vc") < 1e-10), F.lit(0.0)
+    ).otherwise(
+        0.5 * (F.log(var_ratio) + 1.0 / var_ratio + md * md / F.col("vc") - 1.0)
+    )
+    return j.agg(bsum(term).alias("kl_divergence"))
+
+
 def knn_classify_vote(
     df: DataFrame, vec_col: str, label_col: str, query, k: int,
     dim: int | None = None, id_col: str = "vec_id",

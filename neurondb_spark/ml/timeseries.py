@@ -190,7 +190,16 @@ def arima2_fit(
 ) -> DataFrame:
     """Closed-form distributed ARIMA(2,d,0) fit + h-step forecast per
     series (see module comment). Returns one row per series with c0/a1/a2
-    and forecast_1..forecast_h columns."""
+    and forecast_1..forecast_h columns.
+
+    Last-observation selection: ``F.max`` over a struct ordered by
+    (ts, *order_extra, …). When timestamps can collide within a series,
+    PASS ``order_extra`` (e.g. an event id) — without it the tie breaks on
+    the z/x payload values themselves, which is value-dependent and
+    engine-divergent. The registry oracle encodes this order as
+    epoch_us(ts)·10^8 + event_id, which agrees with the lexicographic
+    (ts, event_id) struct order only while event_id < 10^8 (asserted
+    there; same assumption as the pre-existing AR(1) oracle)."""
     if d not in (0, 1):
         raise ValueError("neurondb: arima2_fit supports d in {0, 1}; "
                          "use arima_fit for general (p,d,q)")

@@ -242,7 +242,8 @@ def simhash(text, bits: int = 16) -> Column:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 2, bits: int = 16
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 2, bits: int = 16,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming with FULL
     recall: the signature is split into ``max_hamming + 1`` disjoint bit
@@ -254,7 +255,11 @@ def simhash_neardup_pairs(
 
     Scale: shuffle keys are (segment index, segment value) — candidates are
     bounded per segment bucket, never all-pairs; the exact Hamming filter
-    then removes band-collision false positives."""
+    then removes band-collision false positives.
+
+    ``eager`` materializes the signature+segment frame via localCheckpoint
+    before the self-join — without it the expensive simhash token fold is
+    recomputed on BOTH join sides and again for the final distinct."""
     nseg = max_hamming + 1
     if bits < nseg:
         raise ValueError("neurondb: simhash bits must be >= max_hamming + 1")
@@ -273,6 +278,8 @@ def simhash_neardup_pairs(
         id_col, "_sh",
         F.col("_b.seg").alias("_seg"), F.col("_b.sval").alias("_sval"),
     )
+    if eager:
+        ex = ex.localCheckpoint(eager=True)
     a, b = ex.alias("a"), ex.alias("b")
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).cast("int")
     return (

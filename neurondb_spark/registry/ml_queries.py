@@ -69,6 +69,41 @@ SELECT sqrt({O.bsum('(ca - cb) * (ca - cb)')}) AS centroid_drift
 FROM c"""
 
 
+def _q_distribution_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neurondb_spark.ml.stats import distribution_divergence
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    return distribution_divergence(a, b, "embedding")
+
+
+_SQL_DIVERGENCE = f"""WITH ex AS (
+  SELECT vec_id % 2 AS half, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+m AS (
+  SELECT half, pos,
+    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mean,
+    CAST(COUNT(*) AS DOUBLE) AS n
+  FROM ex GROUP BY half, pos),
+vr AS (
+  SELECT ex.half, ex.pos, MAX(m.mean) AS mean,
+    {O.bsum('(CAST(ex.v AS DOUBLE) - m.mean) * (CAST(ex.v AS DOUBLE) - m.mean)')} / MAX(m.n) AS var
+  FROM ex JOIN m ON ex.half = m.half AND ex.pos = m.pos
+  GROUP BY ex.half, ex.pos),
+d AS (
+  SELECT b.pos, b.mean AS mb, b.var AS vb, c.mean AS mc, c.var AS vc
+  FROM (SELECT * FROM vr WHERE half = 0) b
+  JOIN (SELECT * FROM vr WHERE half = 1) c ON b.pos = c.pos),
+terms AS (
+  SELECT CASE WHEN vb < 1e-10 OR vc < 1e-10 THEN 0.0
+         ELSE 0.5 * (ln(vc / vb) + 1.0 / (vc / vb)
+                     + (mb - mc) * (mb - mc) / vc - 1.0) END AS term
+  FROM d)
+SELECT {O.bsum('term')} AS kl_divergence FROM terms"""
+
+
 def _q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = qvec(spark, sf_dir)
@@ -184,6 +219,7 @@ QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
     "zscore_outliers": (_q_zscore, _SQL_ZSCORE),
     "centroid_drift": (_q_drift, _SQL_DRIFT),
+    "distribution_divergence": (_q_distribution_divergence, _SQL_DIVERGENCE),
     "knn_classify_vote": (_q_knn_vote, _sql_knn_vote()),
     "label_recall_at_k": (_q_recall_at_k, _sql_recall_at_k()),
     "label_f1_at_k": (_q_f1_at_k, _sql_f1_at_k()),

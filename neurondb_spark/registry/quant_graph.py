@@ -57,17 +57,23 @@ def _q_int4_fp8_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_fp8_err_expr(fmt: str) -> str:
-    """Mean |v − fp8(v)| as a DuckDB list lambda — same power-of-two
-    comparison ladder / floor(+0.5) rounding as fp8_round()."""
-    max_exp, min_exp, man, max_val = FP8_FORMATS[fmt]
+    """Mean |v − fp8(v)| as a DuckDB list lambda — same truncate-mantissa
+    ladder as fp8_round(): floor(|x|/2^(e−man))·2^(e−man) per fp32
+    exponent e, 0x7F-decode saturation on overflow, flush-to-+0 under
+    2^min_exp (ml_quantization_fp8.c:63-195)."""
+    max_exp, min_exp, man, omax = FP8_FORMATS[fmt]
     xa = "abs(CAST(v AS DOUBLE))"
-    whens = " ".join(
-        f"WHEN {xa} >= {O.dlit(2.0 ** k)} THEN {O.dlit(2.0 ** (k - man))}"
-        for k in range(max_exp, min_exp - 1, -1)
+    whens = [f"WHEN {xa} >= {O.dlit(2.0 ** (max_exp + 1))} THEN {O.dlit(omax)}"]
+    for e in range(max_exp, min_exp - 1, -1):
+        step = O.dlit(2.0 ** (e - man))
+        whens.append(
+            f"WHEN {xa} >= {O.dlit(2.0 ** e)} THEN floor({xa} / {step}) * {step}"
+        )
+    q = f"(CASE {' '.join(whens)} ELSE 0.0 END)"
+    signed = (
+        f"(CASE WHEN {q} = 0.0 THEN 0.0 "
+        f"ELSE (CASE WHEN CAST(v AS DOUBLE) < 0 THEN -1.0 ELSE 1.0 END) * {q} END)"
     )
-    ladder = f"(CASE {whens} ELSE {O.dlit(2.0 ** (min_exp - man))} END)"
-    q = f"least(floor({xa} / {ladder} + 0.5) * {ladder}, {O.dlit(max_val)})"
-    signed = f"((CASE WHEN CAST(v AS DOUBLE) < 0 THEN -1.0 ELSE 1.0 END) * {q})"
     err = f"abs(CAST(v AS DOUBLE) - {signed})"
     return (
         f"(list_aggregate(list_transform(embedding, v -> {err}), 'sum')"
@@ -76,15 +82,34 @@ def _sql_fp8_err_expr(fmt: str) -> str:
 
 
 def _sql_int4_fp8_analysis() -> str:
+    """int4 oracle mirroring quantize_vector_int4/quantize_analyze_int4
+    (quantization.c:1560-1640, 1290-1320): float32 scale and products
+    (REAL arithmetic), clamp to [−8, 7], rintf = round-half-to-even
+    (emulated: floor(x+0.5), minus one when exactly .5 above an odd
+    integer), dequant in float32."""
     absmax = ", ".join(f"abs({O.elem('embedding', i)})" for i in range(1, EMB_DIM + 1))
-    scale = f"(CASE WHEN greatest({absmax}) = 0.0 THEN 1.0 ELSE 7.0 / greatest({absmax}) END)"
+    scale = (
+        f"(CASE WHEN greatest({absmax}) = 0.0 THEN CAST(1.0 AS REAL) "
+        f"ELSE CAST(7.0 / greatest({absmax}) AS REAL) END)"
+    )
     errs = []
     for i in range(1, EMB_DIM + 1):
         e = O.elem("embedding", i)
-        q = f"CAST(trunc(least(greatest(({e}) * s, -7.0), 7.0)) AS INTEGER)"
-        errs.append(f"abs(({e}) - (CAST({q} AS DOUBLE) / s))")
+        scaled = f"CAST(embedding[{i}] * s AS DOUBLE)"
+        r = f"floor(({scaled}) + 0.5)"
+        rint = (
+            f"(CASE WHEN ({r}) - ({scaled}) = 0.5 "
+            f"AND CAST({r} AS BIGINT) % 2 <> 0 THEN ({r}) - 1.0 ELSE {r} END)"
+        )
+        q = (
+            f"(CASE WHEN ({scaled}) > 7.0 THEN 7 "
+            f"WHEN ({scaled}) < -8.0 THEN -8 "
+            f"ELSE CAST({rint} AS INTEGER) END)"
+        )
+        deq = f"CAST(CAST(CAST({q} AS DOUBLE) / CAST(s AS DOUBLE) AS REAL) AS DOUBLE)"
+        errs.append(f"abs(({e}) - ({deq}))")
     return f"""WITH sc AS (SELECT vec_id, embedding, {scale} AS s FROM embeddings)
-SELECT vec_id, s AS int4_scale,
+SELECT vec_id, CAST(s AS DOUBLE) AS int4_scale,
        ({' + '.join(errs)}) / {float(EMB_DIM)!r} AS int4_err,
        {_sql_fp8_err_expr('e4m3')} AS fp8_e4m3_err,
        {_sql_fp8_err_expr('e5m2')} AS fp8_e5m2_err

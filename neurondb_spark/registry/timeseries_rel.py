@@ -88,6 +88,17 @@ FROM s"""
 
 def _q_arima(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
+    # The oracle's order key epoch_us(ts)·10^8 + event_id equals the
+    # lexicographic (ts, event_id) struct order only while event_id < 10^8
+    # — assert it instead of silently diverging on bigger ids (shared
+    # assumption with the AR(1) oracle's max_by key).
+    ev = ev.withColumn(
+        "event_id",
+        F.when(
+            F.col("event_id") >= 100_000_000,
+            F.raise_error("neurondb: arima oracle assumes event_id < 1e8"),
+        ).otherwise(F.col("event_id")),
+    )
     return arima2_fit(ev, "ts", "value", ["event_type"], d=1, horizon=3,
                       order_extra=["event_id"])
 

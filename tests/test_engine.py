@@ -47,3 +47,39 @@ def test_engine_workflow(spark):
     assert eng.health()["status"] == "ok"
     assert "knn_calls" in eng.metrics.prometheus()
     assert eng.version()
+
+
+def test_engine_knn_indexed_path_runs_no_count_job(spark):
+    """Routing must use the catalog's build-time row count — a count job
+    per query is a driver bottleneck at scale (round-2 ADVICE)."""
+    import pytest
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.registry.common import qvec
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="engine_cat2_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = qvec(spark, SF_DIR, 3)
+    eng.create_index("emb_lsh", emb, "embedding", method="lsh", dim=64, nbits=6)
+    # build-time row count was cataloged (for both index kinds)
+    assert eng.catalog.get("indexes", "emb_lsh")["rows"] == emb.count()
+
+    emb.count = lambda: (_ for _ in ()).throw(  # pragma: no cover
+        AssertionError("engine.knn must not run a count job on df")
+    )
+    # small table -> honest rule still routes exact, using cataloged rows
+    assert eng.explain_route("emb_lsh")["route"] == "exact"
+    out = eng.knn(emb, "embedding", q, k=3, dim=64, index="emb_lsh",
+                  tiebreak=["vec_id"])
+    assert out.count() >= 1
+
+    # Column queries must be rejected on the indexed path, not silently
+    # searched with a stale interpretation
+    eng.catalog.register(
+        "indexes", "emb_lsh",
+        {**eng.catalog.get("indexes", "emb_lsh"), "rows": 10_000_000},
+    )
+    with pytest.raises(ValueError, match="literal query vector"):
+        eng.knn(emb, "embedding", F.col("embedding"), k=3, index="emb_lsh")
+    with pytest.raises(ValueError, match="query dim"):
+        eng.knn(emb, "embedding", [0.0, 1.0], k=3, index="emb_lsh")
