@@ -12,7 +12,21 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+def _check_name(s: str, what: str) -> str:
+    """Object names become filesystem path components — restrict to
+    [A-Za-z0-9_.-]+ and forbid dot-runs so '../x' or '/etc/x' can't
+    escape the catalog directory (PG quotes identifiers; a file catalog
+    must validate)."""
+    if not _NAME_RE.match(s) or s in (".", "..") or s.startswith(".."):
+        raise ValueError(f"neurondb: invalid catalog {what} {s!r} "
+                         "(allowed: letters, digits, '_', '.', '-')")
+    return s
 
 
 class Catalog:
@@ -21,7 +35,10 @@ class Catalog:
         os.makedirs(base_dir, exist_ok=True)
 
     def _path(self, kind: str, name: str) -> str:
-        return os.path.join(self.base_dir, kind, f"{name}.json")
+        return os.path.join(
+            self.base_dir, _check_name(kind, "kind"),
+            f"{_check_name(name, 'name')}.json",
+        )
 
     def register(self, kind: str, name: str, meta: dict) -> dict:
         meta = dict(meta, name=name, kind=kind, registered_at=time.time())
@@ -57,6 +74,8 @@ class Catalog:
         return False
 
     def artifact_dir(self, kind: str, name: str) -> str:
-        d = os.path.join(self.base_dir, kind, name)
+        d = os.path.join(
+            self.base_dir, _check_name(kind, "kind"), _check_name(name, "name")
+        )
         os.makedirs(d, exist_ok=True)
         return d

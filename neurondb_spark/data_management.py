@@ -23,19 +23,51 @@ from pyspark.sql import functions as F
 from neurondb_spark.functions.quantization import int8_scale, vector_to_int8
 
 
+def _swap_in(spark: SparkSession, path: str, tmp: str) -> str:
+    """Replace ``path`` with the fully-written ``tmp`` directory, keeping a
+    ``.old`` backup until the new data is verified readable.
+
+    Crash contract (local-FS rename swap — on object storage use a table
+    format with atomic commit instead): after a crash, at most one of
+    {path, path.old} is missing; recover() restores path from the backup.
+    The backup is only deleted AFTER a successful schema read of the
+    swapped-in data, so a bad write can never destroy the original."""
+    import shutil
+
+    spark.read.parquet(tmp).schema  # tmp must be complete + readable
+    bak = path.rstrip("/") + ".old"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)  # stale backup from an interrupted earlier swap
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    try:
+        spark.read.parquet(path).schema
+    except Exception:
+        # swapped-in data unreadable: roll back to the original
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(bak, path)
+        raise
+    shutil.rmtree(bak)
+    return path
+
+
+def recover(path: str) -> bool:
+    """Restore ``path`` from its ``.old`` backup after a crash mid-swap.
+    Returns True if a recovery happened."""
+    bak = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.isdir(bak):
+        os.rename(bak, path)
+        return True
+    return False
+
+
 def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> str:
-    """Small-file compaction: read → coalesce → rewrite atomically-ish
-    (write to .tmp, swap)."""
+    """Small-file compaction: read → coalesce → rewrite, then verified
+    backup-keeping swap (see _swap_in)."""
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact_tmp"
     df.coalesce(target_partitions).write.mode("overwrite").parquet(tmp)
-    bak = path.rstrip("/") + ".old"
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    import shutil
-
-    shutil.rmtree(bak)
-    return path
+    return _swap_in(spark, path, tmp)
 
 
 def tier_cold(
@@ -71,14 +103,9 @@ def time_travel(spark: SparkSession, base_dir: str, version: int) -> DataFrame:
 
 
 def rebalance(spark: SparkSession, path: str, partition_col: str, n: int) -> str:
-    """rebalance_index analog: rewrite with n partitions per key range."""
+    """rebalance_index analog: rewrite with n partitions per key range,
+    then verified backup-keeping swap (see _swap_in)."""
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".rebalance_tmp"
     df.repartition(n, partition_col).write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    bak = path.rstrip("/") + ".old"
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
-    return path
+    return _swap_in(spark, path, tmp)

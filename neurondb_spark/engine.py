@@ -16,6 +16,8 @@ row-count rule replacing the reference's string-matching heuristic
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,8 +29,18 @@ EXACT_SCAN_THRESHOLD = 100_000  # below this, exact scan beats any index
 
 
 class NeuronSparkEngine:
-    def __init__(self, spark: SparkSession | None = None, catalog_dir: str = "/tmp/neurondb_catalog"):
+    def __init__(self, spark: SparkSession | None = None, catalog_dir: str | None = None):
         self.spark = spark or get_spark()
+        if catalog_dir is None:
+            # per-user default: a world-shared /tmp path invites symlink /
+            # cross-user clobbering; production deployments pass a shared-
+            # storage path explicitly
+            import getpass
+            import tempfile
+
+            catalog_dir = os.path.join(
+                tempfile.gettempdir(), f"neurondb_catalog_{getpass.getuser()}"
+            )
         self.catalog = Catalog(catalog_dir)
         self.metrics = Metrics()
 

@@ -1,0 +1,204 @@
+"""Outlier models beyond z-score (SURVEY §2.8 outliers row).
+
+Reference: detect_anomalies_isolation_forest / detect_anomalies_lof
+(NeuronDB/src/ml/ml_anomaly_detection.c:60-365; SQL surface
+sql/26_ml_new_algorithms.sql:15-41). The reference builds every tree on
+ALL rows in backend memory — its single-node shortcut. Here each tree is
+built on a deterministic subsample (the iForest paper's own ψ=256
+recommendation), which is also what makes the operator 100 TB-safe: the
+driver only ever holds n_trees × sample_size rows; scoring streams
+through executors with the (tiny) forest broadcast.
+
+Same scoring math as the reference: path length ends at a leaf with the
+average_path_length(size) correction, score = 2^(−avg_path/c(ψ)), and the
+anomaly cutoff is sorted_scores[int((1−contamination)·n)]
+(ml_anomaly_detection.c:156-182, 324-352).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _avg_path_length(n: int) -> float:
+    """c(n) (ml_anomaly_detection.c:171-179)."""
+    if n <= 1:
+        return 0.0
+    if n == 2:
+        return 1.0
+    return 2.0 * (math.log(n - 1) + 0.5772156649) - 2.0 * ((n - 1) / n)
+
+
+def _build_tree(rows, dim, rng, max_depth):
+    """Flat isolation tree: list of nodes
+    (split_dim, split_value, left, right, leaf_size); leaf ⇔ split_dim<0.
+    Same recursion as build_isolation_tree (ml_anomaly_detection.c:70-148):
+    uniform random dim, uniform split in [min, max], constant dim → leaf."""
+    nodes = []
+
+    def rec(idx_rows, depth):
+        me = len(nodes)
+        if len(idx_rows) <= 1 or depth >= max_depth:
+            nodes.append((-1, 0.0, -1, -1, len(idx_rows)))
+            return me
+        d = rng.randrange(dim)
+        vals = [r[d] for r in idx_rows]
+        lo, hi = min(vals), max(vals)
+        if hi - lo < 1e-10:
+            nodes.append((-1, 0.0, -1, -1, len(idx_rows)))
+            return me
+        split = lo + rng.random() * (hi - lo)
+        nodes.append(None)  # placeholder; children appended after
+        left = rec([r for r in idx_rows if r[d] < split], depth + 1)
+        right = rec([r for r in idx_rows if r[d] >= split], depth + 1)
+        nodes[me] = (d, split, left, right, len(idx_rows))
+        return me
+
+    rec(rows, 0)
+    return nodes
+
+
+def lof(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 20,
+    threshold: float = 1.5,
+    dim: int | None = None,
+    r_blocks: int = 8,
+) -> DataFrame:
+    """Local Outlier Factor (detect_anomalies_lof,
+    ml_anomaly_detection.c:401-660): k_dist = distance to the k-th
+    neighbor, reach(p,o) = max(d(p,o), k_dist(o)), lrd = k/Σreach,
+    LOF(p) = Σ_o lrd(o) / (k·lrd(p)); anomaly ⇔ LOF > threshold.
+
+    Distributed shape: neighbor IDS come from the cogrouped block-GEMM
+    kNN join (no cross join); the distances that enter the sums are then
+    RECOMPUTED on just the n·k selected pairs with the elementwise fold
+    kernel, so every double matches a SQL oracle bit-for-bit (GEMM
+    distances differ in the last ulp — fine for ranking with real
+    neighbor gaps, not for hashed sums). Σs go through bsum.
+    """
+    from neurondb_spark.functions.aggregates import bsum
+    from neurondb_spark.functions.distance import l2_distance
+    from neurondb_spark.operators.joins import knn_join_gemm
+
+    base = df.select(id_col, vec_col)
+    right = base.select(
+        F.col(id_col).alias("_nbr"), F.col(vec_col).alias("_nvec")
+    )
+    nn = (
+        knn_join_gemm(base, right, vec_col, "_nvec", id_col, "_nbr",
+                      k=k + 1, r_blocks=r_blocks)
+        .where(F.col(id_col) != F.col("_nbr"))
+        .select(id_col, "_nbr")
+    )
+    d = l2_distance(vec_col, "_nvec", dim=dim, checked=False)
+    edges = (
+        nn.join(base, id_col)
+        .join(right, "_nbr")
+        .select(id_col, "_nbr", d.alias("d"))
+        .localCheckpoint()  # feeds three aggregations below
+    )
+    kdist = edges.groupBy(id_col).agg(F.max("d").alias("_kd"))
+    reach = edges.join(
+        kdist.select(F.col(id_col).alias("_nbr"), "_kd"), "_nbr"
+    ).select(id_col, "_nbr", F.greatest(F.col("d"), F.col("_kd")).alias("_reach"))
+    lrd = reach.groupBy(id_col).agg(
+        (F.lit(float(k)) / bsum(F.col("_reach"))).alias("_lrd")
+    )
+    nbr_lrd = edges.join(
+        lrd.select(F.col(id_col).alias("_nbr"), F.col("_lrd").alias("_lrd_o")),
+        "_nbr",
+    ).groupBy(id_col).agg(bsum(F.col("_lrd_o")).alias("_slrd"))
+    out = nbr_lrd.join(lrd, id_col).select(
+        id_col,
+        F.when(
+            F.col("_lrd") > 0.0,
+            F.col("_slrd") / (F.lit(float(k)) * F.col("_lrd")),
+        ).otherwise(F.lit(0.0)).alias("lof_score"),
+    )
+    return out.withColumn("is_anomaly", F.col("lof_score") > F.lit(float(threshold)))
+
+
+def isolation_forest(
+    df: DataFrame,
+    vec_col: str,
+    n_trees: int = 100,
+    sample_size: int = 256,
+    contamination: float = 0.1,
+    seed: int = 42,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Isolation-forest scores + anomaly flags for every row.
+
+    Returns ``keep_cols + [anomaly_score, is_anomaly]``. Deterministic for
+    a fixed seed (sampling, tree builds, and the exact sorted-rank cutoff
+    are all seeded/exact).
+    """
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != vec_col
+    ]
+    sample = [
+        [float(x) for x in r[0]]
+        for r in df.select(vec_col).limit(n_trees * sample_size * 4).collect()
+    ]
+    if len(sample) < 2:
+        raise ValueError("neurondb: isolation_forest needs >= 2 vectors")
+    dim = len(sample[0])
+    rng = random.Random(seed)
+    trees = []
+    psi = min(sample_size, len(sample))
+    max_depth = math.ceil(math.log2(psi)) if psi > 1 else 1
+    for _ in range(n_trees):
+        rows = rng.sample(sample, psi)
+        trees.append(_build_tree(rows, dim, rng, max_depth))
+    c_psi = _avg_path_length(psi)
+    bc = df.sparkSession.sparkContext.broadcast((trees, c_psi))
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    ) + ", anomaly_score double"
+
+    def _score(batches):
+        import pandas as pd  # noqa: F401
+
+        trees_, c = bc.value
+
+        def path(tree, v):
+            i, depth = 0, 0
+            while True:
+                d, split, left, right, size = tree[i]
+                if d < 0:
+                    return depth + _avg_path_length(size)
+                i = left if v[d] < split else right
+                depth += 1
+
+        for pdf in batches:
+            scores = []
+            for v in pdf[vec_col]:
+                avg = sum(path(t, v) for t in trees_) / len(trees_)
+                scores.append(2.0 ** (-avg / c) if c > 0 else 0.0)
+            yield pdf[[c_ for c_ in pdf.columns if c_ != vec_col]].assign(
+                anomaly_score=scores
+            )
+
+    scored = df.select(*keep, vec_col).mapInPandas(_score, out_schema)
+    scored = scored.localCheckpoint()  # score once; cutoff + flag reuse it
+    n = scored.count()
+    # reference cutoff: sorted_scores[int((1 - contamination) * n)]
+    idx = min(int((1.0 - contamination) * n), n - 1)
+    thr = (
+        scored.select("anomaly_score")
+        .orderBy("anomaly_score")
+        .limit(idx + 1)
+        .orderBy(F.col("anomaly_score").desc())
+        .limit(1)
+        .head()[0]
+    )
+    return scored.withColumn("is_anomaly", F.col("anomaly_score") > F.lit(thr))

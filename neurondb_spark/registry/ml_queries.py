@@ -197,6 +197,67 @@ def _q_logreg_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOF outliers (detect_anomalies_lof, ml_anomaly_detection.c:401-660)
+    over embeddings, k=10 — fully deterministic, hash-checked end to end
+    (neighbor selection by GEMM ranking, summed distances recomputed with
+    the fold kernel; see ml/outliers.py)."""
+    from neurondb_spark.ml.outliers import lof
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = lof(emb, "embedding", "vec_id", k=10, threshold=1.05, dim=COMPILE_DIM)
+    return (
+        out.orderBy(F.col("lof_score").desc(), F.col("vec_id").asc())
+        .limit(15)
+        .select("vec_id", "lof_score", "is_anomaly")
+    )
+
+
+def _sql_lof() -> str:
+    d = O.sql_l2("a.embedding", "b.embedding", EMB_DIM)
+    return f"""WITH pd AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS nbr, {d} AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+nn AS MATERIALIZED (
+  SELECT src, nbr, d FROM (
+    SELECT src, nbr, d,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY d ASC, nbr ASC) AS rn
+    FROM pd) t WHERE rn <= 10),
+kd AS (SELECT src, MAX(d) AS kd FROM nn GROUP BY src),
+reach AS (
+  SELECT nn.src, nn.nbr, greatest(nn.d, kd.kd) AS r
+  FROM nn JOIN kd ON nn.nbr = kd.src),
+lrd AS (SELECT src, 10.0 / {O.bsum('r')} AS lrd FROM reach GROUP BY src),
+slrd AS (
+  SELECT nn.src, {O.bsum('lrd.lrd')} AS s
+  FROM nn JOIN lrd ON nn.nbr = lrd.src GROUP BY nn.src)
+SELECT s.src AS vec_id,
+       (CASE WHEN l.lrd > 0.0 THEN s.s / (10.0 * l.lrd) ELSE 0.0 END) AS lof_score,
+       ((CASE WHEN l.lrd > 0.0 THEN s.s / (10.0 * l.lrd) ELSE 0.0 END) > 1.05) AS is_anomaly
+FROM slrd s JOIN lrd l ON s.src = l.src
+ORDER BY lof_score DESC, vec_id ASC LIMIT 15"""
+
+
+def _q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest outliers (ml_anomaly_detection.c:60-365) over the
+    embeddings, deterministic seed; per-label anomaly counts. Scores
+    depend on the seeded tree builds → rows-only check (planted-anomaly
+    correctness asserted in tests/test_outliers.py)."""
+    from neurondb_spark.ml.outliers import isolation_forest
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = isolation_forest(
+        emb, "embedding", n_trees=50, sample_size=128, contamination=0.1,
+        seed=42, keep_cols=["vec_id", "label"],
+    )
+    return (
+        out.where(F.col("is_anomaly"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+        .orderBy("label")
+    )
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans k=5 on embeddings → cluster size distribution (rows-only)."""
     import tempfile
@@ -223,6 +284,8 @@ QUERIES = {
     "knn_classify_vote": (_q_knn_vote, _sql_knn_vote()),
     "label_recall_at_k": (_q_recall_at_k, _sql_recall_at_k()),
     "label_f1_at_k": (_q_f1_at_k, _sql_f1_at_k()),
+    "lof_outliers": (_q_lof, _sql_lof()),
     "ml_logreg_predictions": (_q_logreg_train_predict, None),
     "ml_kmeans_clusters": (_q_kmeans_clusters, None),
+    "isolation_forest_outliers": (_q_isolation_forest, None),
 }

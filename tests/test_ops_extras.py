@@ -84,6 +84,44 @@ def test_data_management_roundtrip(spark):
             time_travel(spark, base, 99)
 
 
+def test_catalog_rejects_path_escape_names(spark):
+    from neurondb_spark.catalog import Catalog
+
+    cat = Catalog(tempfile.mkdtemp(prefix="cat_hardening_"))
+    for bad in ("../evil", "a/b", "/etc/passwd", "..", "", "a\\b"):
+        with pytest.raises(ValueError, match="invalid catalog"):
+            cat.register("indexes", bad, {})
+        with pytest.raises(ValueError, match="invalid catalog"):
+            cat.artifact_dir("indexes", bad)
+    with pytest.raises(ValueError, match="invalid catalog"):
+        cat.get("../outside", "x")
+    cat.register("indexes", "ok_name-1.2", {"a": 1})  # legal chars pass
+    assert cat.get("indexes", "ok_name-1.2")["a"] == 1
+
+
+def test_compact_swap_keeps_backup_until_verified(spark):
+    """Crash between the two renames must leave data recoverable: the
+    backup survives until the swapped-in directory reads back."""
+    import shutil
+
+    from neurondb_spark.data_management import compact, recover
+
+    td = tempfile.mkdtemp(prefix="dm_swap_")
+    path = os.path.join(td, "data")
+    spark.range(100).coalesce(4).write.parquet(path)
+    assert compact(spark, path, target_partitions=1) == path
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + ".old")  # backup cleaned after verify
+
+    # simulate a crash after `path` was renamed away but before the new
+    # data was swapped in: recover() restores from the backup
+    os.rename(path, path + ".old")
+    assert recover(path)
+    assert spark.read.parquet(path).count() == 100
+    assert not recover(path)  # idempotent no-op when path exists
+    shutil.rmtree(td)
+
+
 def test_more_algorithms_train(spark):
     from neurondb_spark.catalog import Catalog
     from neurondb_spark.ml.api import MLEngine
