@@ -263,6 +263,9 @@ def simhash_neardup_pairs(
     nseg = max_hamming + 1
     if bits < nseg:
         raise ValueError("neurondb: simhash bits must be >= max_hamming + 1")
+    # single-file parquet scans arrive as one partition; the simhash token
+    # fold is CPU-heavy per row — spread it before computing signatures
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     base = df.select(F.col(id_col), simhash(text_col, bits).alias("_sh"))
     bounds = [round(j * bits / nseg) for j in range(nseg + 1)]
     segs = [
@@ -329,6 +332,9 @@ def embedding_neardup_pairs(
         raise ValueError("neurondb: embedding_neardup_pairs requires dim")
     from neurondb_spark.index.lsh import _hyperplanes, signature_expr
 
+    # spread the bands×band_bits×dim signature folds across cores — a
+    # single-file parquet scan would otherwise compute them on 1 partition
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     planes = _hyperplanes(dim, bands * band_bits, seed)
     band_structs = [
         F.struct(
@@ -348,8 +354,13 @@ def embedding_neardup_pairs(
     if eager:
         ex = ex.localCheckpoint(eager=True)
     a, b = ex.alias("a"), ex.alias("b")
+    # fold-compiled cosine (dim=None): the exact-similarity filter lands
+    # inside the band hash-join stage, where an unrolled 64-dim chain
+    # pushes the generated method past janino's 64KB limit — whole-stage
+    # codegen then fails and the stage runs interpreted (~2-5x slower).
+    # The fold is bit-identical (same left-assoc accumulation).
     sim = cosine_similarity(
-        F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim=dim, checked=False
+        F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim=None, checked=False
     )
     return (
         a.join(
