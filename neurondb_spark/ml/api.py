@@ -127,7 +127,9 @@ def _algorithms():
 
 def list_algorithms() -> list[dict]:
     """neurondb.list_algorithms analog (neurondb--1.0.sql:5040-5071)."""
-    return [{"algorithm": k, "task": v[1]} for k, v in sorted(_algorithms().items())]
+    out = [{"algorithm": k, "task": v[1]} for k, v in _algorithms().items()]
+    out.append({"algorithm": "knn", "task": "classification"})  # ml_knn.c:759
+    return sorted(out, key=lambda a: a["algorithm"])
 
 
 def _featurize(df: DataFrame, features: list[str], feature_col: str = "features") -> DataFrame:
@@ -159,6 +161,8 @@ class MLEngine:
         project: str = "default",
         params: dict | None = None,
     ) -> str:
+        if algorithm == "knn":
+            return self._train_knn(df, features, target, project, params)
         algos = _algorithms()
         if algorithm not in algos:
             raise ValueError(f"neurondb: unknown algorithm {algorithm!r}")
@@ -199,6 +203,76 @@ class MLEngine:
         )
         return model_id
 
+    def _train_knn(self, df, features, target, project, params) -> str:
+        """train_knn_model_id (ml_knn.c:759-900): a kNN 'model' IS its
+        training set — the reference serializes (features, labels) into
+        the model bytea; here the payload is a parquet copy of the
+        non-null training rows (no 200k cap), and predict is a
+        distributed kNN join + majority vote against it."""
+        params = dict(params or {})
+        k = int(params.pop("k", 5))
+        if not 1 <= k <= 1000:
+            raise ValueError("neurondb: knn k must be between 1 and 1000")
+        if target is None:
+            raise ValueError("neurondb: knn needs target")
+        if len(features) != 1:
+            raise ValueError("neurondb: knn takes one vector feature column")
+        feat = features[0]
+        t0 = time.time()
+        model_id = f"knn-{uuid.uuid4().hex[:8]}"
+        path = self.catalog.artifact_dir("models", model_id)
+        data = (
+            df.where(F.col(feat).isNotNull() & F.col(target).isNotNull())
+            .select(
+                F.col(feat).cast("array<double>").alias("_feat"),
+                F.col(target).cast("double").alias("_label"),
+            )
+        )
+        data.write.mode("overwrite").parquet(path + "/train")
+        self.catalog.register(
+            "models", model_id,
+            {
+                "project": project, "algorithm": "knn",
+                "task": "classification", "features": features,
+                "target": target, "params": {"k": str(k)},
+                "model_class": "KNNModel", "path": path, "k": k,
+                "train_seconds": time.time() - t0, "status": "ready",
+            },
+        )
+        return model_id
+
+    def _predict_knn(self, df: DataFrame, meta: dict) -> DataFrame:
+        from neurondb_spark.operators.joins import knn_join_gemm
+
+        feat = meta["features"][0]
+        k = meta["k"]
+        spark = df.sparkSession
+        train = spark.read.parquet(meta["path"] + "/train").withColumn(
+            "_tid", F.monotonically_increasing_id()
+        )
+        q = df.withColumn("_qid", F.monotonically_increasing_id())
+        nn = knn_join_gemm(
+            q.select("_qid", F.col(feat).cast("array<double>").alias("_qv")),
+            train.select("_tid", "_feat", "_label"),
+            "_qv", "_feat", "_qid", "_tid", k=k,
+        )
+        votes = (
+            nn.join(train.select("_tid", "_label"), "_tid")
+            .groupBy("_qid", "_label")
+            .agg(F.count(F.lit(1)).alias("_votes"))
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("_qid").orderBy(
+            F.col("_votes").desc(), F.col("_label").asc()
+        )
+        pred = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("_qid", F.col("_label").alias("prediction"))
+        )
+        return q.join(pred, "_qid").drop("_qid")
+
     def _load(self, model_id: str):
         import importlib
 
@@ -219,6 +293,9 @@ class MLEngine:
         raise ValueError(f"neurondb: cannot load model class {cls_name}")
 
     def predict(self, df: DataFrame, model_id: str) -> DataFrame:
+        meta = self.catalog.get("models", model_id)
+        if meta is not None and meta.get("algorithm") == "knn":
+            return self._predict_knn(df, meta)
         model, meta = self._load(model_id)
         data = _featurize(df, meta["features"])
         return model.transform(data)
@@ -233,7 +310,9 @@ class MLEngine:
             RegressionEvaluator,
         )
 
-        model, meta = self._load(model_id)
+        meta = self.catalog.get("models", model_id)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown model {model_id!r}")
         pred = self.predict(df, model_id)
         task = meta["task"]
         if task == "regression":

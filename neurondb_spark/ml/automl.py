@@ -60,6 +60,44 @@ def cross_validate(
     }
 
 
+def bayesian_optimize(
+    df: DataFrame, algorithm: str, features: list[str], target: str,
+    param_space: dict[str, list], n_calls: int = 20, folds: int = 3,
+    seed: int = 42,
+) -> dict:
+    """neurondb_bayesian_optimize (ml_hyperparameter_tuning.c:560-700).
+
+    The reference's 'bayesian' optimizer is explicitly a deterministic
+    demo sampler: call i picks value[i % len] for each parameter and
+    scores it by cross-validation, tracking the best — reproduced here
+    (same contract: per-call (params, score) rows + best). Duplicate
+    combinations (the cycle repeats after lcm of the list lengths) are
+    scored once and the cached score re-emitted, like re-evaluating a
+    deterministic model."""
+    results = []
+    cache: dict[tuple, float] = {}
+    best = None
+    for i in range(n_calls):
+        params = {k: vals[i % len(vals)] for k, vals in param_space.items()}
+        key = tuple(sorted(params.items()))
+        if key not in cache:
+            res = cross_validate(
+                df, algorithm, features, target,
+                param_grid={k: [v] for k, v in params.items()},
+                folds=folds, seed=seed,
+            )
+            score = res["best_score"]
+            # normalize to higher-is-better like the reference's best_score
+            if res["metric"] == "rmse":
+                score = -score
+            cache[key] = score
+        row = {"call": i, "params": params, "score": cache[key]}
+        results.append(row)
+        if best is None or row["score"] > best["score"]:
+            best = row
+    return {"results": results, "best": best}
+
+
 def auto_train(
     df: DataFrame, features: list[str], target: str, task: str,
     candidates: list[str] | None = None, folds: int = 3,

@@ -70,17 +70,23 @@ def tsne(
     id_col: str,
     n_components: int = 2,
     perplexity: float = 30.0,
-    learning_rate: float = 200.0,
+    learning_rate: float | None = None,
     iterations: int = 250,
     sample_cap: int = 2000,
     seed: int = 42,
 ) -> DataFrame:
-    """reduce_tsne analog; returns (id_col, embedding array<double>)."""
+    """reduce_tsne analog; returns (id_col, embedding array<double>).
+
+    ``learning_rate=None`` → max(n/12, 50): the gradient magnitude scales
+    with n, so a fixed rate (the reference's 200 default) diverges on
+    small samples and crawls on large ones."""
     spark = df.sparkSession
     ids, X = _collect_sample(df, vec_col, id_col, sample_cap)
     n = len(ids)
     if n < 3:
         raise ValueError("neurondb: tsne needs >= 3 vectors")
+    if learning_rate is None:
+        learning_rate = max(n / 12.0, 50.0)
     perplexity = min(perplexity, (n - 1) / 3.0)
     sq = (X * X).sum(1)
     D2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)

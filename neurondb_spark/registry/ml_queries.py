@@ -276,6 +276,69 @@ def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN model persistence (train_knn_model_id, ml_knn.c:759): train a
+    cataloged kNN classifier on half the embeddings, predict the other
+    half, return per-class counts. Deterministic (exact kNN vote with id
+    tiebreak) but trained via the catalog → rows-only."""
+    import tempfile
+
+    from neurondb_spark.catalog import Catalog
+    from neurondb_spark.ml.api import MLEngine
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") < 5).cast("double")
+    )
+    eng = MLEngine(Catalog(tempfile.mkdtemp(prefix="neurondb_knn_")))
+    mid = eng.train(emb.where(F.col("vec_id") % 2 == 0), "knn", ["embedding"],
+                    target="y", params={"k": 5})
+    pred = eng.predict(emb.where(F.col("vec_id") % 2 == 1), mid)
+    return (
+        pred.groupBy(F.col("prediction").cast("int").alias("prediction"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prediction")
+    )
+
+
+def _q_tsne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-SNE 2-D embedding (reduce_tsne, ml_dimensionality_reduction.c:60)
+    on a capped, seeded sample — per-label centroid summary (rows-only:
+    the layout is seed-stable but engine-specific)."""
+    from neurondb_spark.ml.dimreduce import tsne
+
+    emb = t(spark, sf_dir, "embeddings")
+    y = tsne(emb, "embedding", "vec_id", perplexity=20.0, iterations=100,
+             sample_cap=300, seed=42)
+    j = y.join(emb.select("vec_id", "label"), "vec_id")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.element_at("embedding", 1)).alias("cx"),
+            F.avg(F.element_at("embedding", 2)).alias("cy"),
+        )
+        .orderBy("label")
+    )
+
+
+def _q_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotation (train/apply_opq_rotation, ml_opq.c:94-480):
+    train the PCA rotation, apply it, return per-dimension variance of the
+    first 8 rotated dims — must come out descending (rows-only)."""
+    from neurondb_spark.ml.opq import apply_opq_rotation, train_opq_rotation
+
+    emb = t(spark, sf_dir, "embeddings")
+    R = train_opq_rotation(emb, "embedding", num_subspaces=8)
+    rot = apply_opq_rotation(emb.select("vec_id", "embedding"), "embedding", R)
+    ex = rot.select(F.posexplode("rotated").alias("pos", "v")).where(F.col("pos") < 8)
+    return (
+        ex.groupBy("pos")
+        .agg(F.variance("v").alias("var"))
+        .orderBy("pos")
+        .select((F.col("pos") + 1).alias("dim"), "var")
+    )
+
+
 QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
     "zscore_outliers": (_q_zscore, _SQL_ZSCORE),
@@ -288,4 +351,7 @@ QUERIES = {
     "ml_logreg_predictions": (_q_logreg_train_predict, None),
     "ml_kmeans_clusters": (_q_kmeans_clusters, None),
     "isolation_forest_outliers": (_q_isolation_forest, None),
+    "ml_knn_predictions": (_q_knn_model, None),
+    "tsne_label_centroids": (_q_tsne, None),
+    "opq_rotated_variance": (_q_opq, None),
 }
