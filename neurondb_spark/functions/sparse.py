@@ -129,3 +129,46 @@ def sparse_to_dense(s) -> Column:
         F.sequence(F.lit(1), s["dim"]),
         lambda i: F.coalesce(F.try_element_at(m, i.cast("int")), F.lit(0.0)),
     )
+
+
+def vecmap_add_scalar(s, x) -> Column:
+    """vecmap_add_scalar (neurondb--1.0.sql:613-649): add x to the STORED
+    components (zeros stay zero — map semantics, not dense semantics)."""
+    s, x = _s(s), F.lit(float(x)) if not isinstance(x, Column) else x
+    return F.struct(
+        s["dim"].alias("dim"),
+        s["indices"].alias("indices"),
+        F.transform(s["values"], lambda v: v + x.cast("double")).alias("values"),
+    )
+
+
+def vecmap_mul_scalar(s, x) -> Column:
+    """vecmap_mul_scalar: scale the stored components."""
+    s, x = _s(s), F.lit(float(x)) if not isinstance(x, Column) else x
+    return F.struct(
+        s["dim"].alias("dim"),
+        s["indices"].alias("indices"),
+        F.transform(s["values"], lambda v: v * x.cast("double")).alias("values"),
+    )
+
+
+def sparse_l1_distance(a, b) -> Column:
+    """vecmap_l1_distance (neurondb--1.0.sql:613-649): Σ|a_k − b_k| over
+    the index union, ascending-key accumulation."""
+    a, b = _s(a), _s(b)
+    keys = F.array_sort(F.array_union(a["indices"], b["indices"]))
+    return F.aggregate(
+        F.transform(keys, lambda k: F.abs(_val(a, k) - _val(b, k))),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+# vecmap / sparsevec are the same struct here (SURVEY §1.2 folds the
+# reference's two sparse types into one representation, both function
+# families kept): expose the vecmap-named surface as aliases.
+vecmap_l2_distance = sparse_l2_distance
+vecmap_cosine_distance = sparse_cosine_distance
+vecmap_inner_product = sparse_inner_product
+vecmap_l1_distance = sparse_l1_distance
+vecmap_norm = sparse_l2_norm

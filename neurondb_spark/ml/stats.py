@@ -160,6 +160,49 @@ def distribution_divergence(
     return j.agg(bsum(term).alias("kl_divergence"))
 
 
+def js_divergence_histogram(
+    df_p: DataFrame, df_q: DataFrame, value_col: str,
+    lo: float, hi: float, bins: int = 20,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two scalar distributions over a
+    fixed width_bucket histogram (the monitor-drift companion to the
+    Gaussian KL above; histogram drift per ml_drift_time.c / the
+    monitoring SQL surface neurondb--1.0.sql:1663-1675).
+
+    Deterministic binning: bin = clamp(floor((x−lo)/w), 0, bins−1); empty
+    bins contribute 0 via the 0·log(0)=0 convention (m>0 whenever p>0 or
+    q>0). All per-bin math is IEEE double on exact integer counts, summed
+    over the (tiny) bin axis with bsum — bit-reproducible in SQL."""
+    w = (hi - lo) / bins
+
+    def hist(df: DataFrame, tag: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)
+            ),
+            F.lit(bins - 1),
+        ).cast("int")
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias(tag))
+
+    p = hist(df_p, "np_")
+    q = hist(df_q, "nq_")
+    tp = df_p.count()
+    tq = df_q.count()
+    j = p.join(q, "bin", "full").select(
+        "bin",
+        (F.coalesce(F.col("np_"), F.lit(0)).cast("double") / tp).alias("p"),
+        (F.coalesce(F.col("nq_"), F.lit(0)).cast("double") / tq).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    term = (
+        F.when(F.col("p") > 0.0, 0.5 * F.col("p") * F.log(F.col("p") / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0.0, 0.5 * F.col("q") * F.log(F.col("q") / m))
+        .otherwise(F.lit(0.0))
+    )
+    return j.agg(bsum(term).alias("js_divergence"))
+
+
 def knn_classify_vote(
     df: DataFrame, vec_col: str, label_col: str, query, k: int,
     dim: int | None = None, id_col: str = "vec_id",

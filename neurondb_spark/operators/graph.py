@@ -186,7 +186,7 @@ def connected_components(
 def build_knn_graph(
     df: DataFrame, vec_col: str, id_col: str, k: int = 3,
     on: list[str] | None = None, metric: str = "l2", dim: int | None = None,
-    num_blocks: int = 16,
+    num_blocks: int = 2,
 ) -> DataFrame:
     """kNN graph: edge (id, neighbor, distance) per k nearest
     (build_knn_graph, analytics.c:1286).

@@ -113,7 +113,7 @@ def knn_join_gemm(
     k: int = 5,
     metric: str = "l2",
     l_blocks: int | None = None,
-    r_blocks: int = 8,
+    r_blocks: int = 2,
     dist_col: str = "distance",
 ) -> DataFrame:
     """Exact kNN join without a cross join — the scale path for the
@@ -142,9 +142,12 @@ def knn_join_gemm(
     ``knn_join(..., tiebreak=[right_id])``. The emitted distance is
     recomputed exactly (|x|²+|r|²−2x·r, clamped, sqrt for l2).
 
-    At corpus scale tune blocks so a block pair (~n/l_blocks × m/r_blocks
-    vectors) fits one task's memory; both replication factors are knobs,
-    so neither side is ever collected to the driver or broadcast whole.
+    Block counts are the memory/parallelism knob: a block pair
+    (~n/l_blocks × m/r_blocks vectors) must fit one task, so BOTH rise
+    with data size at corpus scale; neither side is ever collected to the
+    driver or broadcast whole. Each (lb, rb) group pays fixed Arrow +
+    python-worker overhead (~5-10ms), so for small inputs FEWER groups
+    win — the default caps groups at ~2× the core count.
     """
     import numpy as np  # noqa: F401  (imported in the UDF closure too)
 
@@ -152,7 +155,8 @@ def knn_join_gemm(
         raise ValueError(f"neurondb: knn_join_gemm unsupported metric {metric!r}")
     spark = left.sparkSession
     if l_blocks is None:
-        l_blocks = spark.sparkContext.defaultParallelism
+        # groups = l_blocks·r_blocks ≈ 2× cores
+        l_blocks = max(1, 2 * spark.sparkContext.defaultParallelism // r_blocks)
     lid_t = dict(left.dtypes)[left_id]
     rid_t = dict(right.dtypes)[right_id]
     out_schema = f"{left_id} {lid_t}, {right_id} {rid_t}, {dist_col} double"

@@ -63,9 +63,11 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # rewritten in round 3 (codec parity, blocked graph build, queue):
+    # rewritten in round 3 (codec parity, blocked graph build, queue,
+    # checkpoint discipline, arima assert, simhash checkpoint+repartition):
     "quantize_int4_fp8", "graph_knn", "stream_job_queue",
-    "simhash_neardup_pairs",
+    "simhash_neardup_pairs", "community_label_propagation",
+    "ts_arima_forecast",
 })
 
 

@@ -104,6 +104,43 @@ terms AS (
 SELECT {O.bsum('term')} AS kl_divergence FROM terms"""
 
 
+_JS_LO, _JS_HI, _JS_BINS = 0.0, 600_000.0, 20
+
+
+def _q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neurondb_spark.ml.stats import js_divergence_histogram
+
+    orders = t(spark, sf_dir, "orders")
+    p = orders.where(F.col("o_orderkey") % 2 == 0)
+    q = orders.where(F.col("o_orderkey") % 2 == 1)
+    return js_divergence_histogram(p, q, "o_totalprice", _JS_LO, _JS_HI, _JS_BINS)
+
+
+def _sql_js_divergence() -> str:
+    w = (_JS_HI - _JS_LO) / _JS_BINS
+    b = (
+        f"CAST(least(greatest(floor((o_totalprice - {_JS_LO!r}) / {w!r}), 0), "
+        f"{_JS_BINS - 1}) AS INTEGER)"
+    )
+    return f"""WITH hp AS (
+  SELECT {b} AS bin, COUNT(*) AS np_ FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+hq AS (
+  SELECT {b} AS bin, COUNT(*) AS nq_ FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS tp,
+         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1) AS tq),
+j AS (
+  SELECT COALESCE(hp.bin, hq.bin) AS bin,
+         CAST(COALESCE(np_, 0) AS DOUBLE) / tp AS p,
+         CAST(COALESCE(nq_, 0) AS DOUBLE) / tq AS q
+  FROM hp FULL OUTER JOIN hq ON hp.bin = hq.bin CROSS JOIN tot),
+terms AS (
+  SELECT (CASE WHEN p > 0.0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+        + CASE WHEN q > 0.0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END) AS term
+  FROM j)
+SELECT {O.bsum('term')} AS js_divergence FROM terms"""
+
+
 def _q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = qvec(spark, sf_dir)
@@ -344,6 +381,7 @@ QUERIES = {
     "zscore_outliers": (_q_zscore, _SQL_ZSCORE),
     "centroid_drift": (_q_drift, _SQL_DRIFT),
     "distribution_divergence": (_q_distribution_divergence, _SQL_DIVERGENCE),
+    "js_divergence_hist": (_q_js_divergence, _sql_js_divergence()),
     "knn_classify_vote": (_q_knn_vote, _sql_knn_vote()),
     "label_recall_at_k": (_q_recall_at_k, _sql_recall_at_k()),
     "label_f1_at_k": (_q_f1_at_k, _sql_f1_at_k()),

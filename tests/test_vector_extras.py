@@ -99,6 +99,44 @@ def test_sparse_zero_vector_raises(spark):
         _one(spark, sparse_cosine_similarity(z, a))
 
 
+def test_vecmap_aliases_and_l1(spark):
+    from neurondb_spark.functions.sparse import (
+        sparse_l1_distance,
+        sparsify,
+        vecmap_add_scalar,
+        vecmap_inner_product,
+        vecmap_l2_distance,
+        vecmap_mul_scalar,
+        vecmap_norm,
+    )
+
+    a = sparsify(F.array(*[F.lit(x) for x in (3.0, 0.0, 4.0, 0.0)]), 0.5)
+    b = sparsify(F.array(*[F.lit(x) for x in (0.0, 0.0, 4.0, 1.0)]), 0.5)
+    assert _one(spark, vecmap_norm(a)) == 5.0
+    assert _one(spark, vecmap_inner_product(a, b)) == 16.0
+    assert _one(spark, vecmap_l2_distance(a, b)) == pytest.approx(math.sqrt(10.0))
+    # l1 over union {1,3,4}: |3-0| + |4-4| + |0-1| = 4
+    assert _one(spark, sparse_l1_distance(a, b)) == 4.0
+    # scalar ops act on STORED components only (map semantics)
+    shifted = _one(spark, vecmap_add_scalar(a, 1.0))
+    assert shifted["values"] == [4.0, 5.0] and shifted["indices"] == [1, 3]
+    scaled = _one(spark, vecmap_mul_scalar(a, 2.0))
+    assert scaled["values"] == [6.0, 8.0]
+
+
+def test_js_divergence_histogram_identical_dists_zero(spark):
+    from neurondb_spark.ml.stats import js_divergence_histogram
+
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    out = js_divergence_histogram(df, df, "x", 0.0, 100.0, 10).head()[0]
+    assert out == 0.0
+    # disjoint distributions → ln(2) (maximum JS divergence)
+    lo = spark.range(500).select(F.lit(5.0).alias("x"))
+    hi = spark.range(500).select(F.lit(95.0).alias("x"))
+    out = js_divergence_histogram(lo, hi, "x", 0.0, 100.0, 10).head()[0]
+    assert out == pytest.approx(math.log(2.0))
+
+
 def test_f1_at_k_reference_semantics(spark):
     from neurondb_spark.operators.rerank import f1_at_k
 
