@@ -125,6 +125,85 @@ def lof(
     return out.withColumn("is_anomaly", F.col("lof_score") > F.lit(float(threshold)))
 
 
+def ocsvm(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nu: float = 0.1,
+    gamma: float = 1.0,
+    max_sv: int = 64,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-class SVM anomaly detection (detect_anomalies_ocsvm,
+    ml_anomaly_detection.c:737-900). The reference is explicitly a
+    simplified OCSVM: the 'support vectors' are nu·n evenly-strided rows
+    of the table, the decision score is the MEAN RBF kernel
+    exp(−gamma·‖x−sv‖²) to them, and anomalies are the rows whose score
+    falls below the nu-quantile (sorted_scores[int(nu·n)]).
+
+    Spark shape: the strided SV rows (bounded by ``max_sv`` — the
+    reference's nu·n SVs would be 10% of the corpus at scale) are
+    selected by a window rank over ``id_col`` order and collected as an
+    expression literal; the score is then a pure fold over the SV matrix
+    (codegen'd, no shuffle, no UDF) and the exact-rank cutoff is a sort +
+    limit. Deterministic end to end, SQL-oracle hash-matchable.
+
+    Scale note: the SV-selection rank is a global (unpartitioned) window —
+    a single-task sort. Fine for the ≤max_sv lookup here; at corpus scale
+    swap for a sampled-quantile stride (sketch the id distribution, pick
+    ids at the stride quantiles) — the scores themselves stay fully
+    distributed either way.
+    """
+    from pyspark.sql import Window as W
+
+    if not 0.0 < nu <= 1.0:
+        raise ValueError("neurondb: ocsvm nu must be in (0, 1]")
+    if gamma <= 0.0:
+        raise ValueError("neurondb: ocsvm gamma must be > 0")
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != vec_col
+    ]
+    n = df.count()
+    if n < 2:
+        raise ValueError("neurondb: ocsvm needs >= 2 vectors")
+    n_sv = max(1, min(int(nu * n), max_sv))
+    sv_ranks = {(i * n) // n_sv + 1 for i in range(n_sv)}  # 1-based rows
+    w = W.orderBy(F.col(id_col).asc())
+    ranked = df.select(id_col, vec_col).withColumn("_rn", F.row_number().over(w))
+    sv_rows = (
+        ranked.where(F.col("_rn").isin(*sv_ranks)).orderBy("_rn").collect()
+    )
+    svmat = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in r[vec_col]])
+            for r in sv_rows
+        ]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    sqd = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(v, s, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    score = (
+        F.aggregate(
+            F.transform(svmat, lambda s: F.exp(-F.lit(float(gamma)) * sqd(s))),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        / F.lit(float(len(sv_rows)))
+    )
+    scored = df.select(*keep, score.alias("ocsvm_score")).localCheckpoint()
+    idx = min(int(nu * n), n - 1)
+    thr = (
+        scored.select("ocsvm_score")
+        .orderBy("ocsvm_score")
+        .limit(idx + 1)
+        .orderBy(F.col("ocsvm_score").desc())
+        .limit(1)
+        .head()[0]
+    )
+    return scored.withColumn("is_anomaly", F.col("ocsvm_score") < F.lit(thr))
+
+
 def isolation_forest(
     df: DataFrame,
     vec_col: str,

@@ -275,6 +275,56 @@ FROM slrd s JOIN lrd l ON s.src = l.src
 ORDER BY lof_score DESC, vec_id ASC LIMIT 15"""
 
 
+_OCSVM_NU, _OCSVM_GAMMA, _OCSVM_MAXSV = 0.1, 1.0, 64
+
+
+def _q_ocsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified one-class SVM (detect_anomalies_ocsvm,
+    ml_anomaly_detection.c:737-900): strided SVs, mean RBF score,
+    nu-quantile cutoff — deterministic, hash-checked; 15 most anomalous."""
+    from neurondb_spark.ml.outliers import ocsvm
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = ocsvm(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id",
+        nu=_OCSVM_NU, gamma=_OCSVM_GAMMA, max_sv=_OCSVM_MAXSV,
+    )
+    # JVM Math.exp and libm exp can disagree in the final ulp, so the
+    # hashed score is rounded to 9 digits on both sides (the established
+    # pattern for transcendental outputs, cf. knn_minkowski3)
+    return (
+        out.orderBy(F.col("ocsvm_score").asc(), F.col("vec_id").asc())
+        .limit(15)
+        .select("vec_id", F.round("ocsvm_score", 9).alias("ocsvm_score"),
+                "is_anomaly")
+    )
+
+
+def _sql_ocsvm() -> str:
+    sqd = O.sql_squared_l2("e.embedding", "s.embedding", EMB_DIM)
+    nu, gamma, maxsv = _OCSVM_NU, _OCSVM_GAMMA, _OCSVM_MAXSV
+    return f"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+nsv AS (SELECT greatest(least(CAST(floor({nu!r} * n) AS BIGINT), {maxsv}), 1) AS n_sv, n FROM cnt),
+ranked AS (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn FROM embeddings),
+svr AS (SELECT DISTINCT (i * nsv.n) // nsv.n_sv + 1 AS rn
+        FROM generate_series(0, {maxsv - 1}) AS g(i) CROSS JOIN nsv
+        WHERE i < nsv.n_sv),
+svs AS (SELECT r.rn, r.embedding FROM ranked r JOIN svr ON r.rn = svr.rn),
+scores AS MATERIALIZED (
+  SELECT e.vec_id,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE), list(exp(-{gamma!r} * ({sqd})) ORDER BY s.rn)),
+      (a, b) -> a + b) / (SELECT CAST(n_sv AS DOUBLE) FROM nsv) AS ocsvm_score
+  FROM embeddings e CROSS JOIN svs s GROUP BY e.vec_id),
+srt AS (SELECT ocsvm_score, ROW_NUMBER() OVER (ORDER BY ocsvm_score ASC) AS rnk FROM scores),
+thr AS (SELECT ocsvm_score AS t FROM srt
+        WHERE rnk = (SELECT least(CAST(floor({nu!r} * n) AS BIGINT), n - 1) + 1 FROM cnt))
+SELECT sc.vec_id, round(sc.ocsvm_score, 9) AS ocsvm_score,
+       (sc.ocsvm_score < thr.t) AS is_anomaly
+FROM scores sc CROSS JOIN thr
+ORDER BY sc.ocsvm_score ASC, sc.vec_id ASC LIMIT 15"""
+
+
 def _q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation-forest outliers (ml_anomaly_detection.c:60-365) over the
     embeddings, deterministic seed; per-label anomaly counts. Scores
@@ -386,6 +436,7 @@ QUERIES = {
     "label_recall_at_k": (_q_recall_at_k, _sql_recall_at_k()),
     "label_f1_at_k": (_q_f1_at_k, _sql_f1_at_k()),
     "lof_outliers": (_q_lof, _sql_lof()),
+    "ocsvm_outliers": (_q_ocsvm, _sql_ocsvm()),
     "ml_logreg_predictions": (_q_logreg_train_predict, None),
     "ml_kmeans_clusters": (_q_kmeans_clusters, None),
     "isolation_forest_outliers": (_q_isolation_forest, None),

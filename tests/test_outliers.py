@@ -39,6 +39,26 @@ def test_isolation_forest_finds_planted_anomalies(spark):
     assert all(scores[i] > med for i in planted)
 
 
+def test_ocsvm_flags_low_density_points(spark):
+    """Planted far-away points get the lowest mean-RBF scores and land in
+    the nu-quantile anomaly set (detect_anomalies_ocsvm semantics)."""
+    from neurondb_spark.ml.outliers import ocsvm
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0.0, 0.4), rng.gauss(0.0, 0.4)]) for i in range(95)
+    ] + [(1000 + i, [8.0 + rng.random(), -8.0 - rng.random()]) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = ocsvm(df, "v", "id", nu=0.08, gamma=0.5, max_sv=32)
+    flagged = {r["id"] for r in out.collect() if r["is_anomaly"]}
+    assert {1000 + i for i in range(5)} <= flagged
+    assert len(flagged) <= 10
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="nu"):
+        ocsvm(df, "v", "id", nu=0.0)
+
+
 def test_isolation_forest_deterministic_given_seed(spark):
     from neurondb_spark.ml.outliers import isolation_forest
 
