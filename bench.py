@@ -25,6 +25,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("neurondb-spark-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT/session warmup
+    # python/Arrow worker warmup: the first pandas-path stage in a session
+    # pays worker spawn + module import (~2-5s); without this the cost
+    # lands on whichever query happens to run first, skewing per-query
+    # numbers with the registry's rotation order
+    import pandas as _pd
+
+    spark.createDataFrame(_pd.DataFrame({"x": range(256)})).mapInPandas(
+        lambda it: it, "x long"
+    ).count()
     # index build is a build-time operation (CREATE INDEX analog), not
     # query latency — prebuild so probe queries measure the probe
     try:

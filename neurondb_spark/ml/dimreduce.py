@@ -115,6 +115,76 @@ def tsne(
     )
 
 
+def autoencoder_reduce(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bottleneck_dim: int = 2,
+    hidden: list[int] | None = None,
+    activation: str = "tanh",
+    learning_rate: float = 0.01,
+    epochs: int = 100,
+    batch_size: int = 32,
+    sample_cap: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """Autoencoder dimensionality reduction (train_autoencoder,
+    ml_dimensionality_reduction.c:826-1400): encoder layers → bottleneck →
+    mirrored decoder, the chosen activation applied on every layer (as the
+    reference's forward pass does), MSE reconstruction loss, SGD. Trains
+    on the capped seeded sample (the reference trains on all rows in
+    backend RAM) and returns (id, encoded array<double>).
+
+    ``activation``: relu | sigmoid | tanh (ae_activation_*,
+    ml_dimensionality_reduction.c:826-864). tanh default — zero-centered,
+    so unit-normalized embeddings reconstruct without a bias workaround.
+    """
+    acts = {
+        "relu": (lambda z: np.maximum(z, 0.0), lambda a: (a > 0).astype(float)),
+        "sigmoid": (lambda z: 1.0 / (1.0 + np.exp(-z)), lambda a: a * (1.0 - a)),
+        "tanh": (np.tanh, lambda a: 1.0 - a * a),
+    }
+    if activation not in acts:
+        raise ValueError(f"neurondb: unknown activation {activation!r}")
+    f, fprime = acts[activation]
+    spark = df.sparkSession
+    ids, X = _collect_sample(df, vec_col, id_col, sample_cap)
+    n, dim = X.shape
+    if n < 2:
+        raise ValueError("neurondb: autoencoder needs >= 2 vectors")
+    sizes = [dim] + (hidden or []) + [bottleneck_dim] + list(reversed(hidden or [])) + [dim]
+    rng = np.random.RandomState(seed)
+    Ws = [
+        rng.normal(0.0, math.sqrt(2.0 / sizes[i]), size=(sizes[i], sizes[i + 1]))
+        for i in range(len(sizes) - 1)
+    ]
+    bs = [np.zeros(s) for s in sizes[1:]]
+    enc_idx = (hidden or []).__len__() + 1  # layers up to the bottleneck
+    for _ in range(epochs):
+        perm = rng.permutation(n)
+        for s in range(0, n, batch_size):
+            batch = X[perm[s:s + batch_size]]
+            a = [batch]
+            for W, b in zip(Ws, bs):
+                a.append(f(a[-1] @ W + b))
+            delta = (a[-1] - batch) * fprime(a[-1])
+            for li in range(len(Ws) - 1, -1, -1):
+                gW = a[li].T @ delta / len(batch)
+                gb = delta.mean(0)
+                if li > 0:
+                    delta = (delta @ Ws[li].T) * fprime(a[li])
+                Ws[li] -= learning_rate * gW
+                bs[li] -= learning_rate * gb
+    h = X
+    for W, b in zip(Ws[:enc_idx], bs[:enc_idx]):
+        h = f(h @ W + b)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({id_col: ids, "encoded": [list(map(float, y)) for y in h]})
+    )
+
+
 def umap(
     df: DataFrame,
     vec_col: str,

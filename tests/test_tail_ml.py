@@ -92,6 +92,28 @@ def test_umap_separates_clusters(spark):
     assert sep > 1.5 * spread
 
 
+def test_autoencoder_reconstructs_and_separates(spark):
+    from neurondb_spark.ml.dimreduce import autoencoder_reduce
+
+    df = _two_blobs(spark, n=40)
+    out = autoencoder_reduce(
+        df, "v", "id", bottleneck_dim=2, hidden=[8], epochs=200,
+        learning_rate=0.05, seed=2,
+    )
+    emb = {r["id"]: r["encoded"] for r in out.collect()}
+    assert len(emb) == 40 and len(next(iter(emb.values()))) == 2
+    a = np.array([emb[i] for i in emb if i < 40])
+    b = np.array([emb[i] for i in emb if i >= 40])
+    # bottleneck codes must separate the two blobs
+    intra = np.linalg.norm(a[:, None] - a[None, :], axis=-1).mean()
+    inter = np.linalg.norm(a[:, None] - b[None, :], axis=-1).mean()
+    assert inter > 1.5 * intra
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="activation"):
+        autoencoder_reduce(df, "v", "id", activation="bogus")
+
+
 def test_opq_rotation_orthonormal_and_variance_sorted(spark):
     from neurondb_spark.ml.dimreduce import _collect_sample  # noqa: F401
     from neurondb_spark.ml.opq import apply_opq_rotation, train_opq_rotation
