@@ -34,6 +34,32 @@ def main() -> None:
     spark.createDataFrame(_pd.DataFrame({"x": range(256)})).mapInPandas(
         lambda it: it, "x long"
     ).count()
+    # engine-path warmup: parquet reader, HigherOrderFunction codegen,
+    # window exec and a shuffle join each JIT-compile on first use — run
+    # one tiny composite untimed so those fixed costs aren't charged to
+    # whichever queries the verify rotation happens to put first
+    try:
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        _e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+        _d = _F.aggregate(
+            _F.zip_with(
+                _F.col("embedding").cast("array<double>"),
+                _F.col("embedding").cast("array<double>"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            _F.lit(0.0), lambda a, x: a + x,
+        )
+        _w = _W.partitionBy(_F.col("label")).orderBy("vec_id")
+        (
+            _e.withColumn("_d", _d)
+            .withColumn("_rn", _F.row_number().over(_w))
+            .join(_e.select(_F.col("vec_id").alias("_v2")), _F.col("vec_id") == _F.col("_v2"))
+            .count()
+        )
+    except Exception as e:  # warmup must never sink the bench
+        print(f"# engine warmup skipped: {e}", file=sys.stderr)
     # index build is a build-time operation (CREATE INDEX analog), not
     # query latency — prebuild so probe queries measure the probe
     try:
