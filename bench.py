@@ -6,6 +6,7 @@ Usage: python bench.py [--repeat N]
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -82,6 +83,9 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # queries are independent; don't let
         # cached frames from iterative ops accumulate GC pressure
+        gc.collect()  # drop py4j refs now so ContextCleaner frees
+        # localCheckpoint/persist blocks before the next query instead of
+        # whenever Python GC happens to run mid-measurement
 
     total = round(sum(timings.values()), 4)
     print(

@@ -242,22 +242,45 @@ class MLEngine:
         return model_id
 
     def _predict_knn(self, df: DataFrame, meta: dict) -> DataFrame:
+        """knn_predict_batch (ml_knn.c:905): GEMM kNN join against the
+        parquet training payload + majority vote. Train-row ids pack the
+        label's sorted rank into the high bits (label_idx * 2^50 + uid),
+        so knn_join_gemm's id-ascending tie-break resolves equal
+        distances by label ascending — a deterministic, engine-neutral
+        policy an external oracle can replicate — and the vote recovers
+        labels via integer arithmetic + a broadcast dictionary join
+        instead of re-shuffling the full training set per predict."""
         from neurondb_spark.operators.joins import knn_join_gemm
 
         feat = meta["features"][0]
         k = meta["k"]
         spark = df.sparkSession
-        train = spark.read.parquet(meta["path"] + "/train").withColumn(
-            "_tid", F.monotonically_increasing_id()
+        train = spark.read.parquet(meta["path"] + "/train")
+        labels = sorted(
+            r[0] for r in train.select("_label").distinct().collect()
+        )
+        if len(labels) >= (1 << 13):
+            raise ValueError("neurondb: knn supports at most 8192 labels")
+        label_dict = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(labels)], "_lidx long, _label double"
+        )
+        # uid collisions (mod 2^50) are harmless: rows colliding on
+        # (_dist, _tid) necessarily share a label, and the vote counts
+        # neighbor rows, not distinct ids
+        train = train.join(F.broadcast(label_dict), "_label").withColumn(
+            "_tid",
+            F.col("_lidx") * F.lit(1 << 50)
+            + F.pmod(F.monotonically_increasing_id(), F.lit(1 << 50)),
         )
         q = df.withColumn("_qid", F.monotonically_increasing_id())
         nn = knn_join_gemm(
             q.select("_qid", F.col(feat).cast("array<double>").alias("_qv")),
-            train.select("_tid", "_feat", "_label"),
+            train.select("_tid", "_feat"),
             "_qv", "_feat", "_qid", "_tid", k=k,
         )
         votes = (
-            nn.join(train.select("_tid", "_label"), "_tid")
+            nn.withColumn("_lidx", F.shiftrightunsigned("_tid", 50))
+            .join(F.broadcast(label_dict), "_lidx")
             .groupBy("_qid", "_label")
             .agg(F.count(F.lit(1)).alias("_votes"))
         )

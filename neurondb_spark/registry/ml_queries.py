@@ -366,8 +366,9 @@ def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_knn_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN model persistence (train_knn_model_id, ml_knn.c:759): train a
     cataloged kNN classifier on half the embeddings, predict the other
-    half, return per-class counts. Deterministic (exact kNN vote with id
-    tiebreak) but trained via the catalog → rows-only."""
+    half, return per-class counts. Fully deterministic: exact kNN with
+    distance ties broken by label ascending (the packed-id policy in
+    MLEngine._predict_knn), so a brute-force SQL oracle replicates it."""
     import tempfile
 
     from neurondb_spark.catalog import Catalog
@@ -385,6 +386,31 @@ def _q_knn_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prediction")
     )
+
+
+def _sql_knn_model() -> str:
+    """Brute-force oracle for the kNN model contract: 5-NN by L2 among
+    even vec_ids for each odd vec_id, distance ties → label ascending,
+    vote ties → label ascending (mirrors _predict_knn's window)."""
+    d = O.sql_l2("q.embedding", "tr.embedding", EMB_DIM)
+    return f"""WITH base AS (
+  SELECT vec_id, embedding,
+         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings),
+nn AS (
+  SELECT q.vec_id AS qid, tr.y AS ty,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id ORDER BY {d} ASC, tr.y ASC) AS rn
+  FROM base q JOIN base tr
+    ON q.vec_id % 2 = 1 AND tr.vec_id % 2 = 0),
+votes AS (
+  SELECT qid, ty, COUNT(*) AS v FROM nn WHERE rn <= 5 GROUP BY qid, ty),
+pred AS (
+  SELECT qid, ty,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY v DESC, ty ASC) AS pr
+  FROM votes)
+SELECT CAST(ty AS INT) AS prediction, COUNT(*) AS n
+FROM pred WHERE pr = 1 GROUP BY prediction ORDER BY prediction"""
 
 
 def _q_tsne(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,7 +466,7 @@ QUERIES = {
     "ml_logreg_predictions": (_q_logreg_train_predict, None),
     "ml_kmeans_clusters": (_q_kmeans_clusters, None),
     "isolation_forest_outliers": (_q_isolation_forest, None),
-    "ml_knn_predictions": (_q_knn_model, None),
+    "ml_knn_predictions": (_q_knn_model, _sql_knn_model()),
     "tsne_label_centroids": (_q_tsne, None),
     "opq_rotated_variance": (_q_opq, None),
 }
