@@ -125,8 +125,9 @@ GROUP BY doc_id ORDER BY sparse_score DESC, doc_id ASC LIMIT 10"""
 
 def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity rerank (driver-side greedy over a bounded candidate
-    set — sequential by nature, ml_mmr.c:75). Deterministic but not
-    SQL-expressible → rows-only check; ordering asserted in tests."""
+    set — sequential by nature, ml_mmr.c:75). Deterministic (score DESC,
+    id ASC argmax per step), so the greedy loop is SQL-expressible as a
+    one-row-per-iteration recursive CTE — see _sql_mmr."""
     emb = t(spark, sf_dir, "embeddings")
     q = qvec(spark, sf_dir)
     from neurondb_spark.operators.knn import knn
@@ -138,11 +139,48 @@ def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_mmr() -> str:
+    """Greedy MMR as a recursive CTE: the working table carries the
+    selected-id list; each iteration appends the (score DESC, id ASC)
+    argmax where score = λ·sim(q,c) − (1−λ)·max_{j∈S} sim(c,j). Float
+    parity with operators/rerank.py:mmr_rerank holds because every
+    sum is the same left-assoc chain and IEEE multiply is commutative
+    (Python computes norm(q)·norm(v), SQL norm(v)·norm(q))."""
+    cs_q = O.sql_cosine_similarity("e.embedding", "q.qe", EMB_DIM)
+    cd_q = O.sql_cosine_distance("e.embedding", "q.qe", EMB_DIM)
+    cs_ab = O.sql_cosine_similarity("a.embedding", "b.embedding", EMB_DIM)
+    score = """(0.7 * c.qsim - (1.0 - 0.7) * COALESCE((SELECT MAX(p.s) FROM ps p
+              WHERE p.ia = c.vec_id AND list_contains(s.sel_ids, p.ib)), 0.0))"""
+    return f"""WITH RECURSIVE q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+cand AS (
+  SELECT e.vec_id, e.embedding, {cs_q} AS qsim
+  FROM embeddings e CROSS JOIN q
+  ORDER BY {cd_q} ASC, e.vec_id ASC LIMIT 50),
+ps AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cs_ab} AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+sel AS (
+  SELECT 1 AS mmr_rank,
+         first(vec_id ORDER BY 0.7 * qsim DESC, vec_id ASC) AS vec_id,
+         [first(vec_id ORDER BY 0.7 * qsim DESC, vec_id ASC)] AS sel_ids
+  FROM cand
+  UNION ALL
+  SELECT s.mmr_rank + 1,
+         first(c.vec_id ORDER BY {score} DESC, c.vec_id ASC) AS vec_id,
+         list_append(s.sel_ids,
+           first(c.vec_id ORDER BY {score} DESC, c.vec_id ASC)) AS sel_ids
+  FROM sel s JOIN cand c ON NOT list_contains(s.sel_ids, c.vec_id)
+  WHERE s.mmr_rank < 10
+  GROUP BY s.mmr_rank, s.sel_ids
+)
+SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id FROM sel ORDER BY mmr_rank"""
+
+
 QUERIES = {
     "hash_embed": (_q_hash_embed, _sql_hash_embed()),
     "rag_query": (_q_rag_query, _sql_rag_query()),
     "rerank_lexical": (_q_rerank_lexical, _sql_rerank_lexical()),
     "ltr_rerank": (_q_ltr, _sql_ltr()),
     "sparse_search_tf": (_q_sparse_search, _sql_sparse_search()),
-    "mmr_rerank": (_q_mmr, None),
+    "mmr_rerank": (_q_mmr, _sql_mmr()),
 }
