@@ -64,9 +64,15 @@ def main() -> None:
     # index build is a build-time operation (CREATE INDEX analog), not
     # query latency — prebuild so probe queries measure the probe
     try:
-        from neurondb_spark.registry.index_queries import _index_for
+        from neurondb_spark.registry.index_queries import (
+            _index_for,
+            _temporal_index_for,
+            _tenant_index_for,
+        )
 
         _index_for(spark, sf_dir)
+        _tenant_index_for(spark, sf_dir)
+        _temporal_index_for(spark, sf_dir)
     except Exception as e:
         print(f"# index prebuild skipped: {e}", file=sys.stderr)
 

@@ -63,7 +63,111 @@ def _q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_tenant_cache: dict[str, "object"] = {}
+
+
+def _tenant_index_for(spark: SparkSession, sf_dir: str):
+    from neurondb_spark.index.specialized import TenantIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _tenant_cache:
+        return _tenant_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_tenant{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = TenantIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings")
+        idx = TenantIndex.build(emb, "embedding", "label", path, dim=COMPILE_DIM)
+    _tenant_cache[key] = idx
+    return idx
+
+
+def _q_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hnsw_tenant_search (index_hnsw_tenant.c): partition-pruned exact
+    kNN inside tenant (=label) 3's files — the oracle proves the tenant
+    layout loses no rows vs a filtered brute-force scan."""
+    idx = _tenant_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    return idx.search(spark, 3, q, k=10, tiebreak=["vec_id"]).select(
+        "vec_id", "distance"
+    )
+
+
+def _sql_tenant() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+WHERE e.label = 3
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
+_temporal_cache: dict[str, "object"] = {}
+_DAY_US = 86_400_000_000
+
+
+def _temporal_index_for(spark: SparkSession, sf_dir: str):
+    from neurondb_spark.index.specialized import TemporalIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _temporal_cache:
+        return _temporal_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_temporal_m{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = TemporalIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings").withColumn(
+            "insert_ts", F.timestamp_micros(F.col("vec_id") * F.lit(_DAY_US))
+        )
+        # month buckets: the synthetic ts is one row per day, so day
+        # buckets would mean one file per row — bucket granularity must
+        # track row density, here ~30 rows/partition
+        idx = TemporalIndex.build(emb, "embedding", "insert_ts", path,
+                                  bucket="month", dim=COMPILE_DIM)
+    _temporal_cache[key] = idx
+    return idx
+
+
+def _q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temporal_knn_search (index_temporal.c:175-260): cutoff at day 100
+    (synthetic insert_ts = epoch + vec_id days), score = -l2 decayed by
+    exp(-0.1·age_days). Timestamps are tz-aware instants so the result is
+    session-TZ-independent; exp() differs ≤1 ulp across engines → both
+    sides round the score to 6 decimals (same rule as events_time_decay)."""
+    import datetime as _dt
+
+    idx = _temporal_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    now = _dt.datetime(1970, 4, 11, tzinfo=_dt.timezone.utc)  # day 100
+    out = idx.search(spark, q, k=10, hi=now, decay_rate=0.1, now=now,
+                     tiebreak=["vec_id"])
+    # + 0.0 normalizes IEEE -0.0 (the self-match row) to +0.0 on both engines
+    return out.select(
+        "vec_id", (F.round(F.col("score"), 6) + F.lit(0.0)).alias("decayed_score")
+    )
+
+
+def _sql_temporal() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    # age_days mirrors the engine chain exactly: every step lands on exact
+    # doubles ((now_us - ts_us) / day_us with ts multiples of day_us)
+    age = (
+        f"((100.0 * {float(_DAY_US)!r}) - (CAST(e.vec_id AS DOUBLE) * "
+        f"{float(_DAY_US)!r})) / {float(_DAY_US)!r}"
+    )
+    return f"""{QVEC_CTE}
+SELECT e.vec_id,
+       (round((-({d})) * exp(-0.1 * ({age})), 6) + 0.0) AS decayed_score
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <= 100
+ORDER BY (-({d})) * exp(-0.1 * ({age})) DESC, e.vec_id ASC LIMIT 10"""
+
+
 QUERIES = {
     "ivf_knn_full_probe": (_q_ivf_full, _sql_ivf_full()),
     "ivf_knn_probe": (_q_ivf_probe, None),
+    "tenant_knn_search": (_q_tenant, _sql_tenant()),
+    "temporal_knn_decay": (_q_temporal, _sql_temporal()),
 }
