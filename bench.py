@@ -53,8 +53,23 @@ def main() -> None:
             _F.lit(0.0), lambda a, x: a + x,
         )
         _w = _W.partitionBy(_F.col("label")).orderBy("vec_id")
+        # map/array kernels (sparse metrics, casts) JIT separately from
+        # the arithmetic fold — touch them once too
+        _m = _F.map_from_arrays(
+            _F.sequence(_F.lit(1), _F.lit(4)), _F.slice(_F.col("embedding"), 1, 4)
+        )
+        _s = _F.aggregate(
+            _F.array_intersect(
+                _F.sequence(_F.lit(1), _F.lit(4)), _F.sequence(_F.lit(2), _F.lit(5))
+            ),
+            _F.lit(0.0),
+            lambda a, k: a + _F.coalesce(
+                _F.try_element_at(_m, k), _F.lit(0.0)
+            ).cast("double"),
+        )
         (
             _e.withColumn("_d", _d)
+            .withColumn("_s", _s)
             .withColumn("_rn", _F.row_number().over(_w))
             .join(_e.select(_F.col("vec_id").alias("_v2")), _F.col("vec_id") == _F.col("_v2"))
             .count()

@@ -261,9 +261,11 @@ class MLEngine:
         )
         if len(labels) >= (1 << 13):
             raise ValueError("neurondb: knn supports at most 8192 labels")
+        import pandas as pd
+
         label_dict = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(labels)], "_lidx long, _label double"
-        )
+            pd.DataFrame({"_lidx": range(len(labels)), "_label": labels})
+        )  # pd path = Arrow, no pickled-RDD python worker
         # uid collisions (mod 2^50) are harmless: rows colliding on
         # (_dist, _tid) necessarily share a label, and the vote counts
         # neighbor rows, not distinct ids

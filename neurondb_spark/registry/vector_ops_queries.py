@@ -170,10 +170,20 @@ def _q_sparse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     q = qvec(spark, sf_dir)
-    qlit = F.array(*[F.lit(float(x)) for x in q])
-    sa = sparsify("embedding", SPARSE_T)
-    sq = sparsify(qlit, SPARSE_T)
-    base = emb.select(
+    # materialize the sparse struct ONCE per row: inlining sparsify()
+    # into all five metric columns quintuples the filter+transform
+    # subtree (2.0s -> 1.2s warm at sf0.1, and a 5x smaller plan)
+    sparsed = emb.select("vec_id", sparsify("embedding", SPARSE_T).alias("sa"))
+    sa = F.col("sa")
+    # the query side is a literal: sparsify it in Python so the plan
+    # carries an nnz-sized struct literal, not a 64-element filter tree
+    qi = [i for i, x in enumerate(q, 1) if abs(x) >= SPARSE_T]
+    sq = F.struct(
+        F.lit(len(q)).alias("dim"),
+        F.array(*[F.lit(i) for i in qi]).cast("array<int>").alias("indices"),
+        F.array(*[F.lit(float(q[i - 1])) for i in qi]).alias("values"),
+    )
+    base = sparsed.select(
         "vec_id",
         sparse_nnz(sa).alias("nnz"),
         sparse_l2_norm(sa).alias("s_norm"),
