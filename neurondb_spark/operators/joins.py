@@ -213,3 +213,80 @@ def knn_join_gemm(
         .where(F.col("_knn_rn") <= k)
         .drop("_knn_rn")
     )
+
+
+def vec_join_gemm(
+    left: DataFrame,
+    right: DataFrame,
+    left_vec: str,
+    right_vec: str,
+    left_id: str,
+    right_id: str,
+    threshold: float,
+    on: str,
+    metric: str = "l2",
+    dim: int | None = None,
+    margin: float = 1e-6,
+    dist_col: str = "distance",
+) -> DataFrame:
+    """Threshold similarity join via per-block BLAS — the vectorized form
+    of ``vec_join`` for when the per-pair volume makes the interpreted
+    higher-order fold the bottleneck (Spark HOFs never enter codegen:
+    ~10µs/pair at dim=64 vs ~0.1µs in a BLAS matmul).
+
+    Same candidate semantics as vec_join(on=[on]): pairs meet only inside
+    a block. Stages:
+
+    1. cogroup on the block key; one distance matrix per block emits
+       candidate id pairs with GEMM distance ≤ threshold + ``margin``.
+    2. candidates (already ≲ the final pair count) join back to their
+       vectors and the distance is RECOMPUTED with the exact elementwise
+       fold, re-filtered at ``threshold`` — emitted doubles are
+       bit-identical to the fold definition (GEMM differs ~1e-15
+       relative, far below ``margin``, so stage 1 never drops a true
+       pair; cf. the same two-phase trick in ml/outliers.lof).
+
+    Block sizes must fit a task (rows²·8B matrix) — at corpus scale use a
+    finer block key (LSH band / IVF cluster), exactly as vec_join's
+    docstring prescribes for its hash-join path.
+    """
+    import numpy as np  # noqa: F401
+
+    if metric != "l2":
+        raise ValueError("neurondb: vec_join_gemm supports l2 only")
+    lx = left.select(F.col(on).alias("_bk"), F.col(left_id), F.col(left_vec))
+    rx = right.select(F.col(on).alias("_bk"), F.col(right_id), F.col(right_vec))
+    lid_t = dict(left.dtypes)[left_id]
+    rid_t = dict(right.dtypes)[right_id]
+    thr = float(threshold) + float(margin)
+
+    def _block_pairs(lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({left_id: [], right_id: []})
+        X = np.array(lpdf[left_vec].tolist(), dtype=np.float64)
+        R = np.array(rpdf[right_vec].tolist(), dtype=np.float64)
+        D = (X * X).sum(1)[:, None] + (R * R).sum(1)[None, :] - 2.0 * (X @ R.T)
+        np.maximum(D, 0.0, out=D)
+        ii, jj = np.nonzero(D <= thr * thr)
+        return pd.DataFrame({
+            left_id: lpdf[left_id].to_numpy()[ii],
+            right_id: rpdf[right_id].to_numpy()[jj],
+        })
+
+    pairs = (
+        lx.groupBy("_bk")
+        .cogroup(rx.groupBy("_bk"))
+        .applyInPandas(_block_pairs, f"{left_id} {lid_t}, {right_id} {rid_t}")
+    )
+    lv = left.select(F.col(left_id), F.col(left_vec).alias("_lv"))
+    rv = right.select(F.col(right_id), F.col(right_vec).alias("_rv"))
+    d = distance("_lv", "_rv", metric, dim=dim, checked=False)
+    return (
+        pairs.join(lv, left_id).join(rv, right_id)
+        .withColumn(dist_col, d)
+        .where(F.col(dist_col) <= F.lit(float(threshold)))
+        .drop("_lv", "_rv")
+    )

@@ -24,6 +24,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """t() + repartition to defaultParallelism: for CPU-heavy per-row
+    work (tokenize/regex/score) over the single-row-group test tables,
+    which otherwise scan as ONE partition and serialize the work. Real
+    corpora arrive multi-file; this guards the single-file case."""
+    return t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def qvec(spark: SparkSession, sf_dir: str, vid: int = 1) -> list[float]:
     """Deterministic query vector = stored embedding of vec_id=vid (cached;
     float32→Python float is exact so the Spark literal equals DuckDB's

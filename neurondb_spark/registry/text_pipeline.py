@@ -27,7 +27,7 @@ from neurondb_spark.operators.dedup import (
     simhash,
     simhash_neardup_pairs,
 )
-from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, t
+from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, t, tp
 
 NUM_MINHASHES = 8
 
@@ -61,7 +61,9 @@ FROM documents"""
 
 
 def _q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # per-row tokenize+filter is CPU-bound: parallelize the single-file
+    # scan (2.3s → 0.7s at sf0.1, shuffle included)
+    docs = tp(spark, sf_dir, "documents")
     return (
         docs.select(detect_language("text").alias("lang_pred"))
         .groupBy("lang_pred")

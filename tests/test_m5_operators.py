@@ -199,3 +199,38 @@ def test_graph_dfs_preorder(spark):
     order = dfs(edges, "a")
     assert order == ["a", "b", "d", "c"]  # preorder, ascending neighbors
     assert dfs(edges, "x") == ["x", "y"]
+
+
+def test_vec_join_gemm_matches_fold_path(spark):
+    """The BLAS threshold join must emit exactly vec_join's pairs AND
+    bit-identical distances (exact-fold recompute on survivors)."""
+    from neurondb_spark.operators.joins import vec_join, vec_join_gemm
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    want = (
+        vec_join(
+            emb, emb.withColumnRenamed("vec_id", "vec_id_r"),
+            "embedding", "embedding", threshold=1.2, on=["label"],
+        )
+        .where(F.col("vec_id") < F.col("vec_id_r"))
+        .select("vec_id", "vec_id_r", "distance")
+        .collect()
+    )
+    got = (
+        vec_join_gemm(
+            emb,
+            emb.select(F.col("vec_id").alias("vec_id_r"), "label",
+                       F.col("embedding").alias("embedding_r")),
+            "embedding", "embedding_r", "vec_id", "vec_id_r",
+            threshold=1.2, on="label",
+        )
+        .where(F.col("vec_id") < F.col("vec_id_r"))
+        .select("vec_id", "vec_id_r", "distance")
+        .collect()
+    )
+    key = lambda r: (r[0], r[1])  # noqa: E731
+    assert sorted(map(tuple, got), key=key) == sorted(map(tuple, want), key=key)
+    assert len(got) > 0
