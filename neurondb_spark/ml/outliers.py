@@ -154,8 +154,6 @@ def ocsvm(
     ids at the stride quantiles) — the scores themselves stay fully
     distributed either way.
     """
-    from pyspark.sql import Window as W
-
     if not 0.0 < nu <= 1.0:
         raise ValueError("neurondb: ocsvm nu must be in (0, 1]")
     if gamma <= 0.0:
@@ -163,15 +161,21 @@ def ocsvm(
     keep = keep_cols if keep_cols is not None else [
         c for c in df.columns if c != vec_col
     ]
-    n = df.count()
+    # strided-rank SV selection WITHOUT a global window sort: ids are a
+    # narrow column — collect them sorted (one job, replaces the count
+    # job too), stride in Python, fetch just the SV rows through a
+    # pushed-down isin scan. Same rows as the former row_number() path.
+    ids = [r[0] for r in df.select(id_col).orderBy(id_col).collect()]
+    n = len(ids)
     if n < 2:
         raise ValueError("neurondb: ocsvm needs >= 2 vectors")
     n_sv = max(1, min(int(nu * n), max_sv))
-    sv_ranks = {(i * n) // n_sv + 1 for i in range(n_sv)}  # 1-based rows
-    w = W.orderBy(F.col(id_col).asc())
-    ranked = df.select(id_col, vec_col).withColumn("_rn", F.row_number().over(w))
+    sv_ids = [ids[(i * n) // n_sv] for i in range(n_sv)]  # rank-1 indexing
     sv_rows = (
-        ranked.where(F.col("_rn").isin(*sv_ranks)).orderBy("_rn").collect()
+        df.select(id_col, vec_col)
+        .where(F.col(id_col).isin(sv_ids))
+        .orderBy(id_col)
+        .collect()
     )
     svmat = F.array(
         *[
@@ -191,7 +195,12 @@ def ocsvm(
         )
         / F.lit(float(len(sv_rows)))
     )
-    scored = df.select(*keep, score.alias("ocsvm_score")).localCheckpoint()
+    # spread the interpreted RBF fold (n_sv·dim HOF ops per row) across
+    # cores — a single-file scan would run it on one partition
+    par = df.sparkSession.sparkContext.defaultParallelism
+    scored = df.repartition(par).select(
+        *keep, score.alias("ocsvm_score")
+    ).localCheckpoint()
     idx = min(int(nu * n), n - 1)
     thr = (
         scored.select("ocsvm_score")
