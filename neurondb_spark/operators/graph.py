@@ -23,6 +23,7 @@ from neurondb_spark.functions.aggregates import bsum
 def bfs(
     edges: DataFrame, start, max_depth: int = 3,
     src: str = "src", dst: str = "dst", directed: bool = False,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Frontier-expansion BFS: (node, depth of first reach), depth ≤
     max_depth (vgraph_bfs, vector_graph_ops.c:176). One join per level.
@@ -37,7 +38,13 @@ def bfs(
     e = edges.select(src, dst)
     if not directed:
         e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
-    e = e.distinct().localCheckpoint()
+    if dedup_edges:
+        # duplicate edges only inflate the frontier join; pass
+        # dedup_edges=False when the input is already distinct AND no
+        # reversed pair can collide with a forward one (e.g. bipartite
+        # encodings) — skips a full-edge shuffle
+        e = e.distinct()
+    e = e.localCheckpoint()
     start_df = e.sparkSession.createDataFrame([(start, 0)], ["node", "depth"])
     visited = start_df.withColumn("depth", F.col("depth").cast("int"))
     frontier = visited
@@ -91,7 +98,7 @@ def dfs(
 def pagerank(
     edges: DataFrame, iterations: int = 5, damping: float = 0.85,
     src: str = "src", dst: str = "dst", exact: bool = True,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 3, dedup_edges: bool = True,
 ) -> DataFrame:
     """Iterative PageRank: pr = (1−d)/N + d·Σ_in pr(u)/outdeg(u)
     (vgraph_pagerank, vector_graph_ops.c:519). Dangling nodes keep the
@@ -102,7 +109,9 @@ def pagerank(
     rank frame is checkpointed every ``checkpoint_every`` iterations, so
     plan depth (and recovery-chain length) stays bounded regardless of
     iteration count."""
-    e = edges.select(src, dst).distinct()
+    e = edges.select(src, dst)
+    if dedup_edges:  # False when the caller guarantees distinct edges
+        e = e.distinct()
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))

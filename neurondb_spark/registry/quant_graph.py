@@ -158,7 +158,7 @@ FROM lineitem"""
 
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
-    pr = pagerank(e, iterations=3, damping=0.85, exact=True)
+    pr = pagerank(e, iterations=3, damping=0.85, exact=True, dedup_edges=False)
     return pr.select("node", "pr").orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
 
 
@@ -193,7 +193,9 @@ SELECT node, pr FROM r3 ORDER BY pr DESC, node ASC LIMIT 20"""
 
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
-    return bfs(e, 3, max_depth=2).select(  # node 3 = supplier 1
+    # edges are distinct and bipartite-encoded (even→odd), so the
+    # undirected union cannot create duplicates — skip bfs's dedup shuffle
+    return bfs(e, 3, max_depth=2, dedup_edges=False).select(  # node 3 = supplier 1
         "node", F.col("depth").cast("int").alias("depth")
     )
 
