@@ -57,22 +57,41 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
         "faceted_vector_search", "multi_vector_search", "vec_window_rank",
         "hybrid_search", "bm25_topk", "rrf_fusion",
     }),
+    # the 50 rows in CORRECTNESS_r03.json (49 green/rows-only +
+    # stream_job_queue ERROR — the latter stays in FORCE_RECHECK below).
+    3: frozenset({
+        "centroid_drift", "chunk_documents", "community_label_propagation",
+        "distribution_divergence", "embedding_neardup_pairs", "events_hourly",
+        "events_sessionize", "events_time_decay", "events_topk_users",
+        "fingerprint_dedup", "graph_bfs", "graph_knn", "graph_pagerank",
+        "hash_embed", "int8_quantize_analysis", "isolation_forest_outliers",
+        "ivf_knn_full_probe", "ivf_knn_probe", "js_divergence_hist",
+        "knn_classify_vote", "label_f1_at_k", "label_recall_at_k",
+        "lang_detect_counts", "linreg_closed_form", "lof_outliers",
+        "ltr_rerank", "minhash_signatures", "ml_kmeans_clusters",
+        "ml_knn_predictions", "ml_logreg_predictions", "mmr_rerank",
+        "ngram_jaccard_pairs", "ocsvm_outliers", "opq_rotated_variance",
+        "quantize_int4_fp8", "rag_query", "rerank_lexical",
+        "simhash_neardup_pairs", "simhash_signatures", "sparse_metrics_knn",
+        "sparse_search_tf", "stream_job_queue", "temporal_knn_decay",
+        "tenant_knn_search", "text_stats", "ts_arima_forecast",
+        "tsne_label_centroids", "vec_join_threshold", "vector_masked_ops",
+        "zscore_outliers",
+    }),
 }
 
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # rewritten in round 3 (codec parity, blocked graph build, queue,
-    # checkpoint discipline, arima assert, simhash checkpoint+repartition):
-    "quantize_int4_fp8", "graph_knn", "stream_job_queue",
-    "simhash_neardup_pairs", "community_label_propagation",
-    "ts_arima_forecast",
-    # graph traversals got the same round-3 checkpoint-discipline rewrite;
-    # forcing them keeps them inside the 50-cap now that 95 > 50+checked —
-    # the two r01-greens deferred to round 4 instead
-    # (int8_quantize_analysis, binary_hamming_knn) are unchanged since r01.
-    "graph_bfs", "graph_pagerank",
+    # ERROR in r03 (foreachBatch task failure under full-gate load) —
+    # hardened in round 4; must re-verify.
+    "stream_job_queue",
+    # rewritten in round 4 (scale-safe SV selection / threshold path,
+    # _bucket partition-pruned search, deterministic forest sample,
+    # stable-qid kNN predict, int4 nibble clamp):
+    "ocsvm_outliers", "temporal_knn_decay", "isolation_forest_outliers",
+    "ml_knn_predictions", "quantize_int4_fp8",
 })
 
 
