@@ -106,8 +106,7 @@ class JobQueueWorker:
             os.path.join(self.out_dir, "done", f"batch_id={batch_id}")
         )
 
-    def run_once(self) -> None:
-        """neuranq_run_once analog: drain everything currently queued."""
+    def _run_streaming(self) -> None:
         stream = (
             self.spark.readStream.schema(JOB_SCHEMA)
             .parquet(self.queue_dir)
@@ -118,7 +117,42 @@ class JobQueueWorker:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:  # failed awaits can leave the query registered
+                q.stop()
+
+    def drain_batch(self) -> None:
+        """Batch-drain path with identical done-rows to a streaming drain.
+
+        AvailableNow semantics are a run-once drain of everything queued,
+        so ``spark.read`` over the queue directory + the same
+        ``_process_batch`` yields the same rows — only the done/batch_id
+        file layout differs. The done directory is cleared first so a
+        partially-committed streaming attempt can't leave duplicates."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.out_dir, "done"), ignore_errors=True)
+        df = self.spark.read.schema(JOB_SCHEMA).parquet(self.queue_dir)
+        self._process_batch(df, 0)
+
+    def run_once(self, retries: int = 1) -> None:
+        """neuranq_run_once analog: drain everything currently queued.
+
+        Hardened against transient streaming-infrastructure failures
+        (python-worker churn under heavy multi-query sessions): retries
+        the streaming drain once — the idempotent batch_id-keyed
+        overwrite sink makes a replay safe — then falls back to the
+        batch drain, which produces identical done-rows."""
+        for attempt in range(retries + 1):
+            try:
+                self._run_streaming()
+                return
+            except Exception:
+                if attempt < retries:
+                    time.sleep(1.0)
+        self.drain_batch()
 
     def processed(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir, "done"))

@@ -40,6 +40,7 @@ def value_hash(pdf) -> str:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark("driver-sim")
     con = duckdb.connect()
     for t in TABLES:
@@ -52,6 +53,8 @@ def main() -> None:
     results = {}
     oracles = entrymod.oracle_sql()
     for name, q in entrymod.queries().items():
+        if only is not None and name not in only:
+            continue
         sdf = q(spark, sf_dir).toPandas()
         if name not in oracles:
             results[name] = {"mode": "rows_only", "rows": len(sdf), "ok": True}

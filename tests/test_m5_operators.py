@@ -73,6 +73,57 @@ def test_job_queue_batch_replay_is_exactly_once(spark):
         assert rows[2]["status"] == "complete"
 
 
+def test_job_queue_batch_drain_matches_streaming(spark):
+    """drain_batch (the fallback path) must yield the same done-rows as
+    the streaming drain, and run_once must fall back to it when the
+    streaming infrastructure fails."""
+    from neurondb_spark.streaming.queue import JobQueueWorker, enqueue_jobs
+
+    jobs = [
+        {"id": i, "job_type": ("embed" if i % 2 == 0 else "reindex"),
+         "payload": {"k": i}}
+        for i in range(8)
+    ]
+    handlers = {"embed": lambda r: {"echo_id": r["id"]}}
+
+    def done_rows(worker):
+        return sorted(
+            (r["id"], r["job_type"], r["status"], r["result"])
+            for r in worker.processed().collect()
+        )
+
+    with tempfile.TemporaryDirectory() as td:
+        enqueue_jobs(spark, os.path.join(td, "q1"), jobs)
+        ws = JobQueueWorker(
+            spark, os.path.join(td, "q1"), os.path.join(td, "o1"), handlers
+        )
+        ws.run_once()
+        streamed = done_rows(ws)
+
+        enqueue_jobs(spark, os.path.join(td, "q2"), jobs)
+        wb = JobQueueWorker(
+            spark, os.path.join(td, "q2"), os.path.join(td, "o2"), handlers
+        )
+        wb.drain_batch()
+        assert done_rows(wb) == streamed
+
+        # streaming hard-down -> run_once transparently batch-drains
+        enqueue_jobs(spark, os.path.join(td, "q3"), jobs)
+        wf = JobQueueWorker(
+            spark, os.path.join(td, "q3"), os.path.join(td, "o3"), handlers
+        )
+        calls = {"n": 0}
+
+        def _boom():
+            calls["n"] += 1
+            raise RuntimeError("python worker factory crashed")
+
+        wf._run_streaming = _boom
+        wf.run_once()
+        assert calls["n"] == 2  # first try + one retry
+        assert done_rows(wf) == streamed
+
+
 def test_monitor_stream_windowed_agg(spark):
     from pyspark.sql import types as T
 
