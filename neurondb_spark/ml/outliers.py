@@ -24,6 +24,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _values_at_ranks(df: DataFrame, col: str, ranks) -> dict:
+    """Exact order statistics of one column, distributed: {rank: value}
+    for 0-indexed ascending ``ranks``.
+
+    ``sortBy`` range-partitions the narrow column (the only shuffle);
+    ``zipWithIndex`` attaches global positions from per-partition counts
+    (the driver holds one long per partition); the rank filter collects
+    only ``len(ranks)`` values. No full-column collect, no O(n) limit —
+    this is the scale-safe replacement for driver-side
+    ``sorted(collect())[k]`` and ``orderBy().limit(k)`` rank lookups.
+    Ties are fine: the value at a rank is unchanged by tie order.
+    """
+    want = {int(r) for r in ranks}
+    rdd = df.select(col).rdd.map(lambda r: r[0]).sortBy(lambda x: x)
+    return {i: v for v, i in rdd.zipWithIndex().filter(lambda t: t[1] in want).collect()}
+
+
 def _avg_path_length(n: int) -> float:
     """c(n) (ml_anomaly_detection.c:171-179)."""
     if n <= 1:
@@ -142,17 +159,14 @@ def ocsvm(
     falls below the nu-quantile (sorted_scores[int(nu·n)]).
 
     Spark shape: the strided SV rows (bounded by ``max_sv`` — the
-    reference's nu·n SVs would be 10% of the corpus at scale) are
-    selected by a window rank over ``id_col`` order and collected as an
-    expression literal; the score is then a pure fold over the SV matrix
-    (codegen'd, no shuffle, no UDF) and the exact-rank cutoff is a sort +
-    limit. Deterministic end to end, SQL-oracle hash-matchable.
-
-    Scale note: the SV-selection rank is a global (unpartitioned) window —
-    a single-task sort. Fine for the ≤max_sv lookup here; at corpus scale
-    swap for a sampled-quantile stride (sketch the id distribution, pick
-    ids at the stride quantiles) — the scores themselves stay fully
-    distributed either way.
+    reference's nu·n SVs would be 10% of the corpus at scale) sit at
+    exact ranks of the ``id_col`` order; both those ids and the
+    nu-quantile cutoff come from ``_values_at_ranks`` (distributed
+    narrow-column sort + zipWithIndex), so the driver only ever holds
+    ≤max_sv ids and one threshold double — no full-id collect, no
+    ``limit(O(n))`` TakeOrdered. The score itself is a pure fold over
+    the broadcast-literal SV matrix (codegen'd, no shuffle, no UDF).
+    Deterministic end to end, SQL-oracle hash-matchable.
     """
     if not 0.0 < nu <= 1.0:
         raise ValueError("neurondb: ocsvm nu must be in (0, 1]")
@@ -161,16 +175,14 @@ def ocsvm(
     keep = keep_cols if keep_cols is not None else [
         c for c in df.columns if c != vec_col
     ]
-    # strided-rank SV selection WITHOUT a global window sort: ids are a
-    # narrow column — collect them sorted (one job, replaces the count
-    # job too), stride in Python, fetch just the SV rows through a
-    # pushed-down isin scan. Same rows as the former row_number() path.
-    ids = [r[0] for r in df.select(id_col).orderBy(id_col).collect()]
-    n = len(ids)
+    n = df.count()
     if n < 2:
         raise ValueError("neurondb: ocsvm needs >= 2 vectors")
     n_sv = max(1, min(int(nu * n), max_sv))
-    sv_ids = [ids[(i * n) // n_sv] for i in range(n_sv)]  # rank-1 indexing
+    # exact strided ranks (rank-0 indexing of the oracle's 1-indexed
+    # (i*n)//n_sv + 1); duplicates collapse like the oracle's DISTINCT
+    sv_ranks = {(i * n) // n_sv for i in range(n_sv)}
+    sv_ids = sorted(_values_at_ranks(df, id_col, sv_ranks).values())
     sv_rows = (
         df.select(id_col, vec_col)
         .where(F.col(id_col).isin(sv_ids))
@@ -201,15 +213,9 @@ def ocsvm(
     scored = df.repartition(par).select(
         *keep, score.alias("ocsvm_score")
     ).localCheckpoint()
+    # exact-rank nu-quantile cutoff, distributed (no limit(O(n)) path)
     idx = min(int(nu * n), n - 1)
-    thr = (
-        scored.select("ocsvm_score")
-        .orderBy("ocsvm_score")
-        .limit(idx + 1)
-        .orderBy(F.col("ocsvm_score").desc())
-        .limit(1)
-        .head()[0]
-    )
+    thr = _values_at_ranks(scored, "ocsvm_score", {idx})[idx]
     return scored.withColumn("is_anomaly", F.col("ocsvm_score") < F.lit(thr))
 
 
@@ -221,19 +227,25 @@ def isolation_forest(
     contamination: float = 0.1,
     seed: int = 42,
     keep_cols: list[str] | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Isolation-forest scores + anomaly flags for every row.
 
-    Returns ``keep_cols + [anomaly_score, is_anomaly]``. Deterministic for
-    a fixed seed (sampling, tree builds, and the exact sorted-rank cutoff
-    are all seeded/exact).
+    Returns ``keep_cols + [anomaly_score, is_anomaly]``. Deterministic
+    for a fixed seed when ``id_col`` is given (the training pool is the
+    first rows in ``id_col`` order, so sampling, tree builds, and the
+    exact-rank cutoff are all pinned); without an id the pool follows
+    partition/file layout and scores can shift across repartitions.
     """
     keep = keep_cols if keep_cols is not None else [
         c for c in df.columns if c != vec_col
     ]
+    pool = df.select(vec_col) if id_col is None else (
+        df.select(id_col, vec_col).orderBy(id_col)
+    )
     sample = [
-        [float(x) for x in r[0]]
-        for r in df.select(vec_col).limit(n_trees * sample_size * 4).collect()
+        [float(x) for x in r[vec_col]]
+        for r in pool.limit(n_trees * sample_size * 4).collect()
     ]
     if len(sample) < 2:
         raise ValueError("neurondb: isolation_forest needs >= 2 vectors")
@@ -279,14 +291,9 @@ def isolation_forest(
     scored = df.select(*keep, vec_col).mapInPandas(_score, out_schema)
     scored = scored.localCheckpoint()  # score once; cutoff + flag reuse it
     n = scored.count()
-    # reference cutoff: sorted_scores[int((1 - contamination) * n)]
+    # reference cutoff: sorted_scores[int((1 - contamination) * n)],
+    # taken at exact rank distributed — the former orderBy().limit(idx+1)
+    # shipped (1-contamination)·n rows through a TakeOrdered
     idx = min(int((1.0 - contamination) * n), n - 1)
-    thr = (
-        scored.select("anomaly_score")
-        .orderBy("anomaly_score")
-        .limit(idx + 1)
-        .orderBy(F.col("anomaly_score").desc())
-        .limit(1)
-        .head()[0]
-    )
+    thr = _values_at_ranks(scored, "anomaly_score", {idx})[idx]
     return scored.withColumn("is_anomaly", F.col("anomaly_score") > F.lit(thr))

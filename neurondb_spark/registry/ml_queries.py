@@ -335,7 +335,7 @@ def _q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     out = isolation_forest(
         emb, "embedding", n_trees=50, sample_size=128, contamination=0.1,
-        seed=42, keep_cols=["vec_id", "label"],
+        seed=42, keep_cols=["vec_id", "label"], id_col="vec_id",
     )
     return (
         out.where(F.col("is_anomaly"))
