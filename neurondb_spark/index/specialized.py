@@ -223,10 +223,31 @@ class TemporalIndex:
         m = self.meta
         df = spark.read.parquet(os.path.join(self.path, "data"))
         ts = F.col(m["ts_col"])
-        if lo is not None:
-            df = df.where(ts >= F.lit(lo))
-        if hi is not None:
-            df = df.where(ts <= F.lit(hi))
+        if lo is not None or hi is not None:
+            # constrain the _bucket PARTITION column too — this is what
+            # actually prunes bucket directories from the scan
+            # (PartitionFilters); the row-level ts bound alone reads every
+            # file. Bucket strings come from the same date_trunc +
+            # date_format as build(), evaluated in a one-row job so the
+            # trunc semantics are identical; the format is
+            # lexicographically monotonic, and trunc is order-preserving,
+            # so bucket(lo) <= _bucket <= bucket(hi) is exact.
+            def _bucket_str(bound):
+                return F.date_format(
+                    F.date_trunc(m["bucket"], F.lit(bound).cast("timestamp")),
+                    "yyyy-MM-dd'T'HH",
+                )
+
+            bounds = spark.range(1).select(
+                *([_bucket_str(lo).alias("lo")] if lo is not None else []),
+                *([_bucket_str(hi).alias("hi")] if hi is not None else []),
+            ).head()
+            if lo is not None:
+                df = df.where(F.col("_bucket") >= F.lit(bounds["lo"]))
+                df = df.where(ts >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col("_bucket") <= F.lit(bounds["hi"]))
+                df = df.where(ts <= F.lit(hi))
         d = distance(m["vec_col"], _query_lit(query), m["metric"],
                      dim=m.get("dim"), checked=False)
         now_c = F.lit(now) if now is not None else F.current_timestamp()

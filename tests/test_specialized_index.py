@@ -104,6 +104,24 @@ def test_temporal_search_respects_time_filter(spark):
         assert ids and max(ids) <= 10
 
 
+def test_temporal_search_prunes_partitions(spark):
+    """The time filter must reach the _bucket PARTITION column, not just
+    the row-level ts column — PartitionFilters is the index's scale
+    contract (only the buckets in [lo, hi] are scanned)."""
+    df = _emb_ts(spark)
+    q = _query(spark)
+    with tempfile.TemporaryDirectory() as d:
+        idx = TemporalIndex.build(df, "embedding", "insert_ts", d, dim=DIM)
+        lo, hi = datetime.datetime(1970, 1, 5), datetime.datetime(1970, 1, 11)
+        res = idx.search(spark, q, k=100, lo=lo, hi=hi, now=hi,
+                         tiebreak=["vec_id"])
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "_bucket" in pf[0] and ">=" in pf[0] and "<=" in pf[0]
+        ids = [r["vec_id"] for r in res.collect()]
+        assert ids and 4 <= min(ids) and max(ids) <= 10
+
+
 def test_temporal_decay_reorders(spark):
     """With decay, an older slightly-closer vector can rank below a newer
     one; score must equal base*exp(-rate*age_days) exactly."""
