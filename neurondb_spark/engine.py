@@ -92,7 +92,16 @@ class NeuronSparkEngine:
         meta = self.catalog.get("indexes", index_name)
         if meta is None:
             return {"route": "exact", "reason": f"unknown index {index_name!r}"}
-        rows = n_rows or meta.get("rows") or 0
+        rows = n_rows if n_rows is not None else meta.get("rows")
+        if rows is None:
+            # catalogs written before row counts were recorded: backfill
+            # once from the index artifact (parquet metadata count — no
+            # data scan) instead of silently skipping the threshold rule
+            rows = self.spark.read.parquet(
+                os.path.join(meta["path"], "data")
+            ).count()
+            meta = dict(meta, rows=rows)
+            self.catalog.register("indexes", index_name, meta)
         if rows and rows < EXACT_SCAN_THRESHOLD:
             return {
                 "route": "exact",

@@ -108,15 +108,22 @@ def int4_pack(q: Column | str) -> Column:
         idx,
         lambda i: F.shiftleft(
             # a missing odd element packs as nibble 0 (reference zeroes the
-            # byte buffer before OR-ing nibbles in)
-            F.coalesce(F.element_at(q, i * 2 + 2) + 8, F.lit(0)), 4
-        ).bitwiseOR(F.coalesce(F.element_at(q, i * 2 + 1) + 8, F.lit(0))),
+            # byte buffer before OR-ing nibbles in); &15 mirrors the
+            # reference's uvalue clamp so out-of-range inputs can't bleed
+            # into the neighboring nibble
+            F.coalesce(F.element_at(q, i * 2 + 2) + 8, F.lit(0))
+            .bitwiseAND(F.lit(15)), 4
+        ).bitwiseOR(
+            F.coalesce(F.element_at(q, i * 2 + 1) + 8, F.lit(0))
+            .bitwiseAND(F.lit(15))
+        ),
     )
 
 
 def int4_unpack(p: Column | str, n: Column | None = None) -> Column:
     """Inverse of int4_pack: value = nibble − 8 (quantization.c:1290-1300).
-    ``n`` trims a padded trailing nibble when the original length was odd."""
+    ``n`` trims a padded trailing nibble when the original length was odd;
+    without ``n`` that pad nibble (stored as 0) decodes as −8."""
     p = F.col(p) if isinstance(p, str) else p
     flat = F.flatten(
         F.transform(

@@ -274,7 +274,10 @@ class MLEngine:
             F.col("_lidx") * F.lit(1 << 50)
             + F.pmod(F.monotonically_increasing_id(), F.lit(1 << 50)),
         )
-        q = df.withColumn("_qid", F.monotonically_increasing_id())
+        # materialize: _qid is nondeterministic, and q is evaluated by two
+        # independent jobs (the kNN join and the final q.join(pred)) — an
+        # unpinned id could mispair predictions after a shuffle upstream
+        q = df.withColumn("_qid", F.monotonically_increasing_id()).localCheckpoint()
         nn = knn_join_gemm(
             q.select("_qid", F.col(feat).cast("array<double>").alias("_qv")),
             train.select("_tid", "_feat"),
