@@ -109,17 +109,23 @@ def main() -> None:
         # whenever Python GC happens to run mid-measurement
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # Self-report the complete per-query JSON to a repo file: the driver
+    # captures only a bounded tail of stdout, which truncated the first
+    # ~20 queries out of BENCH_r03 — this file is the full record.
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as e:
+        print(f"# BENCH_SELF.json write skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -54,12 +54,18 @@ QVEC_CTE = "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1)"
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table with its nanosecond timestamps converted to
-    microsecond TimestampType — matching DuckDB's native truncating read of
-    TIMESTAMP(NANOS) parquet (Spark refuses nanos without the legacy conf;
-    values are positive so DIV 1000 = truncation on both engines)."""
+    """Load the events table normalized to microsecond TimestampType.
+
+    Handles both testdata generations: TIMESTAMP(NANOS) parquet (read as
+    BIGINT via the legacy conf, then DIV 1000 — truncation, matching
+    DuckDB's native nanos read) and plain TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ, cast to session-TZ timestamp — the UTC session makes
+    the naive values identical to DuckDB's)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # match DuckDB's
     # naive reads for date_trunc/epoch regardless of caller session TZ
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = ev.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 from neurondb_spark import oracle as O
 from neurondb_spark.functions.text import bm25_score, sql_bm25_score
 from neurondb_spark.operators.hybrid import (
+    hybrid_dense_sparse_search,
     hybrid_search,
     rank_list,
     reciprocal_rank_fusion,
+    semantic_keyword_search,
 )
 from neurondb_spark.operators.joins import vec_join
 from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, QVEC_CTE, qvec, t, tp
@@ -104,6 +106,60 @@ FROM dense FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id
 ORDER BY rrf_score DESC, doc_id ASC LIMIT 20"""
 
 
+def _q_semantic_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_keyword_search (hybrid_search.c:552-616): equal-weight
+    vector+keyword blend — the pytest-only family graduated to the gate."""
+    df = _docs_with_emb(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    out = semantic_keyword_search(
+        df, "embedding", "text", q, QUERY_TEXT,
+        k=12, dim=COMPILE_DIM, tiebreak=["doc_id"],
+    )
+    return out.select("doc_id", "combined_score")
+
+
+def _sql_semantic_keyword() -> str:
+    vs = f"(1.0 - {O.sql_l2('d.embedding', 'q.qe', EMB_DIM)})"
+    ts = sql_bm25_score(QUERY_TEXT, "d.text")
+    return f"""{QVEC_CTE}
+SELECT d.doc_id, (0.5 * {vs} + 0.5 * {ts}) AS combined_score
+FROM (SELECT doc.doc_id, doc.text, e.embedding FROM documents doc
+      JOIN embeddings e ON doc.doc_id = e.vec_id) d
+CROSS JOIN q
+ORDER BY combined_score DESC, d.doc_id ASC LIMIT 12"""
+
+
+def _q_hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_dense_sparse_search (src/search/hybrid_dense_sparse.c):
+    dense-rank + BM25-rank fused by RRF through the dedicated operator
+    (distinct from _q_rrf_fusion, which composes rank_list + RRF by hand)."""
+    df = _docs_with_emb(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    return hybrid_dense_sparse_search(
+        df, "embedding", "text", q, QUERY_TEXT,
+        k=15, k0=30.0, dim=COMPILE_DIM, id_col="doc_id",
+    )
+
+
+def _sql_hybrid_dense_sparse() -> str:
+    d = O.sql_l2("d.embedding", "q.qe", EMB_DIM)
+    ts = sql_bm25_score(QUERY_TEXT, "d.text")
+    return f"""{QVEC_CTE},
+j AS (SELECT doc.doc_id, doc.text, e.embedding
+      FROM documents doc JOIN embeddings e ON doc.doc_id = e.vec_id),
+dense AS (SELECT d.doc_id,
+          ROW_NUMBER() OVER (ORDER BY {d} ASC, d.doc_id ASC) AS rank
+          FROM j d CROSS JOIN q),
+sparse AS (SELECT d.doc_id,
+           ROW_NUMBER() OVER (ORDER BY {ts} DESC, d.doc_id ASC) AS rank
+           FROM j d)
+SELECT COALESCE(dense.doc_id, sparse.doc_id) AS doc_id,
+       (COALESCE(1.0 / (30.0 + CAST(dense.rank AS DOUBLE)), 0.0)
+        + COALESCE(1.0 / (30.0 + CAST(sparse.rank AS DOUBLE)), 0.0)) AS rrf_score
+FROM dense FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 15"""
+
+
 def _q_vec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec_join(threshold) via the per-block BLAS path: same label-blocked
     candidate semantics as vec_join(on=["label"]), but the ~400k in-block
@@ -141,5 +197,7 @@ QUERIES = {
     "hybrid_search": (_q_hybrid_search, _sql_hybrid_search()),
     "bm25_topk": (_q_bm25_topk, _sql_bm25_topk()),
     "rrf_fusion": (_q_rrf_fusion, _sql_rrf_fusion()),
+    "semantic_keyword_search": (_q_semantic_keyword, _sql_semantic_keyword()),
+    "hybrid_dense_sparse": (_q_hybrid_dense_sparse, _sql_hybrid_dense_sparse()),
     "vec_join_threshold": (_q_vec_join, _sql_vec_join()),
 }
