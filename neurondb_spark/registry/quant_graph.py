@@ -14,6 +14,8 @@ from neurondb_spark.functions.quantization import (
     int4_scale,
     int8_roundtrip_error,
     int8_scale,
+    vector_to_ternary,
+    vector_to_uint8,
 )
 from neurondb_spark.operators.graph import bfs, pagerank
 from neurondb_spark.registry.common import EMB_DIM, QVEC_CTE, qvec, t
@@ -113,6 +115,48 @@ SELECT vec_id, CAST(s AS DOUBLE) AS int4_scale,
        ({' + '.join(errs)}) / {float(EMB_DIM)!r} AS int4_err,
        {_sql_fp8_err_expr('e4m3')} AS fp8_e4m3_err,
        {_sql_fp8_err_expr('e5m2')} AS fp8_e5m2_err
+FROM sc"""
+
+
+def _q_uint8_ternary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantize_analyze over the uint8 min-max codec and the ternary
+    dead-zone codec (quantization.c:993-1037, ml_quantization fp8/ternary
+    family) — integer code stats per vector, so the hash compare is exact
+    by construction (no float accumulation at all)."""
+    emb = t(spark, sf_dir, "embeddings")
+    codes = vector_to_uint8("embedding")
+    tern = vector_to_ternary("embedding", 0.33)
+    return emb.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0), lambda acc, x: acc + x).alias("uint8_code_sum"),
+        F.array_max(codes).alias("uint8_code_max"),
+        F.size(F.filter(tern, lambda x: x == 1)).alias("tern_pos"),
+        F.size(F.filter(tern, lambda x: x == -1)).alias("tern_neg"),
+    )
+
+
+def _sql_uint8_ternary() -> str:
+    """uint8: (v−lo)·255/(hi−lo) truncated (DuckDB CAST rounds — must
+    trunc()); constant vector → all-zero codes. ternary: dead zone within
+    0.33·max|v|. All outputs integers — byte-exact across engines."""
+    lo = "CAST(list_aggregate(embedding, 'min') AS DOUBLE)"
+    hi = "CAST(list_aggregate(embedding, 'max') AS DOUBLE)"
+    code = (
+        "CAST(trunc(least(greatest((CAST(v AS DOUBLE) - lo) * s, 0.0), 255.0)) "
+        "AS INTEGER)"
+    )
+    cut = f"(list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') * {O.dlit(0.33)})"
+    return f"""WITH sc AS (
+  SELECT vec_id, embedding, {lo} AS lo, {hi} AS hi,
+         255.0 / ({hi} - {lo}) AS s, {cut} AS cut
+  FROM embeddings)
+SELECT vec_id,
+  CASE WHEN hi = lo THEN 0 ELSE CAST(list_aggregate(
+    list_transform(embedding, v -> {code}), 'sum') AS INTEGER) END AS uint8_code_sum,
+  CASE WHEN hi = lo THEN 0 ELSE CAST(list_aggregate(
+    list_transform(embedding, v -> {code}), 'max') AS INTEGER) END AS uint8_code_max,
+  CAST(length(list_filter(embedding, v -> CAST(v AS DOUBLE) > cut)) AS INTEGER) AS tern_pos,
+  CAST(length(list_filter(embedding, v -> CAST(v AS DOUBLE) < -cut)) AS INTEGER) AS tern_neg
 FROM sc"""
 
 
@@ -216,6 +260,7 @@ UNION ALL SELECT node, 2 FROM d2"""
 QUERIES = {
     "int8_quantize_analysis": (_q_int8_analysis, _sql_int8_analysis()),
     "quantize_int4_fp8": (_q_int4_fp8_analysis, _sql_int4_fp8_analysis()),
+    "quantize_uint8_ternary": (_q_uint8_ternary, _sql_uint8_ternary()),
     "binary_hamming_knn": (_q_binary_hamming_knn, _sql_binary_hamming_knn()),
     "graph_pagerank": (_q_pagerank, _sql_pagerank()),
     "graph_bfs": (_q_bfs, _SQL_BFS),
