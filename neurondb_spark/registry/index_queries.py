@@ -165,9 +165,65 @@ WHERE e.vec_id <= 100
 ORDER BY (-({d})) * exp(-0.1 * ({age})) DESC, e.vec_id ASC LIMIT 10"""
 
 
+_hybrid_cache: dict[str, "object"] = {}
+
+
+def _hybrid_index_for(spark: SparkSession, sf_dir: str):
+    from neurondb_spark.index.specialized import HybridIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _hybrid_cache:
+        return _hybrid_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_hybrid{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = HybridIndex.load(path)
+    else:
+        docs = t(spark, sf_dir, "documents")
+        emb = t(spark, sf_dir, "embeddings")
+        df = docs.join(emb, docs.doc_id == emb.vec_id).select(
+            "doc_id", "embedding", "text"
+        )
+        idx = HybridIndex.build(df, "embedding", "text", "doc_id", path,
+                                dim=COMPILE_DIM)
+    _hybrid_cache[key] = idx
+    return idx
+
+
+_HYBRID_QTEXT = "hash join merge sort"
+
+
+def _q_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_index_search (index_hybrid.c): prebuilt inverted postings +
+    vector layout; score = 0.5·(1−l2) + 0.5·Σtf over matched query terms.
+    The oracle recomputes the postings from raw text — proving the
+    build-time inversion loses no term counts."""
+    idx = _hybrid_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    return idx.search(spark, q, _HYBRID_QTEXT, k=12, alpha=0.5).select(
+        "doc_id", "score"
+    )
+
+
+def _sql_hybrid_index() -> str:
+    from neurondb_spark.functions.text import _py_tokenize, sql_tokenize
+
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    qterms = ", ".join(f"'{t}'" for t in dict.fromkeys(_py_tokenize(_HYBRID_QTEXT)))
+    tf = (
+        f"CAST(length(list_filter({sql_tokenize('doc.text')}, "
+        f"x -> x IN ({qterms}))) AS DOUBLE)"
+    )
+    return f"""{QVEC_CTE}
+SELECT doc.doc_id, (0.5 * (1.0 - {d}) + 0.5 * {tf}) AS score
+FROM documents doc JOIN embeddings e ON doc.doc_id = e.vec_id CROSS JOIN q
+ORDER BY score DESC, doc.doc_id ASC LIMIT 12"""
+
+
 QUERIES = {
     "ivf_knn_full_probe": (_q_ivf_full, _sql_ivf_full()),
     "ivf_knn_probe": (_q_ivf_probe, None),
     "tenant_knn_search": (_q_tenant, _sql_tenant()),
     "temporal_knn_decay": (_q_temporal, _sql_temporal()),
+    "hybrid_index_search": (_q_hybrid_index, _sql_hybrid_index()),
 }

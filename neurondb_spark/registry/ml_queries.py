@@ -452,8 +452,60 @@ def _q_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embeddings table, label-blocked neighborhoods
+    (ml_dbscan.c:184 — the reference's single-node RAM matrix becomes
+    blocked vec_join + degree agg + min-label connected components; every
+    step is a shuffle-keyed join, no driver state). Output (vec_id,
+    cluster) with cluster = min core id of the component, −1 = noise —
+    all integers, so the oracle hash is exact by construction."""
+    from neurondb_spark.ml.dbscan import dbscan
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = dbscan(
+        emb.select("vec_id", "label", "embedding"),
+        "embedding", "vec_id", eps=1.25, min_samples=4,
+        on=["label"], dim=COMPILE_DIM,
+    )
+    return out.select(F.col("id").alias("vec_id"), "cluster")
+
+
+def _sql_dbscan() -> str:
+    """Full DBSCAN in SQL: eps-pairs (self-pair included, so degree counts
+    self like the Spark path), cores by degree, min-reachable-core-id via
+    recursive CTE (= connected_components' min-label fixpoint), border =
+    min core neighbor's component, rest −1."""
+    d = O.sql_l2("a.embedding", "b.embedding", EMB_DIM)
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.label = b.label
+  WHERE {d} <= 1.25),
+deg AS (SELECT a, COUNT(*) AS c FROM pairs GROUP BY a),
+cores AS (SELECT a AS id FROM deg WHERE c >= 4),
+core_edges AS (
+  SELECT p.a AS src, p.b AS dst FROM pairs p
+  JOIN cores ca ON p.a = ca.id JOIN cores cb ON p.b = cb.id
+  WHERE p.a <> p.b),
+reach(node, r) AS (
+  SELECT id, id FROM cores
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN core_edges e ON e.src = reach.node),
+comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+border AS (
+  SELECT p.a AS id, MIN(c.comp) AS cluster
+  FROM pairs p JOIN cores cb ON p.b = cb.id JOIN comp c ON c.node = p.b
+  WHERE p.a NOT IN (SELECT id FROM cores)
+  GROUP BY p.a),
+labeled AS (
+  SELECT node AS id, comp AS cluster FROM comp
+  UNION ALL SELECT id, cluster FROM border)
+SELECT e.vec_id, COALESCE(l.cluster, -1) AS cluster
+FROM embeddings e LEFT JOIN labeled l ON e.vec_id = l.id"""
+
+
 QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
+    "dbscan_clusters": (_q_dbscan, _sql_dbscan()),
     "zscore_outliers": (_q_zscore, _SQL_ZSCORE),
     "centroid_drift": (_q_drift, _SQL_DRIFT),
     "distribution_divergence": (_q_distribution_divergence, _SQL_DIVERGENCE),
