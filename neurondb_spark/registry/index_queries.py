@@ -165,6 +165,135 @@ WHERE e.vec_id <= 100
 ORDER BY (-({d})) * exp(-0.1 * ({age})) DESC, e.vec_id ASC LIMIT 10"""
 
 
+_consistent_cache: dict[str, "object"] = {}
+
+
+def _consistent_index_for(spark: SparkSession, sf_dir: str):
+    """Build snapshot v1 from embeddings, then append 5 exact copies of
+    the query vector (ids 100000+) → v2. The returned handle is pinned to
+    v1 — the replica that opened before the append."""
+    from neurondb_spark.index.specialized import ConsistentIndex, _read_meta
+
+    key = sf_dir.rstrip("/")
+    if key in _consistent_cache:
+        return _consistent_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_consistent{tag}")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        idx = ConsistentIndex.build(emb, "embedding", "vec_id", path,
+                                    dim=COMPILE_DIM)
+        q = qvec(spark, sf_dir)
+        shadow = spark.createDataFrame(
+            [(100000 + i, [float(x) for x in q]) for i in range(5)],
+            schema=emb.schema,
+        )
+        idx.append(shadow)
+    from neurondb_spark.index.specialized import ConsistentIndex as CI
+
+    idx = CI(path, _read_meta(path), pinned=1)
+    _consistent_cache[key] = idx
+    return idx
+
+
+def _q_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """consistent_knn_search at eventual consistency (index_consistent.c):
+    the handle is pinned to snapshot v1; v2 contains 5 planted distance-0
+    shadow rows that would dominate the top-k — the oracle (brute force
+    over the ORIGINAL table) proves the pinned read excludes them, i.e.
+    snapshot isolation actually holds."""
+    idx = _consistent_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    return idx.search(spark, q, k=10, consistency_level="eventual").select(
+        "vec_id", "distance"
+    )
+
+
+def _sql_consistent() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
+_rerank_cache: dict[str, "object"] = {}
+_RERANK_WARM_K = 30
+
+
+def _rerank_index_for(spark: SparkSession, sf_dir: str):
+    """RerankIndex over the IVF base at full probe (exact base → the
+    candidate set is oracle-expressible); warmed once with the gate query
+    itself so the cache covers exactly the top _RERANK_WARM_K."""
+    from neurondb_spark.index.specialized import RerankIndex, _read_meta
+
+    key = sf_dir.rstrip("/")
+    if key in _rerank_cache:
+        return _rerank_cache[key]
+    spark.conf.set("spark.neurondb.ivf.nprobe", str(NLISTS))  # exact base
+    base = _index_for(spark, sf_dir)
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_rerank{tag}")
+    q = qvec(spark, sf_dir)
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = RerankIndex(path, base, _read_meta(path))
+    else:
+        idx = RerankIndex.create(base, path, "vec_id")
+    if not os.path.isdir(os.path.join(path, "cache")):
+        idx.warm(spark, [q], top_k=_RERANK_WARM_K)
+    _rerank_cache[key] = idx
+    return idx
+
+
+def _q_rerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rerank_get_candidates (index_rerank.c:374-430): fetch_factor·k
+    exact candidates left-joined against the warmed score cache —
+    cached_score = −distance for the warmed top-30, NULL beyond (the
+    partial-cache contract). The oracle rebuilds both tiers from brute
+    force."""
+    idx = _rerank_index_for(spark, sf_dir)
+    spark.conf.set("spark.neurondb.ivf.nprobe", str(NLISTS))
+    q = qvec(spark, sf_dir)
+    return idx.get_candidates(spark, q, k=5, fetch_factor=10).select(
+        "vec_id", "distance", "cached_score"
+    )
+
+
+def _sql_rerank_candidates() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE},
+ranked AS (
+  SELECT e.vec_id, {d} AS distance,
+         ROW_NUMBER() OVER (ORDER BY {d} ASC, e.vec_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN q)
+SELECT vec_id, distance,
+       CASE WHEN rnk <= {_RERANK_WARM_K} THEN -distance ELSE NULL END AS cached_score
+FROM ranked WHERE rnk <= 50"""
+
+
+_pq_cache: dict[str, tuple] = {}
+
+
+def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC top-k (pq_ops.c / quantization PQ family): 8-subspace
+    product codes trained by seeded per-subspace KMeans, asymmetric
+    distance over the code table. Approximate by construction → no SQL
+    oracle (rows-only); recall vs brute force is asserted in
+    tests/test_pq.py."""
+    from neurondb_spark.index.pq import PQCodebook, pq_search
+
+    key = sf_dir.rstrip("/")
+    emb = t(spark, sf_dir, "embeddings")
+    if key in _pq_cache:
+        cb = _pq_cache[key][0]
+    else:
+        cb = PQCodebook.train(emb, "embedding", dim=EMB_DIM, m=8, k=16, seed=42)
+        _pq_cache[key] = (cb,)
+    codes = emb.select("vec_id", cb.encode_expr("embedding").alias("codes"))
+    q = qvec(spark, sf_dir)
+    return pq_search(codes, cb, "codes", [float(x) for x in q], k=10)
+
+
 _hybrid_cache: dict[str, "object"] = {}
 
 
@@ -226,4 +355,7 @@ QUERIES = {
     "tenant_knn_search": (_q_tenant, _sql_tenant()),
     "temporal_knn_decay": (_q_temporal, _sql_temporal()),
     "hybrid_index_search": (_q_hybrid_index, _sql_hybrid_index()),
+    "consistent_snapshot_knn": (_q_consistent, _sql_consistent()),
+    "rerank_candidates": (_q_rerank_candidates, _sql_rerank_candidates()),
+    "pq_adc_topk": (_q_pq_adc, None),
 }

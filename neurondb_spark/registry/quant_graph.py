@@ -257,6 +257,43 @@ UNION ALL SELECT node, 1 FROM d1
 UNION ALL SELECT node, 2 FROM d2"""
 
 
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via min-label propagation to fixpoint
+    (vgraph_community/CC analog, vector_graph_ops.c) over a sparsified
+    part↔supplier graph (quantity≤1 edges, partkey≤200 — 37 components at
+    sf0.01, so the label fixpoint is non-trivial). Output (node, comp) =
+    min node id reachable — integers, exact hash."""
+    from neurondb_spark.operators.graph import connected_components
+
+    li = t(spark, sf_dir, "lineitem")
+    e = (
+        li.where((F.col("l_partkey") <= 200) & (F.col("l_quantity") <= 1))
+        .select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(e).select("node", "comp")
+
+
+def _sql_connected_components() -> str:
+    """Transitive closure seeded from every node + GROUP BY MIN — equal to
+    the min-label fixpoint on an undirected graph. The closure is
+    O(Σ component²) rows, so the edge filter keeps components small; the
+    Spark side has no such bound (per-iteration join+min scales)."""
+    return """WITH RECURSIVE e AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem WHERE l_partkey <= 200 AND l_quantity <= 1),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node)
+SELECT node, MIN(r) AS comp FROM reach GROUP BY node"""
+
+
 QUERIES = {
     "int8_quantize_analysis": (_q_int8_analysis, _sql_int8_analysis()),
     "quantize_int4_fp8": (_q_int4_fp8_analysis, _sql_int4_fp8_analysis()),
@@ -264,4 +301,5 @@ QUERIES = {
     "binary_hamming_knn": (_q_binary_hamming_knn, _sql_binary_hamming_knn()),
     "graph_pagerank": (_q_pagerank, _sql_pagerank()),
     "graph_bfs": (_q_bfs, _SQL_BFS),
+    "graph_connected_components": (_q_connected_components, _sql_connected_components()),
 }
