@@ -80,14 +80,22 @@ def main() -> None:
     # query latency — prebuild so probe queries measure the probe
     try:
         from neurondb_spark.registry.index_queries import (
+            _consistent_index_for,
+            _hnsw_index_for,
+            _hybrid_index_for,
             _index_for,
+            _rerank_index_for,
             _temporal_index_for,
             _tenant_index_for,
         )
 
+        _hnsw_index_for(spark, sf_dir)
         _index_for(spark, sf_dir)
         _tenant_index_for(spark, sf_dir)
         _temporal_index_for(spark, sf_dir)
+        _hybrid_index_for(spark, sf_dir)
+        _consistent_index_for(spark, sf_dir)
+        _rerank_index_for(spark, sf_dir)
     except Exception as e:
         print(f"# index prebuild skipped: {e}", file=sys.stderr)
 

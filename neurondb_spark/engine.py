@@ -65,17 +65,21 @@ class NeuronSparkEngine:
 
             nlists = params.pop("nlists", int(self.get_config("ivf.nlists", "100")))
             idx = IVFIndex.build(df, vec_col, path, nlists=nlists, metric=metric, dim=dim, **params)
-        elif method in ("lsh", "hnsw"):
-            # "hnsw" maps onto the LSH backend — the scan-friendly index
-            # serving the same approximate-kNN niche (see index/__init__)
+        elif method == "hnsw":
+            # real sharded HNSW graphs (hnsw_am.c semantics; index/hnsw.py)
+            from neurondb_spark.index.hnsw import HNSWIndex
+
+            id_col = params.pop("id_col", None)
+            if id_col is None:
+                raise ValueError("neurondb: hnsw index needs id_col=<column>")
+            idx = HNSWIndex.build(df, vec_col, id_col, path, dim=dim,
+                                  metric=metric, **params)
+        elif method == "lsh":
             from neurondb_spark.index.lsh import LSHIndex
 
             if dim is None:
-                raise ValueError("neurondb: lsh/hnsw index needs dim")
-            params.pop("m", None)
-            params.pop("ef_construction", None)  # HNSW reloptions: no-op here
+                raise ValueError("neurondb: lsh index needs dim")
             idx = LSHIndex.build(df, vec_col, path, dim=dim, metric=metric, **params)
-            method = "lsh"
         else:
             raise ValueError(f"neurondb: unknown index method {method!r}")
         self.catalog.register(
@@ -135,7 +139,7 @@ class NeuronSparkEngine:
         """
         with self.metrics.time("knn"):
             decision = self._route(index, None)
-            if decision["route"] in ("ivf", "lsh"):
+            if decision["route"] in ("ivf", "lsh", "hnsw"):
                 from pyspark.sql import Column
 
                 if isinstance(query, (Column, str)):
@@ -155,6 +159,12 @@ class NeuronSparkEngine:
                 idx = IVFIndex.load(decision["meta"]["path"])
                 return idx.search(self.spark, qvec, k=k,
                                   nprobe=probe_params.get("nprobe"), tiebreak=tiebreak)
+            if decision["route"] == "hnsw":
+                from neurondb_spark.index.hnsw import HNSWIndex
+
+                idx = HNSWIndex.load(decision["meta"]["path"])
+                return idx.search(self.spark, qvec, k=k,
+                                  ef_search=probe_params.get("ef_search", 64))
             if decision["route"] == "lsh":
                 from neurondb_spark.index.lsh import LSHIndex
 

@@ -1,0 +1,319 @@
+"""Sharded HNSW graph index — a real hierarchical navigable-small-world
+graph (SURVEY §2.5/§2.11; reference src/index/hnsw_am.c:1546-1650:
+ml_hnsw_insert / ml_hnsw_search_layer / greedy descent with
+M / ef_construction / ef_search), re-expressed for Spark's execution
+model.
+
+HNSW is pointer-chasing over an in-RAM graph — the one access pattern a
+columnar scan engine cannot express directly. The distributed form every
+production system uses (and the one that holds at 100 TB) is SHARDING:
+
+- **Build**: rows are hash-sharded; each shard's graph is built inside
+  one ``applyInPandas`` task from its partition's vectors (numpy, no
+  external ANN lib), then serialized as plain parquet rows
+  ``(shard, node, vec_id, vector, level, neighbors[layer][...])``
+  partitioned by shard. Each shard must fit one executor's RAM — the
+  same in-memory contract the reference's single-node index has, but
+  sharded N ways instead of capped at one machine.
+- **Search**: the query greedy-descends EVERY shard's graph in parallel
+  (one task per shard — partition-pruned scan of that shard's rows,
+  adjacency rebuilt in RAM, classic ef_search beam), each shard emits
+  its local top-k, and a global TakeOrdered merges k·num_shards
+  candidates. Latency is one shard's beam search; recall equals
+  single-graph HNSW with the same parameters because every shard is
+  searched (no routing loss).
+- **Determinism**: node levels are seeded by (seed, vec_id), insertion
+  order is vec_id order within a shard, and neighbor selection breaks
+  distance ties by id — two builds of the same data are identical.
+
+Graph parameters follow the reference's defaults: M=16 links per node
+(2M at layer 0), ef_construction=64, level ~ floor(-ln(U)·1/ln(M)).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _level_for(vec_id: int, seed: int, m_l: float) -> int:
+    """Deterministic geometric level: uniform from a seeded hash of the
+    row id (not a global RNG — makes builds reproducible AND independent
+    of insertion order across shards)."""
+    h = zlib.crc32(f"{seed}:{vec_id}".encode()) & 0xFFFFFFFF
+    u = (h + 0.5) / 4294967296.0
+    return int(-math.log(u) * m_l)
+
+
+def _pair_dist(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
+    """Distances from one query row ``a`` (1-D) to matrix ``b`` (2-D)."""
+    if metric == "l2":
+        d = b - a
+        return np.sqrt(np.maximum((d * d).sum(axis=1), 0.0))
+    if metric == "ip":
+        return -(b @ a)
+    if metric == "cosine":
+        an = np.linalg.norm(a)
+        bn = np.linalg.norm(b, axis=1)
+        denom = np.where(bn * an == 0.0, 1.0, bn * an)
+        return 1.0 - (b @ a) / denom
+    raise ValueError(f"neurondb: unsupported hnsw metric {metric!r}")
+
+
+class _ShardGraph:
+    """In-RAM HNSW over one shard's vectors (build side)."""
+
+    def __init__(self, vecs: np.ndarray, ids: np.ndarray, metric: str,
+                 m: int, ef_construction: int, seed: int):
+        self.vecs = vecs
+        self.ids = ids
+        self.metric = metric
+        self.m = m
+        self.m0 = 2 * m
+        self.ef = max(ef_construction, m + 1)
+        m_l = 1.0 / math.log(m) if m > 1 else 1.0
+        self.levels = np.array(
+            [_level_for(int(i), seed, m_l) for i in ids], dtype=np.int32
+        )
+        self.max_level = int(self.levels.max(initial=0))
+        # neighbors[layer][node] -> list[int] (indices into vecs)
+        self.neighbors: list[dict[int, list[int]]] = [
+            {} for _ in range(self.max_level + 1)
+        ]
+        self.entry: int | None = None
+        for idx in range(len(ids)):  # vec_id order = deterministic
+            self._insert(idx)
+
+    def _d(self, idx: int, others: list[int]) -> np.ndarray:
+        return _pair_dist(self.vecs[idx], self.vecs[others], self.metric)
+
+    def _search_layer(self, q: np.ndarray, entries: list[int], ef: int,
+                      layer: int) -> list[tuple[float, int]]:
+        """Classic ef-beam search (ml_hnsw_search_layer): returns up to ef
+        (dist, idx) sorted ascending; id tie-break keeps it deterministic."""
+        dist0 = _pair_dist(q, self.vecs[entries], self.metric)
+        visited = set(entries)
+        cand = [(float(d), int(e)) for d, e in zip(dist0, entries)]
+        heapq.heapify(cand)  # min-heap by distance
+        best = [(-d, e) for d, e in cand]  # max-heap of current top-ef
+        heapq.heapify(best)
+        while len(best) > ef:
+            heapq.heappop(best)
+        while cand:
+            d, node = heapq.heappop(cand)
+            if best and d > -best[0][0] and len(best) >= ef:
+                break
+            nbrs = [n for n in self.neighbors[layer].get(node, ())
+                    if n not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            nd = _pair_dist(q, self.vecs[nbrs], self.metric)
+            for dd, nn in zip(nd, nbrs):
+                dd = float(dd)
+                if len(best) < ef or dd < -best[0][0]:
+                    heapq.heappush(cand, (dd, int(nn)))
+                    heapq.heappush(best, (-dd, int(nn)))
+                    while len(best) > ef:
+                        heapq.heappop(best)
+        out = sorted(((-d, i) for d, i in best), key=lambda t: (t[0], self.ids[t[1]]))
+        return out
+
+    def _select(self, cands: list[tuple[float, int]], m: int) -> list[int]:
+        return [i for _, i in cands[:m]]
+
+    def _insert(self, idx: int) -> None:
+        level = int(self.levels[idx])
+        if self.entry is None:
+            self.entry = idx
+            for lay in range(level + 1):
+                self.neighbors[lay][idx] = []
+            return
+        q = self.vecs[idx]
+        ep = [self.entry]
+        entry_level = int(self.levels[self.entry])
+        for lay in range(entry_level, level, -1):  # greedy descent
+            ep = [self._search_layer(q, ep, 1, lay)[0][1]]
+        for lay in range(min(level, entry_level), -1, -1):
+            cands = self._search_layer(q, ep, self.ef, lay)
+            m_max = self.m0 if lay == 0 else self.m
+            chosen = self._select(cands, m_max)
+            self.neighbors[lay][idx] = list(chosen)
+            for c in chosen:  # bidirectional link + prune
+                lst = self.neighbors[lay].setdefault(c, [])
+                lst.append(idx)
+                if len(lst) > m_max:
+                    d = self._d(c, lst)
+                    order = sorted(
+                        range(len(lst)), key=lambda j: (d[j], self.ids[lst[j]])
+                    )
+                    self.neighbors[lay][c] = [lst[j] for j in order[:m_max]]
+            ep = [i for _, i in cands]
+        if level > entry_level:
+            self.entry = idx
+            for lay in range(entry_level + 1, level + 1):
+                self.neighbors[lay].setdefault(idx, [])
+
+    def rows(self, shard: int) -> "pd.DataFrame":
+        n = len(self.ids)
+        return pd.DataFrame({
+            "shard": np.full(n, shard, dtype=np.int32),
+            "vec_id": self.ids.astype(np.int64),
+            "vector": [v.tolist() for v in self.vecs],
+            "level": self.levels,
+            "is_entry": [i == self.entry for i in range(n)],
+            "adj": [
+                json.dumps([
+                    self.neighbors[lay].get(i, [])
+                    for lay in range(int(self.levels[i]) + 1)
+                ])
+                for i in range(n)
+            ],
+        })
+
+
+_GRAPH_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("vector", T.ArrayType(T.DoubleType())),
+    T.StructField("level", T.IntegerType()),
+    T.StructField("is_entry", T.BooleanType()),
+    T.StructField("adj", T.StringType()),
+])
+
+_CAND_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("distance", T.DoubleType()),
+])
+
+
+def _search_shard(pdf: pd.DataFrame, query: np.ndarray, k: int,
+                  ef_search: int, metric: str) -> pd.DataFrame:
+    """Beam-search one shard's graph (runs inside an applyInPandas task)."""
+    vecs = np.array(pdf["vector"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    levels = pdf["level"].to_numpy()
+    adj = [json.loads(a) for a in pdf["adj"]]
+    entry_pos = int(np.flatnonzero(pdf["is_entry"].to_numpy())[0])
+    # positions in this pdf ARE the graph's node indices only if the rows
+    # come back in build order — they don't (parquet shuffles row order),
+    # so remap via vec_id → position-at-build. Build wrote nodes in
+    # vec_id-sorted order, so argsort(ids) recovers it.
+    order = np.argsort(ids, kind="mergesort")
+    pos_of_build_idx = order  # build idx -> row position
+    vecs_b = vecs[order]
+    ids_b = ids[order]
+    levels_b = levels[order]
+    adj_b = [adj[i] for i in order]
+    entry_b = int(np.flatnonzero(order == entry_pos)[0])
+
+    g = _ShardGraph.__new__(_ShardGraph)
+    g.vecs = vecs_b
+    g.ids = ids_b
+    g.metric = metric
+    g.levels = levels_b
+    g.max_level = int(levels_b.max(initial=0))
+    g.neighbors = [{} for _ in range(g.max_level + 1)]
+    for i, layers in enumerate(adj_b):
+        for lay, nbrs in enumerate(layers):
+            g.neighbors[lay][i] = list(nbrs)
+    ep = [entry_b]
+    for lay in range(int(levels_b[entry_b]), 0, -1):
+        ep = [g._search_layer(query, ep, 1, lay)[0][1]]
+    found = g._search_layer(query, ep, max(ef_search, k), 0)[:k]
+    return pd.DataFrame({
+        "vec_id": [int(ids_b[i]) for _, i in found],
+        "distance": [float(d) for d, _ in found],
+    })
+
+
+class HNSWIndex:
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.meta = meta
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        path: str,
+        dim: int | None = None,
+        num_shards: int = 4,
+        m: int = 16,
+        ef_construction: int = 64,
+        metric: str = "l2",
+        seed: int = 42,
+    ) -> "HNSWIndex":
+        """Shard-parallel graph build: one applyInPandas task per shard;
+        each task's peak memory is its shard (rows/num_shards vectors +
+        adjacency) — size num_shards so that holds on an executor."""
+        msh = int(num_shards)
+        met = metric
+        mm, efc, sd = int(m), int(ef_construction), int(seed)
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_id", kind="mergesort")
+            vecs = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            ids = pdf["_id"].to_numpy()
+            shard = int(pdf["_shard"].iloc[0])
+            g = _ShardGraph(vecs, ids, met, mm, efc, sd)
+            return g.rows(shard)
+
+        base = df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+            (F.pmod(F.hash(F.col(id_col)), F.lit(msh))).alias("_shard"),
+        )
+        graph = base.groupBy("_shard").applyInPandas(_build, _GRAPH_SCHEMA)
+        graph.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(path, "data")
+        )
+        total = df.sparkSession.read.parquet(os.path.join(path, "data")).count()
+        meta = {
+            "version": 1, "method": "hnsw", "vec_col": vec_col,
+            "id_col": id_col, "metric": metric, "dim": dim, "m": m,
+            "ef_construction": ef_construction, "num_shards": num_shards,
+            "seed": seed, "total_rows": total, "built_at": time.time(),
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return HNSWIndex(path, meta)
+
+    @staticmethod
+    def load(path: str) -> "HNSWIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            return HNSWIndex(path, json.load(f))
+
+    def search(
+        self,
+        spark: SparkSession,
+        query: list[float],
+        k: int = 10,
+        ef_search: int = 64,
+        dist_col: str = "distance",
+    ) -> DataFrame:
+        """Every shard beam-searches in parallel; global TakeOrdered
+        merges num_shards·k candidates (tiny). Ordering is
+        (distance, vec_id) — deterministic."""
+        q = np.array([float(x) for x in query], dtype=np.float64)
+        kk, ef, met = int(k), int(ef_search), self.meta["metric"]
+
+        def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _search_shard(pdf, q, kk, ef, met)
+
+        df = spark.read.parquet(os.path.join(self.path, "data"))
+        cands = df.groupBy("shard").applyInPandas(_search, _CAND_SCHEMA)
+        out = cands.withColumnRenamed("distance", dist_col)
+        return out.orderBy(F.col(dist_col).asc(), F.col("vec_id").asc()).limit(kk)

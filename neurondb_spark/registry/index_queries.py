@@ -294,6 +294,62 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(codes, cb, "codes", [float(x) for x in q], k=10)
 
 
+_hnsw_cache: dict[str, "object"] = {}
+
+
+def _hnsw_index_for(spark: SparkSession, sf_dir: str):
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _hnsw_cache:
+        return _hnsw_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_hnsw{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = HNSWIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        idx = HNSWIndex.build(emb, "embedding", "vec_id", path, dim=EMB_DIM,
+                              num_shards=4, m=8, ef_construction=48, seed=7)
+    _hnsw_cache[key] = idx
+    return idx
+
+
+def _q_hnsw_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-HNSW search at exhaustive ef (≥ shard size): the beam
+    visits every reachable node, so on a connected graph the result IS
+    exact top-k — the oracle proves the graph build + shard merge lose
+    nothing (same contract as ivf_knn_full_probe). Realistic-ef recall is
+    asserted in tests/test_hnsw.py."""
+    from neurondb_spark.functions.distance import l2_distance
+    from neurondb_spark.operators.knn import _query_lit
+
+    idx = _hnsw_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    n = idx.meta["total_rows"]
+    hits = idx.search(spark, q, k=10, ef_search=int(n)).select("vec_id")
+    # numpy's pairwise-summation L2 inside the graph search is not
+    # bit-identical to the oracle's left-assoc fold — recompute survivors'
+    # distances with the engine's exact expression (the vec_join_gemm
+    # parity pattern); the candidate SET is what the graph determines
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.join(hits, "vec_id")
+        .select("vec_id",
+                l2_distance("embedding", _query_lit(q), dim=COMPILE_DIM,
+                            checked=False).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    )
+
+
+def _sql_hnsw_full() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
 _hybrid_cache: dict[str, "object"] = {}
 
 
@@ -358,4 +414,5 @@ QUERIES = {
     "consistent_snapshot_knn": (_q_consistent, _sql_consistent()),
     "rerank_candidates": (_q_rerank_candidates, _sql_rerank_candidates()),
     "pq_adc_topk": (_q_pq_adc, None),
+    "hnsw_knn_full_ef": (_q_hnsw_full, _sql_hnsw_full()),
 }
