@@ -20,6 +20,97 @@ from pyspark.sql import functions as F
 from neurondb_spark.functions.aggregates import bsum
 
 
+def parse_vgraph(s: str) -> tuple[int, list[tuple[int, int]]]:
+    """Parse the reference's vgraph text literal
+    ``{nodes:N,edges:[[a,b],...]}`` → (num_nodes, edges).
+
+    Mirrors vgraph_in (types_core.c:459-648) including its error
+    contracts: must start with '{', ``nodes`` is required and > 0, each
+    edge is a 2-element [from,to] with both endpoints in [0, N). The
+    ``edges:`` section is optional (a graph may have no edges).
+    Whitespace is tolerated everywhere, as in the C scanner."""
+    import re
+
+    pos = 0
+    n = len(s)
+
+    def skip_ws(extra: str = "") -> None:
+        nonlocal pos
+        while pos < n and (s[pos].isspace() or s[pos] in extra):
+            pos += 1
+
+    def expect(ch: str, msg: str) -> None:
+        nonlocal pos
+        skip_ws()
+        if pos >= n or s[pos] != ch:
+            raise ValueError(f"neurondb: {msg}")
+        pos += 1
+
+    def read_int(msg: str) -> int:
+        nonlocal pos
+        skip_ws()
+        m = re.match(r"[+-]?\d+", s[pos:])
+        if not m:
+            raise ValueError(f"neurondb: {msg}")
+        pos += m.end()
+        return int(m.group())
+
+    expect("{", "vgraph must start with '{'")
+    skip_ws()
+    num_nodes = 0
+    if s[pos:pos + 6] == "nodes:":
+        pos += 6
+        num_nodes = read_int("invalid nodes value in vgraph")
+    if num_nodes <= 0:
+        raise ValueError("neurondb: vgraph must specify nodes")
+    edges: list[tuple[int, int]] = []
+    skip_ws(",")
+    if s[pos:pos + 6] == "edges:":
+        pos += 6
+        expect("[", "edges must be an array")
+        while True:
+            skip_ws(",")
+            if pos >= n or s[pos] == "]":
+                break
+            expect("[", "each edge must be an array [from,to]")
+            a = read_int("invalid from node")
+            if not 0 <= a < num_nodes:
+                raise ValueError(
+                    f"neurondb: from node {a} out of range [0, {num_nodes})"
+                )
+            expect(",", "expected ',' between edge nodes")
+            b = read_int("invalid to node")
+            if not 0 <= b < num_nodes:
+                raise ValueError(
+                    f"neurondb: to node {b} out of range [0, {num_nodes})"
+                )
+            expect("]", "expected ']' after edge pair")
+            edges.append((a, b))
+        if pos < n and s[pos] == "]":
+            pos += 1
+    return num_nodes, edges
+
+
+def format_vgraph(num_nodes: int, edges: list[tuple[int, int]]) -> str:
+    """vgraph_out (types_core.c:652-686): ``{nodes:N,edges:[[a,b],...]}``,
+    no whitespace — round-trips through :func:`parse_vgraph`."""
+    body = ",".join(f"[{a},{b}]" for a, b in edges)
+    return f"{{nodes:{num_nodes},edges:[{body}]}}"
+
+
+def vgraph_edges_df(spark, literal: str, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bridge a vgraph literal into the edge-DataFrame world every
+    algorithm here operates on (the literal codec is value-level IO; the
+    DataFrame is the scale representation)."""
+    _, edges = parse_vgraph(literal)
+    schema = f"{src} long, {dst} long"
+    if not edges:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], schema
+    )
+
+
 def bfs(
     edges: DataFrame, start, max_depth: int = 3,
     src: str = "src", dst: str = "dst", directed: bool = False,
