@@ -96,6 +96,18 @@ def main() -> None:
         _hybrid_index_for(spark, sf_dir)
         _consistent_index_for(spark, sf_dir)
         _rerank_index_for(spark, sf_dir)
+        # PQ codebook training = CREATE INDEX analog; prebuild so
+        # pq_adc_topk measures the ADC scan, not 8 KMeans fits
+        from neurondb_spark.registry.index_queries import _pq_cache
+        from neurondb_spark.index.pq import PQCodebook
+        from neurondb_spark.registry.common import EMB_DIM, t as _t
+
+        key = sf_dir.rstrip("/")
+        if key not in _pq_cache:
+            _pq_cache[key] = (PQCodebook.train(
+                _t(spark, sf_dir, "embeddings"), "embedding",
+                dim=EMB_DIM, m=8, k=16, seed=42,
+            ),)
     except Exception as e:
         print(f"# index prebuild skipped: {e}", file=sys.stderr)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,6 +99,36 @@ class PQCodebook:
             )
             codes.append(F.array_min(pairs)["i"])
         return F.array(*codes)
+
+    def encode_udf(self):
+        """Arrow-batched numpy encoder — the corpus-scale path.
+
+        The expression form (``encode_expr``) unrolls m·k·(dim/m)
+        sub-distance terms; at m=8,k=16,dim=64 the generated method blows
+        janino's 64 KB limit and the whole stage silently runs
+        interpreted (~20× slower). The batch form is one (rows, k) GEMM
+        per subspace per Arrow batch — vectorized, constant code size.
+        Same argmin (lowest index wins ties in both numpy argmin and the
+        struct array_min), so codes are identical."""
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        books = [np.array(b, dtype=np.float64) for b in self.codebooks]
+        m, sub = self.m, self.sub
+
+        @pandas_udf("array<int>")
+        def _encode(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for mi in range(m):
+                xs = x[:, mi * sub:(mi + 1) * sub]
+                cb = books[mi]
+                # ||x-c||² = |x|² - 2x·c + |c|²; argmin unaffected by |x|²
+                d = -2.0 * (xs @ cb.T) + (cb * cb).sum(axis=1)
+                codes[:, mi] = np.argmin(d, axis=1)
+            return pd.Series([row.tolist() for row in codes])
+
+        return _encode
 
     def decode_expr(self, codes_col: Column | str) -> Column:
         """Reconstruct the (approximate) vector from codes."""

@@ -289,7 +289,7 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         cb = PQCodebook.train(emb, "embedding", dim=EMB_DIM, m=8, k=16, seed=42)
         _pq_cache[key] = (cb,)
-    codes = emb.select("vec_id", cb.encode_expr("embedding").alias("codes"))
+    codes = emb.select("vec_id", cb.encode_udf()(F.col("embedding")).alias("codes"))
     q = qvec(spark, sf_dir)
     return pq_search(codes, cb, "codes", [float(x) for x in q], k=10)
 

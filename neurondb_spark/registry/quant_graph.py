@@ -294,6 +294,33 @@ reach(node, r) AS (
 SELECT node, MIN(r) AS comp FROM reach GROUP BY node"""
 
 
+def _q_dfs_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS preorder from node 15 — the min node of the sparse graph's
+    largest component (29 nodes at sf0.01) — (vgraph_dfs,
+    vector_graph_ops.c:335): ascending-neighbor tie-break, bounded
+    collect — the reference's single-value semantics. Sequential by
+    nature → rows-only (the order IS deterministic; dfs determinism is
+    asserted in pytest)."""
+    from neurondb_spark.operators.graph import dfs
+
+    li = t(spark, sf_dir, "lineitem")
+    e = (
+        li.where((F.col("l_partkey") <= 200) & (F.col("l_quantity") <= 1))
+        .select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    order = dfs(e, 15, max_depth=12)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"pos": range(len(order)),
+                      "node": pd.Series(order, dtype="int64")})
+    )
+
+
 QUERIES = {
     "int8_quantize_analysis": (_q_int8_analysis, _sql_int8_analysis()),
     "quantize_int4_fp8": (_q_int4_fp8_analysis, _sql_int4_fp8_analysis()),
@@ -302,4 +329,5 @@ QUERIES = {
     "graph_pagerank": (_q_pagerank, _sql_pagerank()),
     "graph_bfs": (_q_bfs, _SQL_BFS),
     "graph_connected_components": (_q_connected_components, _sql_connected_components()),
+    "graph_dfs_order": (_q_dfs_order, None),
 }

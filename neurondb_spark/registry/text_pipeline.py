@@ -262,8 +262,65 @@ SELECT doc_id,
 FROM starts"""
 
 
+_NLP_CATS = {
+    "db": ["query", "index", "join", "table", "sql"],
+    "ml": ["model", "training", "vector", "embedding", "learning"],
+    "ops": ["deploy", "monitor", "alert", "cluster", "server"],
+}
+
+
+def _q_nlp_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic NLP tier (ml_nlp_production.c:40-379): sentiment lexicon
+    score, keyword-argmax classification (declaration-order tie-break),
+    capitalized-entity count — per document, all expressions."""
+    from neurondb_spark.functions.nlp import (
+        classify_text,
+        extract_entities,
+        sentiment_score,
+    )
+
+    docs = tp(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        sentiment_score("text").alias("sentiment"),
+        classify_text("text", _NLP_CATS).alias("category"),
+        F.size(extract_entities("text")).alias("n_entities"),
+    )
+
+
+def _sql_nlp_classify() -> str:
+    from neurondb_spark.functions.nlp import _NEG, _POS
+
+    toks = sql_tokenize("text")
+    def hits(words):
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"CAST(len(list_filter({toks}, t -> t IN ({lst}))) AS DOUBLE)"
+
+    pos, neg = hits(_POS), hits(_NEG)
+    n = f"CAST(len({toks}) AS DOUBLE)"
+    sent = f"(CASE WHEN {n} = 0.0 THEN 0.0 ELSE ({pos} - {neg}) / {n} END)"
+    # sequential argmax with declaration-order tie-break — unrolled to the
+    # same comparison chain classify_text builds
+    cats = list(_NLP_CATS.items())
+    b, c = f"'{cats[0][0]}'", hits(cats[0][1])
+    for label, words in cats[1:]:
+        ci = hits(words)
+        b = f"(CASE WHEN {ci} > {c} THEN '{label}' ELSE {b} END)"
+        c = f"(CASE WHEN {ci} > {c} THEN {ci} ELSE {c} END)"
+    category = f"(CASE WHEN {c} > 0 THEN {b} ELSE 'other' END)"
+    tail = "list_slice(regexp_split_to_array(text, '\\s+'), 2, 1000000)"
+    ents = (
+        f"len(list_distinct(list_filter({tail}, "
+        f"w -> regexp_full_match(w, '[A-Z][a-z]+'))))"
+    )
+    return f"""SELECT doc_id, {sent} AS sentiment, {category} AS category,
+  CAST({ents} AS INTEGER) AS n_entities
+FROM documents"""
+
+
 QUERIES = {
     "text_stats": (_q_text_stats, _sql_text_stats()),
+    "nlp_sentiment_classify": (_q_nlp_classify, _sql_nlp_classify()),
     "lang_detect_counts": (_q_lang_detect, _sql_lang_detect()),
     "fingerprint_dedup": (_q_fingerprint_dedup, _sql_fingerprint_dedup()),
     "minhash_signatures": (_q_minhash_signatures, _sql_minhash_signatures()),

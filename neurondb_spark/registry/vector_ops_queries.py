@@ -245,8 +245,53 @@ FROM m WHERE s_norm > 0.0
 ORDER BY s_cos_dist ASC, vec_id ASC LIMIT 12"""
 
 
+def _q_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/square/sqrt/median/element_sum/element min-max (vector_ops.c
+    §2.2 family) — the r3-pytest-only tail graduated to the gate. All
+    element picks + an unrolled in-row sum; every op is IEEE-exact (pow
+    deliberately excluded: Math.pow vs DuckDB pow differ in last ulp —
+    vector_pow stays pytest-covered)."""
+    from neurondb_spark.functions.vector import (
+        vector_abs,
+        vector_element_sum,
+        vector_max,
+        vector_median,
+        vector_min,
+        vector_sqrt,
+        vector_square,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.element_at(vector_abs("embedding"), 1).alias("abs_e1"),
+        F.element_at(vector_square("embedding"), 2).alias("sq_e2"),
+        F.element_at(vector_sqrt(vector_abs("embedding")), 3).alias("sqrt_abs_e3"),
+        vector_median("embedding").alias("median_val"),
+        vector_element_sum("embedding").alias("elem_sum"),
+        vector_min("embedding").alias("elem_min"),
+        vector_max("embedding").alias("elem_max"),
+    )
+
+
+def _sql_vector_math() -> str:
+    e = lambda i: O.elem("embedding", i)  # noqa: E731
+    srt = "list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))"
+    chain = " + ".join(f"({e(i)})" for i in range(1, EMB_DIM + 1))
+    return f"""SELECT vec_id,
+  abs({e(1)}) AS abs_e1,
+  ({e(2)}) * ({e(2)}) AS sq_e2,
+  sqrt(abs({e(3)})) AS sqrt_abs_e3,
+  (({srt})[32] + ({srt})[33]) / 2.0 AS median_val,
+  ({chain}) AS elem_sum,
+  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS elem_min,
+  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS elem_max
+FROM embeddings"""
+
+
 QUERIES = {
     "vector_arith_ops": (_q_vector_arith, _sql_vector_arith()),
+    "vector_math_ops": (_q_vector_math, _sql_vector_math()),
     "sparse_vector_dot": (_q_sparse_dot, _sql_sparse_dot()),
     "vector_masked_ops": (_q_masked_ops, _sql_masked_ops()),
     "sparse_metrics_knn": (_q_sparse_metrics, _sql_sparse_metrics()),

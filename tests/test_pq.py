@@ -57,3 +57,16 @@ def test_pq_roundtrip_and_search(spark):
     # the query's own vector must be found (self-match survives quantization)
     assert 5 in got
     assert len(got & set(want)) >= 2  # loose recall on random data
+
+
+def test_pq_encode_udf_matches_expr(spark):
+    """The Arrow-batched encoder must emit the same codes as the
+    expression form (same argmin, lowest-index tie-break)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = PQCodebook.train(emb, "embedding", DIM, m=8, k=16)
+    a = {r["vec_id"]: r["c"] for r in
+         emb.select("vec_id", cb.encode_expr("embedding").alias("c")).collect()}
+    b = {r["vec_id"]: r["c"] for r in
+         emb.select("vec_id", cb.encode_udf()(F.col("embedding")).alias("c")).collect()}
+    mismatched = [k for k in a if a[k] != b[k]]
+    assert not mismatched, f"{len(mismatched)} rows differ, e.g. {mismatched[:3]}"
