@@ -37,11 +37,22 @@ def dbscan(
     cluster, or −1 for noise."""
     right = df.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rvec"),
                       *[F.col(c) for c in (on or [])])
-    pairs = vec_join(
-        df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in (on or [])]),
-        right, vec_col, "_rvec", threshold=eps, on=on, dim=dim,
-        allow_cross=allow_cross,
-    ).select(F.col(id_col).alias("a"), F.col("_rid").alias("b"))
+    left = df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in (on or [])])
+    if isinstance(on, list) and len(on) == 1:
+        # per-block BLAS path: same exact-fold distances on survivors
+        # (vec_join_gemm recomputes + re-filters), ~5× the HOF join's
+        # throughput at sf0.1 — the eps-join dominates DBSCAN's cost
+        from neurondb_spark.operators.joins import vec_join_gemm
+
+        pairs = vec_join_gemm(
+            left, right, vec_col, "_rvec", id_col, "_rid",
+            threshold=eps, on=on[0], dim=dim,
+        ).select(F.col(id_col).alias("a"), F.col("_rid").alias("b"))
+    else:
+        pairs = vec_join(
+            left, right, vec_col, "_rvec", threshold=eps, on=on, dim=dim,
+            allow_cross=allow_cross,
+        ).select(F.col(id_col).alias("a"), F.col("_rid").alias("b"))
     # neighbor counts include self-pair (distance 0)
     degrees = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     core = degrees.where(F.col("deg") >= min_samples).select(F.col("a").alias("id"))

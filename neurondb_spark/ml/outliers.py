@@ -24,21 +24,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _values_at_ranks(df: DataFrame, col: str, ranks) -> dict:
+def _values_at_ranks(df: DataFrame, col: str, ranks, n: int | None = None,
+                     bracket_cap: int = 100_000) -> dict:
     """Exact order statistics of one column, distributed: {rank: value}
     for 0-indexed ascending ``ranks``.
 
-    ``sortBy`` range-partitions the narrow column (the only shuffle);
-    ``zipWithIndex`` attaches global positions from per-partition counts
-    (the driver holds one long per partition); the rank filter collects
-    only ``len(ranks)`` values. No full-column collect, no O(n) limit —
-    this is the scale-safe replacement for driver-side
-    ``sorted(collect())[k]`` and ``orderBy().limit(k)`` rank lookups.
-    Ties are fine: the value at a rank is unchanged by tie order.
+    Fast path (all JVM, no Python workers): ``approxQuantile`` with rank
+    error ≤ ~0.2%·n brackets each wanted rank; the bracket's rows are a
+    bounded filtered collect and the exact value is indexed inside it by
+    ``rank − count(x < lo)``. Three narrow JVM jobs total — the
+    scale-safe replacement for driver ``sorted(collect())[k]`` and
+    ``orderBy().limit(k)``. If heavy duplication blows the bracket past
+    ``bracket_cap`` rows, falls back to the RDD sortBy + zipWithIndex
+    exact path (one range-partition shuffle, collects len(ranks) values).
+    Ties are fine either way: the value at a rank is tie-order-invariant.
     """
-    want = {int(r) for r in ranks}
-    rdd = df.select(col).rdd.map(lambda r: r[0]).sortBy(lambda x: x)
-    return {i: v for v, i in rdd.zipWithIndex().filter(lambda t: t[1] in want).collect()}
+    want = sorted({int(r) for r in ranks})
+    sdf = df.select(F.col(col).alias("_v")).where(F.col("_v").isNotNull())
+    if n is None:
+        n = sdf.count()
+    if n == 0:
+        return {}
+    if len(want) > 4:
+        # many ranks: the one-pass range-partitioned sort amortizes better
+        # than per-rank bracket predicates (measured 1.2s vs 3.9s for 64
+        # ranks at sf0.1); it is also exact with no cap to trip
+        rdd = sdf.rdd.map(lambda r: r[0]).sortBy(lambda x: x)
+        wset = set(want)
+        return {i: v for v, i in
+                rdd.zipWithIndex().filter(lambda t: t[1] in wset).collect()}
+    eps = 1e-3
+    margin = max(int(eps * n) + 1, 1)
+    probs = []
+    for r in want:
+        probs.append(max(0.0, (r - margin) / n))
+        probs.append(min(1.0, (r + margin) / n))
+    est = sdf.stat.approxQuantile("_v", probs, eps)
+    brackets = [(est[2 * i], est[2 * i + 1]) for i in range(len(want))]
+    # job 2: every bracket's strict-below count in ONE aggregation
+    below = sdf.agg(*[
+        F.sum(F.when(F.col("_v") < F.lit(vlo), 1).otherwise(0)).alias(f"b{i}")
+        for i, (vlo, _) in enumerate(brackets)
+    ]).head()
+    # job 3: one collect of the bracket union (bounded; cap → fallback)
+    pred = None
+    for vlo, vhi in brackets:
+        c = (F.col("_v") >= F.lit(vlo)) & (F.col("_v") <= F.lit(vhi))
+        pred = c if pred is None else pred | c
+    cand = sorted(
+        r[0] for r in sdf.where(pred).limit(bracket_cap + 1).collect()
+    )
+    out: dict = {}
+    if len(cand) <= bracket_cap:
+        import bisect
+
+        for i, r in enumerate(want):
+            vlo, vhi = brackets[i]
+            lo_pos = bisect.bisect_left(cand, vlo)
+            hi_pos = bisect.bisect_right(cand, vhi)
+            idx = r - (below[f"b{i}"] or 0)
+            if 0 <= idx < hi_pos - lo_pos:
+                out[r] = cand[lo_pos + idx]
+            else:
+                out = {}
+                break
+    if len(out) == len(want):
+        return out
+    rdd = sdf.rdd.map(lambda r: r[0]).sortBy(lambda x: x)
+    wset = set(want)
+    return {i: v for v, i in rdd.zipWithIndex().filter(lambda t: t[1] in wset).collect()}
 
 
 def _avg_path_length(n: int) -> float:
@@ -182,7 +236,7 @@ def ocsvm(
     # exact strided ranks (rank-0 indexing of the oracle's 1-indexed
     # (i*n)//n_sv + 1); duplicates collapse like the oracle's DISTINCT
     sv_ranks = {(i * n) // n_sv for i in range(n_sv)}
-    sv_ids = sorted(_values_at_ranks(df, id_col, sv_ranks).values())
+    sv_ids = sorted(_values_at_ranks(df, id_col, sv_ranks, n=n).values())
     sv_rows = (
         df.select(id_col, vec_col)
         .where(F.col(id_col).isin(sv_ids))
@@ -215,7 +269,7 @@ def ocsvm(
     ).localCheckpoint()
     # exact-rank nu-quantile cutoff, distributed (no limit(O(n)) path)
     idx = min(int(nu * n), n - 1)
-    thr = _values_at_ranks(scored, "ocsvm_score", {idx})[idx]
+    thr = _values_at_ranks(scored, "ocsvm_score", {idx}, n=n)[idx]
     return scored.withColumn("is_anomaly", F.col("ocsvm_score") < F.lit(thr))
 
 
