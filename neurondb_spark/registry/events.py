@@ -118,8 +118,58 @@ SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
 FROM c GROUP BY user_id"""
 
 
+def _q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time retrieval (ml_feature_store.c:46-578):
+    feature group = hourly max view value per user; observations =
+    purchases; each purchase gets the LATEST feature row with
+    feature_ts ≤ purchase_ts (no leakage from the future). Runs through
+    the real FeatureStore (catalog registration + parquet group + the
+    windowed as-of join); the oracle rebuilds the same greatest-n-per-
+    group in SQL — proving the PIT join leaks nothing and drops nothing."""
+    import tempfile
+
+    from neurondb_spark.catalog import Catalog
+    from neurondb_spark.ml.feature_store import FeatureStore
+
+    ev = load_events(spark, sf_dir)
+    feats = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("fts"))
+        .agg(F.max(F.col("value").cast("double")).alias("fval"))
+    )
+    obs = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("obs_ts"))
+    )
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    fs = FeatureStore(
+        spark, Catalog(os.path.join(tempfile.gettempdir(), f"neurondb_fs{tag}"))
+    )
+    fs.register_features("user_view_stats", feats, ["user_id"], ts_col="fts")
+    out = fs.join_features(obs, "user_view_stats", observation_ts="obs_ts")
+    return out.select("user_id", "obs_ts", "fval")
+
+
+_SQL_FEATURE_STORE_PIT = """WITH f AS (
+  SELECT user_id, date_trunc('hour', ts) AS fts,
+         max(CAST(value AS DOUBLE)) AS fval
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, date_trunc('hour', ts)),
+o AS (SELECT user_id, ts AS obs_ts FROM events WHERE event_type = 'purchase')
+SELECT user_id, obs_ts, fval FROM (
+  SELECT o.user_id, o.obs_ts, f.fval,
+         ROW_NUMBER() OVER (PARTITION BY o.user_id, o.obs_ts
+                            ORDER BY f.fts DESC) AS rn
+  FROM o LEFT JOIN f ON o.user_id = f.user_id
+  WHERE f.fts IS NULL OR f.fts <= o.obs_ts)
+WHERE rn = 1"""
+
+
 QUERIES = {
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "feature_store_pit": (_q_feature_store_pit, _SQL_FEATURE_STORE_PIT),
     "events_topk_users": (_q_events_topk_users, _SQL_EVENTS_TOPK_USERS),
     "events_time_decay": (_q_events_time_decay, _SQL_EVENTS_TIME_DECAY),
     "events_sessionize": (_q_events_sessionize, _SQL_EVENTS_SESSIONIZE),

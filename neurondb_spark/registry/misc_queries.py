@@ -211,8 +211,38 @@ def _q_stream_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start", "event_type")
 
 
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + time-travel (data_management.py; the reference's WAL/
+    crash-safety → immutable-version reads, SURVEY §2.11): v0 = the first
+    300 embeddings, v1 = v0 plus 5 planted shadow rows. Reading v0 after
+    v1 exists must see NONE of the v1 rows — the oracle aggregates the
+    original table, so any leak flips counts/max ids."""
+    from neurondb_spark.data_management import snapshot, time_travel
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base_dir = os.path.join(tempfile.gettempdir(), f"neurondb_tt{tag}")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    if not os.path.isdir(os.path.join(base_dir, "v=1")):
+        v0 = emb.where(F.col("vec_id") <= 300)
+        snapshot(spark, v0, base_dir)
+        shadow = v0.limit(5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+        )
+        snapshot(spark, v0.unionByName(shadow), base_dir)
+    old = time_travel(spark, base_dir, 0)
+    return (
+        old.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("max_id"))
+    )
+
+
+_SQL_TIME_TRAVEL = """SELECT label, COUNT(*) AS n, MAX(vec_id) AS max_id
+FROM embeddings WHERE vec_id <= 300 GROUP BY label"""
+
+
 QUERIES = {
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
+    "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),
     "ann_batch_topk": (_q_ann_batch_topk, _sql_ann_batch_topk()),
     "detokenize_roundtrip": (_q_detokenize, _sql_detokenize()),
     "fp16_roundtrip_err": (_q_fp16_roundtrip, None),
