@@ -360,3 +360,79 @@ def arima_fit(
         return pd.DataFrame([row])
 
     return df.groupBy(*partition_cols).applyInPandas(_fit, schema)
+
+
+def monitor_drift_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    baseline_lo,
+    baseline_hi,
+    bucket: str = "day",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 20,
+) -> DataFrame:
+    """monitor_drift_timeseries (ml_drift_time.c; SQL surface
+    neurondb--1.0.sql:1663-1675): per-time-bucket Jensen-Shannon
+    divergence of ``value_col``'s histogram against a fixed baseline
+    period [baseline_lo, baseline_hi).
+
+    Fully distributed: one groupBy(bucket, bin) histogram pass for the
+    current stream, one for the baseline, a bin-keyed join, and a
+    per-bucket bsum of the JS terms — no driver loop over windows, so
+    the number of windows is unbounded. Deterministic binning
+    (clamp(floor((x−lo)/w), 0, bins−1)) and exact integer counts make
+    every emitted double SQL-oracle hash-matchable.
+    """
+    from neurondb_spark.functions.aggregates import bsum
+
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    ts = F.col(ts_col)
+    base = df.where((ts >= F.lit(baseline_lo)) & (ts < F.lit(baseline_hi)))
+    bl = base.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("nq"))
+    bl_tot = base.count()
+    cur = df.where(ts >= F.lit(baseline_hi))
+    ch = cur.groupBy(
+        F.date_trunc(bucket, ts).alias("bucket"), b.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("np_"))
+    ctot = cur.groupBy(F.date_trunc(bucket, ts).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    j = (
+        ch.join(ctot, "bucket")
+        .join(F.broadcast(bl), "bin", "left")
+        .select(
+            "bucket",
+            (F.col("np_").cast("double") / F.col("nt")).alias("p"),
+            (F.coalesce(F.col("nq"), F.lit(0)).cast("double") / bl_tot).alias("q"),
+        )
+    )
+    # bins present in the baseline but absent from a bucket contribute
+    # 0.5·q·log(q/(q/2)) — fold them in by unioning q-only rows per bucket
+    qonly = (
+        ctot.select("bucket").crossJoin(F.broadcast(bl))
+        .join(ch.select("bucket", "bin").withColumn("_has", F.lit(1)),
+              ["bucket", "bin"], "left")
+        .where(F.col("_has").isNull())
+        .select(
+            "bucket", F.lit(0.0).alias("p"),
+            (F.col("nq").cast("double") / bl_tot).alias("q"),
+        )
+    )
+    allrows = j.unionByName(qonly)
+    m = (F.col("p") + F.col("q")) / 2.0
+    term = (
+        F.when(F.col("p") > 0.0, 0.5 * F.col("p") * F.log(F.col("p") / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0.0, 0.5 * F.col("q") * F.log(F.col("q") / m))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        allrows.groupBy("bucket")
+        .agg(bsum(term).alias("js_divergence"))
+    )

@@ -167,8 +167,59 @@ SELECT user_id, obs_ts, fval FROM (
 WHERE rn = 1"""
 
 
+def _q_drift_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monitor_drift_timeseries (ml_drift_time.c): per-day JS divergence
+    of the event-value histogram vs the Jan 1-8 baseline — one
+    groupBy(day, bin) pass + a broadcast bin join, no per-window loop."""
+    import datetime as _dt
+
+    from neurondb_spark.ml.timeseries import monitor_drift_timeseries
+
+    ev = load_events(spark, sf_dir)
+    return monitor_drift_timeseries(
+        ev, "ts", "value",
+        _dt.datetime(2024, 1, 1), _dt.datetime(2024, 1, 8),
+        bucket="day", lo=0.0, hi=500.0, bins=20,
+    ).select(F.col("bucket").alias("day"), "js_divergence")
+
+
+def _sql_drift_timeseries() -> str:
+    w = repr(500.0 / 20)
+    b = f"CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / {w}), 0), 19) AS INTEGER)"
+    term = (
+        "(CASE WHEN p > 0.0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END"
+        " + CASE WHEN q > 0.0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)"
+    )
+    return f"""WITH base AS (
+  SELECT {b} AS bin, COUNT(*) AS nq FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+  GROUP BY 1),
+btot AS (SELECT COUNT(*) AS t FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'),
+cur AS (SELECT date_trunc('day', ts) AS bucket, {b} AS bin, COUNT(*) AS np_
+  FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY 1, 2),
+ctot AS (SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS nt
+  FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY 1),
+j AS (
+  SELECT cur.bucket,
+         CAST(np_ AS DOUBLE) / nt AS p,
+         CAST(COALESCE(base.nq, 0) AS DOUBLE) / (SELECT t FROM btot) AS q
+  FROM cur JOIN ctot ON cur.bucket = ctot.bucket
+  LEFT JOIN base ON cur.bin = base.bin),
+qonly AS (
+  SELECT ctot.bucket, 0.0 AS p,
+         CAST(base.nq AS DOUBLE) / (SELECT t FROM btot) AS q
+  FROM ctot CROSS JOIN base
+  LEFT JOIN cur ON cur.bucket = ctot.bucket AND cur.bin = base.bin
+  WHERE cur.bin IS NULL),
+allrows AS (SELECT * FROM j UNION ALL SELECT * FROM qonly)
+SELECT bucket AS day, {O.bsum(term)} AS js_divergence
+FROM allrows GROUP BY bucket"""
+
+
 QUERIES = {
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "drift_timeseries": (_q_drift_timeseries, _sql_drift_timeseries()),
     "feature_store_pit": (_q_feature_store_pit, _SQL_FEATURE_STORE_PIT),
     "events_topk_users": (_q_events_topk_users, _SQL_EVENTS_TOPK_USERS),
     "events_time_decay": (_q_events_time_decay, _SQL_EVENTS_TIME_DECAY),

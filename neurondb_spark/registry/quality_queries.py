@@ -148,8 +148,100 @@ sizes AS (SELECT lbl, COUNT(*) AS community_size FROM l3 GROUP BY lbl)
 SELECT community_size, COUNT(*) AS n_communities FROM sizes GROUP BY 1"""
 
 
+_TARGET_USER = 7
+
+
+def _user_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neurondb_spark.ml.recommender import user_item
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    df = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"),
+        F.col("l_quantity").cast("double").alias("q"),
+    )
+    return user_item(df, "u", "i", "q")
+
+
+_SQL_UI = f"""ui AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS i,
+         {O.dsum('l.l_quantity')} AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+tgt AS (SELECT i, v FROM ui WHERE u = {_TARGET_USER}),
+tn AS (SELECT sqrt({O.bsum('v * v')}) AS n FROM tgt),
+norms AS (SELECT u, sqrt({O.bsum('v * v')}) AS nrm FROM ui GROUP BY u),
+dots AS (SELECT ui.u, {O.bsum('ui.v * tgt.v')} AS d
+         FROM ui JOIN tgt ON ui.i = tgt.i
+         WHERE ui.u <> {_TARGET_USER} GROUP BY ui.u),
+sims AS (SELECT dots.u, d / ((SELECT n FROM tn) * norms.nrm) AS cosine_sim
+         FROM dots JOIN norms ON dots.u = norms.u)"""
+
+
+def _q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_similarity (ml_recommender.c): cosine between customer 7's
+    part-quantity vector and every co-purchasing customer — sparse dot
+    via the shared-item join, Σs through bsum (bit-reproducible)."""
+    from neurondb_spark.ml.recommender import user_similarity
+
+    ui = _user_item(spark, sf_dir)
+    return user_similarity(ui, _TARGET_USER, k=10).select(
+        F.col("user").alias("user_id"), "cosine_sim"
+    )
+
+
+def _sql_user_similarity() -> str:
+    return f"""WITH {_SQL_UI}
+SELECT u AS user_id, cosine_sim FROM sims
+ORDER BY cosine_sim DESC, user_id ASC LIMIT 10"""
+
+
+def _q_recommend_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recommend_hybrid (ml_recommender.c): α·CF + (1−α)·content over
+    unseen parts for customer 7 — CF from similarity-weighted
+    co-purchases, content from the cosine of each part's embedding to
+    the exact decimal-mean profile of purchased parts."""
+    from neurondb_spark.ml.recommender import recommend_hybrid
+
+    ui = _user_item(spark, sf_dir)
+    vecs = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("item"), "embedding"
+    )
+    return recommend_hybrid(
+        ui, vecs, _TARGET_USER, alpha=0.5, k=10, dim=COMPILE_DIM
+    ).select(F.col("item").alias("part_id"), "hybrid_score")
+
+
+def _sql_recommend_hybrid() -> str:
+    cos = O.sql_cosine_similarity("e.embedding", "pr.p", EMB_DIM)
+    return f"""WITH {_SQL_UI},
+cf AS (SELECT ui.i, {O.bsum('sims.cosine_sim * ui.v')} AS cf_score
+       FROM ui JOIN sims ON ui.u = sims.u GROUP BY ui.i),
+seen AS (SELECT i FROM tgt),
+sx AS (SELECT e.vec_id, unnest(e.embedding) AS v,
+              generate_subscripts(e.embedding, 1) AS pos
+       FROM embeddings e JOIN seen ON e.vec_id = seen.i),
+pp AS (SELECT pos,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*) AS c
+       FROM sx GROUP BY pos),
+pr AS (SELECT list(c ORDER BY pos) AS p FROM pp),
+content AS (SELECT e.vec_id AS i, {cos} AS content_score
+            FROM embeddings e CROSS JOIN pr),
+allitems AS (
+  SELECT COALESCE(cf.i, content.i) AS i,
+         (0.5 * COALESCE(cf.cf_score, 0.0)
+          + 0.5 * COALESCE(content.content_score, 0.0)) AS hybrid_score
+  FROM cf FULL OUTER JOIN content ON cf.i = content.i
+  WHERE COALESCE(cf.i, content.i) NOT IN (SELECT i FROM seen))
+SELECT i AS part_id, hybrid_score FROM allitems
+ORDER BY hybrid_score DESC, part_id ASC LIMIT 10"""
+
+
 QUERIES = {
     "davies_bouldin": (_q_davies_bouldin, _sql_davies_bouldin()),
+    "user_similarity": (_q_user_similarity, _sql_user_similarity()),
+    "recommend_hybrid": (_q_recommend_hybrid, _sql_recommend_hybrid()),
     "similarity_histogram": (_q_sim_histogram, _sql_sim_histogram()),
     "recommend_content_based": (_q_recommend_content, _sql_recommend_content()),
     "community_label_propagation": (_q_label_propagation, _sql_label_propagation()),
