@@ -110,3 +110,69 @@ def text_similarity_semantic(a, b, dim: int = 32) -> Column:
     return cosine_similarity(
         hash_embed_expr(a, dim), hash_embed_expr(b, dim), checked=False
     )
+
+
+def zero_shot_classify(text, labels: list[str]) -> Column:
+    """neurondb.zero_shot_classify (neurondb--1.0.sql:5471-5774 task
+    wrappers): heuristic tier = argmax token overlap between the document
+    and each label's words, declaration-order tie-break, no hit →
+    'other'. The model-backed tier plugs in via llm.llm_complete."""
+    return classify_text(text, {lab: _py_label_words(lab) for lab in labels})
+
+
+def _py_label_words(label: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9]+", label.lower()) if w]
+
+
+def answer_question(question: str, context) -> Column:
+    """neurondb.answer_question heuristic tier (ml_nlp_production.c):
+    extractive QA — return the context sentence with the highest unique-
+    question-token overlap (first sentence wins ties, like the
+    reference's first-best scan). Pure expressions."""
+    from neurondb_spark.functions.text import _py_tokenize
+
+    qtok = []
+    for tok in _py_tokenize(question):
+        if tok not in qtok:
+            qtok.append(tok)
+    c = F.col(context) if isinstance(context, str) else context
+    sents = F.split(c, r"(?<=[.!?])\s+")
+    if not qtok:
+        return F.element_at(sents, 1)
+
+    def score(s):
+        hits = None
+        stoks = tokenize(s)
+        for tok in qtok:
+            h = F.when(F.array_contains(stoks, tok), F.lit(1)).otherwise(F.lit(0))
+            hits = h if hits is None else hits + h
+        return hits
+
+    pairs = F.transform(
+        sents, lambda s, i: F.struct(
+            (-score(s)).alias("neg"), i.alias("idx"), s.alias("sent")
+        )
+    )
+    return F.array_min(pairs)["sent"]
+
+
+def fill_mask(text, mask_token: str = "[MASK]", filler: str = "the") -> Column:
+    """neurondb.fill_mask heuristic tier: replace the mask token with the
+    deterministic filler (the reference without a model falls back to a
+    trivial completion; model tier via llm.llm_complete)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.replace(t, F.lit(mask_token), F.lit(filler))
+
+
+def text2text(text, task: str = "summarize") -> Column:
+    """neurondb.text2text / transform task router (neurondb--1.0.sql:
+    5471-5774): heuristic tiers per task; unknown task raises."""
+    if task == "summarize":
+        return summarize_text(text)
+    if task == "uppercase":
+        return F.upper(F.col(text) if isinstance(text, str) else text)
+    if task == "lowercase":
+        return F.lower(F.col(text) if isinstance(text, str) else text)
+    raise ValueError(f"neurondb: unknown text2text task {task!r}")

@@ -149,18 +149,28 @@ SELECT community_size, COUNT(*) AS n_communities FROM sizes GROUP BY 1"""
 
 
 _TARGET_USER = 7
+_ui_cache: dict[str, DataFrame] = {}
 
 
 def _user_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratings matrix, localCheckpointed once per sf_dir: the
+    600k-row lineitem⋈orders build would otherwise re-run for every one
+    of the 3+ aggregations each recommender query derives from it."""
     from neurondb_spark.ml.recommender import user_item
 
+    key = sf_dir.rstrip("/")
+    cached = _ui_cache.get(key)
+    if cached is not None:
+        return cached
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     df = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"),
         F.col("l_quantity").cast("double").alias("q"),
     )
-    return user_item(df, "u", "i", "q")
+    ui = user_item(df, "u", "i", "q").localCheckpoint()
+    _ui_cache[key] = ui
+    return ui
 
 
 _SQL_UI = f"""ui AS (

@@ -75,3 +75,51 @@ def test_text_similarity_semantic(spark):
     ).head()
     assert row["ss"] == pytest.approx(1.0)
     assert row["sd"] < 1.0
+
+
+def test_zero_shot_classify(spark):
+    from neurondb_spark.functions.nlp import zero_shot_classify
+
+    df = spark.createDataFrame(
+        [(1, "the database index and query planner"),
+         (2, "training a model on vector embeddings"),
+         (3, "zzz qqq")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", zero_shot_classify("text", ["database query", "model training"]).alias("c")
+    ).collect()}
+    assert out == {1: "database query", 2: "model training", 3: "other"}
+
+
+def test_answer_question(spark):
+    from neurondb_spark.functions.nlp import answer_question
+
+    ctx = "Spark is a cluster engine. HNSW is a graph index. Parquet stores columns."
+    df = spark.createDataFrame([(ctx,)], ["context"])
+    row = df.select(
+        answer_question("what is a graph index", "context").alias("a")
+    ).head()
+    assert row["a"] == "HNSW is a graph index."
+
+
+def test_answer_question_tie_takes_first(spark):
+    from neurondb_spark.functions.nlp import answer_question
+
+    df = spark.createDataFrame([("No match one. No match two.",)], ["context"])
+    row = df.select(answer_question("absent words", "context").alias("a")).head()
+    assert row["a"] == "No match one."
+
+
+def test_fill_mask_and_text2text(spark):
+    import pytest as _pytest
+
+    from neurondb_spark.functions.nlp import fill_mask, text2text
+
+    df = spark.createDataFrame([("over [MASK] lazy dog. Second sentence. Third.",)], ["t"])
+    assert df.select(fill_mask("t").alias("o")).head()["o"].startswith("over the lazy")
+    assert df.select(text2text("t", "uppercase").alias("o")).head()["o"].startswith("OVER")
+    # summarize keeps first 2 sentences
+    assert df.select(text2text("t", "summarize").alias("o")).head()["o"].endswith("Second sentence.")
+    with _pytest.raises(ValueError, match="unknown text2text"):
+        text2text("t", "bogus")
