@@ -191,9 +191,33 @@ class NeuronSparkEngine:
         return rag_query(df, vec_col, text_cols, query_text, **kw)
 
     def embed(self, df, text_col, **kw):
-        from neurondb_spark.functions.embed import embed_text
+        """embed_text routing (embeddings.c:332-438): HTTP provider when
+        ``spark.neurondb.llm.*`` is configured, hash fallback otherwise."""
+        from neurondb_spark.llm import embed_text_auto
 
-        return embed_text(df, text_col, **kw)
+        return embed_text_auto(df, text_col, **kw)
+
+    def llm_complete(self, df, prompt_col, **kw):
+        from neurondb_spark.llm import llm_complete
+
+        return llm_complete(df, prompt_col, **kw)
+
+    def rerank(self, df, text_col, query, **kw):
+        """Provider rerank with the deterministic lexical fallback tier
+        (reranking.c:92-751)."""
+        from neurondb_spark.llm import rerank_llm
+
+        return rerank_llm(df, text_col, query, **kw)
+
+    def user_similarity(self, ratings, target_user, **kw):
+        from neurondb_spark.ml.recommender import user_similarity
+
+        return user_similarity(ratings, target_user, **kw)
+
+    def recommend_hybrid(self, ratings, item_vectors, target_user, **kw):
+        from neurondb_spark.ml.recommender import recommend_hybrid
+
+        return recommend_hybrid(ratings, item_vectors, target_user, **kw)
 
     # ---------------------------------------------------------------- ML
 
