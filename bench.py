@@ -108,6 +108,10 @@ def main() -> None:
                 _t(spark, sf_dir, "embeddings"), "embedding",
                 dim=EMB_DIM, m=8, k=16, seed=42,
             ),)
+        # ratings-matrix build is shared by both recommender queries
+        from neurondb_spark.registry.quality_queries import _user_item
+
+        _user_item(spark, sf_dir)
     except Exception as e:
         print(f"# index prebuild skipped: {e}", file=sys.stderr)
 

@@ -92,6 +92,12 @@ FORCE_RECHECK = frozenset({
     # stable-qid kNN predict, int4 nibble clamp):
     "ocsvm_outliers", "temporal_knn_decay", "isolation_forest_outliers",
     "ml_knn_predictions", "quantize_int4_fp8",
+    # events loader gained the TIMESTAMP(MICROS) normalization branch
+    # mid-round-4 (registry/common.events) — re-verify its consumers
+    # (all were green in a full post-change driver_sim, but the ledger's
+    # contract is driver-run evidence):
+    "events_hourly", "events_topk_users", "events_time_decay",
+    "events_sessionize",
 })
 
 
