@@ -162,9 +162,18 @@ def ngram_jaccard_pairs(
     # computation is CPU-heavy per row, so spread it across the cluster
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     blk = [F.col(block_col)] if block_col else []
+    # shingles become 60-bit md5-derived longs BEFORE the index: the
+    # self-join then shuffles/compares 8-byte keys instead of ~20-byte
+    # strings (same trick as doc_fingerprint; collisions are ~2^-60 per
+    # pair and the oracle applies the identical hash, so even a
+    # collision cannot produce a mismatch)
+    hashed = F.transform(
+        shingles(text_col, shingle_n),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+    )
     base = df.select(
         F.col(id_col), *blk,
-        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+        F.array_distinct(hashed).alias("_sh"),
     )
     ex = base.select(F.col(id_col), *blk, F.explode("_sh").alias("_s"))
     if max_df is not None:

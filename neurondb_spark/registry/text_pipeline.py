@@ -181,7 +181,7 @@ def _sql_ngram_jaccard() -> str:
     toks = sql_tokenize("text")
     sh = (
         f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
-        f"i -> array_to_string({toks}[i:i+2], ' ')))"
+        f"i -> CAST(('0x' || substr(md5(array_to_string({toks}[i:i+2], ' ')), 1, 15)) AS BIGINT)))"
     )
     return f"""WITH s AS (SELECT doc_id, lang, {sh} AS sh FROM documents),
 ex0 AS (SELECT doc_id, lang, unnest(sh) AS sing FROM s),
