@@ -197,7 +197,75 @@ FROM embeddings e CROSS JOIN q
 ORDER BY distance ASC, e.vec_id ASC LIMIT 12"""
 
 
+_XM_QUERY_TEXT = "find the sunset image"
+
+
+def _q_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_modal_search end-to-end (ml_multimodal.c:61-236): documents
+    become binary media (utf-8 payloads), the mapInPandas fake decode
+    produces 16 djb2 pseudo-pixels, media_features reduces them to a
+    3-float embedding, and the text query searches that space. The STUB
+    decode is deterministic, so the whole pipeline — including the Arrow
+    batch path — is oracle-checkable; a real codec swaps in behind
+    decode="strict" without touching the plan."""
+    from neurondb_spark.operators.multimodal import (
+        cross_modal_search,
+        decode_media,
+        media_features,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        # ASCII rows only: the fake decode hashes UTF-8 BYTES, and the
+        # oracle's ascii()/length() work on codepoints — identical only
+        # when each char is one byte (multi-byte docs are excluded on
+        # BOTH sides by the same predicate)
+        .where(F.octet_length("text") == F.length("text"))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+    )
+    media = media_features(decode_media(docs, n_values=16))
+    out = cross_modal_search(media, _XM_QUERY_TEXT, k=5)
+    return out.select("media_id", "distance")
+
+
+def _sql_cross_modal() -> str:
+    from neurondb_spark.functions.embed import hash_embed_py
+
+    # pixels: h = djb2 over utf-8 bytes (ASCII corpus: ascii() == byte),
+    # then per-pixel h = (h*33 XOR i) mod 2^32, p_i = (h % 256) / 255.0
+    chars = ("list_transform(generate_series(1, length(text)), "
+             "i -> ascii(substr(text, i, 1)))")
+    h = (f"list_reduce(list_prepend(CAST(5381 AS BIGINT), {chars}), "
+         f"(h, c) -> xor(h * 33, c) % 4294967296)")
+    px = []
+    cur = h
+    for i in range(16):
+        cur = f"(xor(({cur}) * 33, {i}) % 4294967296)"
+        # the decode UDF emits array<float>: round each pixel to float32
+        # exactly as storage does, then upcast — without this the oracle
+        # diverges in the 8th decimal
+        px.append(
+            f"CAST(CAST(CAST(({cur}) % 256 AS DOUBLE) / 255.0 AS REAL) AS DOUBLE)"
+        )
+    mean = f"(({' + '.join(px)}) / 16)"
+    sq = f"(({' + '.join(f'({p}) * ({p})' for p in px)}) / 16)"
+    edge = f"(({' + '.join(f'abs(({px[i+1]}) - ({px[i]}))' for i in range(15))}) / 15)"
+    emb = [mean, f"sqrt(({sq}) - ({mean}) * ({mean}))", edge]
+    q = hash_embed_py(_XM_QUERY_TEXT, 3)
+    d = " + ".join(
+        f"(({e}) - {O.dlit(qv)}) * (({e}) - {O.dlit(qv)})"
+        for e, qv in zip(emb, q)
+    )
+    return f"""SELECT doc_id AS media_id, sqrt({d}) AS distance
+FROM documents WHERE octet_length(CAST(text AS BLOB)) = length(text)
+ORDER BY distance ASC, media_id ASC LIMIT 5"""
+
+
 QUERIES = {
+    "cross_modal_search": (_q_cross_modal, _sql_cross_modal()),
     "graph_knn": (_q_graph_knn, _sql_graph_knn()),
     "rerank_ensemble_weighted": (_q_ensemble_weighted, _sql_ensemble_weighted()),
     "rerank_ensemble_borda": (_q_ensemble_borda, _sql_ensemble_borda()),
