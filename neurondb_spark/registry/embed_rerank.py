@@ -176,7 +176,47 @@ sel AS (
 SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id FROM sel ORDER BY mmr_rank"""
 
 
+def _q_embed_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed_cached (embeddings.c:1104-1123): text-keyed cache join —
+    hits keep the cached embedding untouched, misses run the hash
+    embedder, union back. Cache = even doc_ids ≤ 100 with a sentinel
+    embedding derived from the MIN doc_id per text (duplicate texts
+    collapse, so the join stays 1:1); the oracle reproduces the exact
+    hit/miss routing including cross-doc text matches."""
+    from neurondb_spark.functions.embed import embed_cached
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    sentinel = F.array(*[
+        (F.col("_cid").cast("double") + F.lit(float(i)))
+        for i in range(EMBED_DIM_Q)
+    ])
+    cache = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .groupBy("text").agg(F.min("doc_id").alias("_cid"))
+        .select("text", sentinel.alias("embedding"))
+    )
+    out = embed_cached(docs.select("doc_id", "text"), cache, "text",
+                       out_col="embedding", dim=EMBED_DIM_Q)
+    cols = [F.element_at("embedding", i + 1).alias(f"e{i}")
+            for i in range(EMBED_DIM_Q)]
+    return out.select("doc_id", *cols)
+
+
+def _sql_embed_cached() -> str:
+    hcols = sql_hash_embed_cols("d.text", EMBED_DIM_Q)
+    cid = ("(SELECT MIN(d2.doc_id) FROM documents d2 "
+           "WHERE d2.doc_id <= 100 AND d2.doc_id % 2 = 0 "
+           "AND d2.text = d.text)")
+    sel = ", ".join(
+        f"(CASE WHEN {cid} IS NOT NULL THEN CAST({cid} AS DOUBLE) + {float(i)!r} "
+        f"ELSE {c} END) AS e{i}"
+        for i, c in enumerate(hcols)
+    )
+    return f"SELECT d.doc_id, {sel} FROM documents d WHERE d.doc_id <= 100"
+
+
 QUERIES = {
+    "embed_cached": (_q_embed_cached, _sql_embed_cached()),
     "hash_embed": (_q_hash_embed, _sql_hash_embed()),
     "rag_query": (_q_rag_query, _sql_rag_query()),
     "rerank_lexical": (_q_rerank_lexical, _sql_rerank_lexical()),
