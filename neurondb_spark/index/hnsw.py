@@ -209,8 +209,7 @@ def _search_shard(pdf: pd.DataFrame, query: np.ndarray, k: int,
     # come back in build order — they don't (parquet shuffles row order),
     # so remap via vec_id → position-at-build. Build wrote nodes in
     # vec_id-sorted order, so argsort(ids) recovers it.
-    order = np.argsort(ids, kind="mergesort")
-    pos_of_build_idx = order  # build idx -> row position
+    order = np.argsort(ids, kind="mergesort")  # build idx -> row position
     vecs_b = vecs[order]
     ids_b = ids[order]
     levels_b = levels[order]
