@@ -215,7 +215,39 @@ def _sql_embed_cached() -> str:
     return f"SELECT d.doc_id, {sel} FROM documents d WHERE d.doc_id <= 100"
 
 
+def _q_text_sim_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_similarity_semantic (ml_nlp_production.c): cosine of the
+    16-d hash embeddings of two texts — doc i paired with doc i+50 over
+    the ASCII-safe id range the hash_embed oracle already covers."""
+    from neurondb_spark.functions.nlp import text_similarity_semantic
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select((F.col("doc_id") - 50).alias("id_a"),
+                    F.col("text").alias("tb"))
+    pairs = a.join(b, "id_a").where(F.col("id_a") <= 50)
+    return pairs.select(
+        "id_a", (F.col("id_a") + 50).alias("id_b"),
+        text_similarity_semantic("ta", "tb", dim=16).alias("semantic_sim"),
+    )
+
+
+def _sql_text_sim_semantic() -> str:
+    cols = sql_hash_embed_cols("text", 16)
+    sel = ", ".join(f"{c} AS e{i}" for i, c in enumerate(cols))
+    dot = " + ".join(f"(a.e{i}) * (b.e{i})" for i in range(16))
+    na = " + ".join(f"(a.e{i}) * (a.e{i})" for i in range(16))
+    nb = " + ".join(f"(b.e{i}) * (b.e{i})" for i in range(16))
+    return f"""WITH emb AS (
+  SELECT doc_id, {sel} FROM documents WHERE doc_id <= 100)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ({dot}) / (sqrt({na}) * sqrt({nb})) AS semantic_sim
+FROM emb a JOIN emb b ON b.doc_id = a.doc_id + 50
+WHERE a.doc_id <= 50"""
+
+
 QUERIES = {
+    "text_similarity_semantic": (_q_text_sim_semantic, _sql_text_sim_semantic()),
     "embed_cached": (_q_embed_cached, _sql_embed_cached()),
     "hash_embed": (_q_hash_embed, _sql_hash_embed()),
     "rag_query": (_q_rag_query, _sql_rag_query()),
