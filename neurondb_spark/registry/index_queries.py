@@ -350,6 +350,48 @@ FROM embeddings e CROSS JOIN q
 ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
 
 
+_ivfpq_cache: dict[str, "object"] = {}
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
+    from neurondb_spark.index.ivfpq import IVFPQIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _ivfpq_cache:
+        return _ivfpq_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_ivfpq{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = IVFPQIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        idx = IVFPQIndex.build(emb, "embedding", "vec_id", path, dim=EMB_DIM,
+                               nlists=8, m=8, k=16, seed=42)
+    _ivfpq_cache[key] = idx
+    return idx
+
+
+def _q_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ at the exact limit: all lists probed and refine covers every
+    row, so the ADC stage cannot cut a true neighbor and the exact
+    re-rank emits brute-force top-10 — proving the coarse-partitioned
+    PQ-coded layout loses nothing (same contract as ivf_knn_full_probe /
+    hnsw_knn_full_ef). Pruned-nprobe recall is in tests/test_ivfpq.py."""
+    idx = _ivfpq_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    n = idx.meta["total_rows"]
+    return idx.search(spark, q, topk=10, nprobe=idx.meta["nlists"],
+                      refine=max(1, (n + 9) // 10)).select("vec_id", "distance")
+
+
+def _sql_ivfpq_full() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
 _hybrid_cache: dict[str, "object"] = {}
 
 
@@ -415,4 +457,5 @@ QUERIES = {
     "rerank_candidates": (_q_rerank_candidates, _sql_rerank_candidates()),
     "pq_adc_topk": (_q_pq_adc, None),
     "hnsw_knn_full_ef": (_q_hnsw_full, _sql_hnsw_full()),
+    "ivfpq_knn_exact_limit": (_q_ivfpq_full, _sql_ivfpq_full()),
 }
