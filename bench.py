@@ -84,11 +84,13 @@ def main() -> None:
             _hnsw_index_for,
             _hybrid_index_for,
             _index_for,
+            _ivfpq_index_for,
             _rerank_index_for,
             _temporal_index_for,
             _tenant_index_for,
         )
 
+        _ivfpq_index_for(spark, sf_dir)
         _hnsw_index_for(spark, sf_dir)
         _index_for(spark, sf_dir)
         _tenant_index_for(spark, sf_dir)
