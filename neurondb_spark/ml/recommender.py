@@ -103,7 +103,14 @@ def recommend_hybrid(
         .withColumn("_g", F.lit(1)),
         ["_g"], out_col="p",
     )
-    profile = [float(x) for x in prof.head()["p"]]
+    prof_row = prof.head()
+    if prof_row is None or prof_row["p"] is None:
+        raise ValueError(
+            f"neurondb: recommend_hybrid target user {target_user!r} has no "
+            "seen items with vectors in item_vectors — content profile is "
+            "undefined (use user_similarity/CF-only scoring instead)"
+        )
+    profile = [float(x) for x in prof_row["p"]]
     content = item_vectors.select(
         F.col(item_id_col).alias("item"),
         cosine_similarity(vec_col, _query_lit(profile), dim=dim,

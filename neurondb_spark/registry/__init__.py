@@ -78,26 +78,43 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
         "tsne_label_centroids", "vec_join_threshold", "vector_masked_ops",
         "zscore_outliers",
     }),
+    # the 50 rows in CORRECTNESS_r04.json (45 hash-green + 3 rows-only +
+    # stream_job_queue / pq_adc_topk ERROR — both stay in FORCE_RECHECK).
+    4: frozenset({
+        "binary_hamming_knn", "consistent_snapshot_knn", "cross_modal_search",
+        "dbscan_clusters", "drift_timeseries", "embed_cached", "events_hourly",
+        "events_sessionize", "events_time_decay", "events_topk_users",
+        "faceted_vector_search", "feature_store_pit",
+        "graph_connected_components", "graph_dfs_order", "hnsw_knn_full_ef",
+        "hybrid_dense_sparse", "hybrid_index_search",
+        "isolation_forest_outliers", "ivfpq_knn_exact_limit", "knn_chebyshev",
+        "knn_cosine", "knn_hamming", "knn_ip", "knn_l1", "knn_l2",
+        "knn_squared_l2", "ml_knn_predictions", "multi_vector_search",
+        "nlp_sentiment_classify", "ocsvm_outliers", "orders_topk_per_segment",
+        "pq_adc_topk", "quantize_int4_fp8", "quantize_uint8_ternary",
+        "recommend_hybrid", "rerank_candidates", "semantic_keyword_search",
+        "snapshot_time_travel", "stream_job_queue", "stream_monitor_window",
+        "stream_sessionize", "temporal_knn_decay", "text_similarity_semantic",
+        "top_revenue_customers", "tpch_q1", "user_similarity",
+        "vec_window_rank", "vector_avg_by_label", "vector_math_ops",
+        "vector_norms",
+    }),
 }
 
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # ERROR in r03 (foreachBatch task failure under full-gate load) —
-    # hardened in round 4; must re-verify.
+    # ERROR in r04 for the third consecutive round (mapInPandas stage dies
+    # under full-gate python-worker churn) — round 5 adds a
+    # python-worker-free driver-side drain rung; must re-verify.
     "stream_job_queue",
-    # rewritten in round 4 (scale-safe SV selection / threshold path,
-    # _bucket partition-pruned search, deterministic forest sample,
-    # stable-qid kNN predict, int4 nibble clamp):
-    "ocsvm_outliers", "temporal_knn_decay", "isolation_forest_outliers",
-    "ml_knn_predictions", "quantize_int4_fp8",
-    # events loader gained the TIMESTAMP(MICROS) normalization branch
-    # mid-round-4 (registry/common.events) — re-verify its consumers
-    # (all were green in a full post-change driver_sim, but the ledger's
-    # contract is driver-run evidence):
-    "events_hourly", "events_topk_users", "events_time_decay",
-    "events_sessionize",
+    # ERROR in r04 (driver canonicalizer can't sort the `codes` array
+    # column) — round 5 drops the array column from the output.
+    "pq_adc_topk",
+    # rewritten in round 5 (integer-nanosecond gap comparison in the
+    # stateful sessionizer — ADVICE r4):
+    "stream_sessionize",
 })
 
 

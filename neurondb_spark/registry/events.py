@@ -10,6 +10,9 @@ batch semantics)."""
 
 from __future__ import annotations
 
+import sys
+
+from pyspark.errors import StreamingQueryException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -233,7 +236,10 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts")
-    tag = sf_dir.rstrip("/").replace("/", "_")
+    # Sanitize fully: "sf0.001" left a dot in the memory-sink view name,
+    # which is an invalid identifier — the old bare except silently ate
+    # that AnalysisException and the gate only ever ran the batch twin.
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
     src = os.path.join(tempfile.gettempdir(), f"neurondb_sess_src{tag}")
     if not os.path.isdir(src):
         ev.coalesce(1).write.mode("overwrite").parquet(src)
@@ -260,7 +266,13 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.max("n_sessions").alias("n_sessions"),
                      F.max("max_session_events").alias("max_session_events"))
             )
-    except Exception:
+    except StreamingQueryException as e:
+        # Infra-only fallback: python-worker churn under full-gate load
+        # can wedge the streaming drain. Operator-level bugs (a broken
+        # sessionize_stream) raise outside this catch and fail the gate —
+        # the batch twin must not mask them (ADVICE r4).
+        print(f"neurondb: stream_sessionize streaming drain failed, "
+              f"using batch twin: {e}", file=sys.stderr)
         out = None
     if out is None:
         out = sessionize_batch(ev)

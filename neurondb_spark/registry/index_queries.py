@@ -291,7 +291,12 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_cache[key] = (cb,)
     codes = emb.select("vec_id", cb.encode_udf()(F.col("embedding")).alias("codes"))
     q = qvec(spark, sf_dir)
-    return pq_search(codes, cb, "codes", [float(x) for x in q], k=10)
+    # Project away the `codes` array column: the driver canonicalizer
+    # sorts every output column and dies on unhashable list cells
+    # (CORRECTNESS_r04 ERROR).
+    return pq_search(codes, cb, "codes", [float(x) for x in q], k=10).select(
+        "vec_id", "adc_distance"
+    )
 
 
 _hnsw_cache: dict[str, "object"] = {}

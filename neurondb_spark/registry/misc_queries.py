@@ -5,7 +5,10 @@ streaming job-queue drain (rows-only)."""
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
+
+from pyspark.errors import StreamingQueryException
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -195,7 +198,11 @@ def _q_stream_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = spark.table(qname)
         if not agg.head(1):  # empty sink = wedged stream; use batch path
             agg = None
-    except Exception:
+    except StreamingQueryException as e:
+        # Infra-only fallback (see _q_stream_sessionize): operator bugs in
+        # monitor_stream raise outside this catch and fail the gate.
+        print(f"neurondb: stream_monitor streaming drain failed, "
+              f"using batch twin: {e}", file=sys.stderr)
         agg = None
     if agg is None:
         df = spark.read.schema(schema).parquet(evdir)

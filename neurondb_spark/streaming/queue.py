@@ -37,6 +37,34 @@ JOB_SCHEMA = T.StructType(
     ]
 )
 
+# Batches at or below this size dispatch handlers driver-side (no executor
+# python workers anywhere in the plan). A job queue is control-plane data —
+# the reference's worker polls single jobs (worker_queue.c:4-9) — so the
+# common case is far below this; mapInPandas remains the scale path above.
+_DRIVER_DRAIN_MAX_ROWS = 10_000
+
+
+def _apply_handlers(handlers: dict, records: list[dict]) -> list[str]:
+    """Shared dispatch core for the driver-side and executor-side paths:
+    one result string per job row — handler JSON, ``no_handler``, or
+    ``error: ...`` (the job is still consumed, matching reference workers
+    recording failure, worker_queue.c:4-9)."""
+    results = []
+    for row in records:
+        fn = handlers.get(row.get("job_type"))
+        if fn is None:
+            results.append("no_handler")
+            continue
+        try:
+            out = fn(row)
+            results.append(
+                out if isinstance(out, str)
+                else json.dumps(out, default=str, sort_keys=True)
+            )
+        except Exception as e:  # record failure, consume the job
+            results.append(f"error: {e}")
+    return results
+
 
 class JobQueueWorker:
     """Drains a job directory via Structured Streaming.
@@ -69,29 +97,46 @@ class JobQueueWorker:
         self.checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        handlers = self.handlers  # closure-captured; cloudpickled to executors
         pending = batch_df.where(F.col("status") == "pending")
+        n = pending.count()
+        if n <= _DRIVER_DRAIN_MAX_ROWS:
+            self._process_batch_driver(pending, batch_id)
+        else:
+            self._process_batch_executor(pending, batch_id)
+
+    def _process_batch_driver(self, pending: DataFrame, batch_id: int) -> None:
+        """Python-worker-free drain for bounded batches.
+
+        The entire plan is JVM-side: Arrow ``toPandas`` collect, handlers
+        applied in the driver process, Arrow ``createDataFrame`` back, JVM
+        parquet write. No executor python worker is ever launched, so the
+        python-worker churn that killed three consecutive driver-gate runs
+        (mapInPandas task failure under ~30-query session load) has no
+        surface here."""
+        out_fields = pending.schema.fieldNames()
+        pdf = pending.toPandas()
+        pdf["result"] = _apply_handlers(self.handlers, pdf.to_dict("records"))
+        pdf["status"] = "complete"
+        schema = T.StructType(
+            list(pending.schema.fields) + [T.StructField("result", T.StringType())]
+        )
+        handled = (
+            self.spark.createDataFrame(pdf[out_fields + ["result"]], schema=schema)
+            .withColumn("processed_at", F.current_timestamp())
+        )
+        handled.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, "done", f"batch_id={batch_id}")
+        )
+
+    def _process_batch_executor(self, pending: DataFrame, batch_id: int) -> None:
+        """mapInPandas drain — the scale path: a wide batch of jobs
+        dispatches handler calls in parallel across executors."""
+        handlers = self.handlers  # closure-captured; cloudpickled to executors
         out_fields = pending.schema.fieldNames()
 
         def _dispatch(batches):
-            import pandas as pd  # noqa: F401
-
             for pdf in batches:
-                results = []
-                for row in pdf.to_dict("records"):
-                    fn = handlers.get(row.get("job_type"))
-                    if fn is None:
-                        results.append("no_handler")
-                        continue
-                    try:
-                        out = fn(row)
-                        results.append(
-                            out if isinstance(out, str)
-                            else json.dumps(out, default=str, sort_keys=True)
-                        )
-                    except Exception as e:  # record failure, consume the job
-                        results.append(f"error: {e}")
-                yield pdf.assign(result=results)
+                yield pdf.assign(result=_apply_handlers(handlers, pdf.to_dict("records")))
 
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in pending.schema.fields

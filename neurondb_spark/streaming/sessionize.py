@@ -30,7 +30,7 @@ SESSION_OUT_SCHEMA = T.StructType([
 ])
 
 _STATE_SCHEMA = T.StructType([
-    T.StructField("last_ts", T.DoubleType()),
+    T.StructField("last_ts_ns", T.LongType()),
     T.StructField("n_sessions", T.LongType()),
     T.StructField("cur_n", T.LongType()),
     T.StructField("max_n", T.LongType()),
@@ -38,6 +38,12 @@ _STATE_SCHEMA = T.StructType([
 
 
 def _session_fold(gap_s: float):
+    # Fold in integer nanoseconds: epoch-ns (~1.7e18) exceeds 2^53, so a
+    # float round-trip loses ~100-300ns and a gap of exactly gap_s could
+    # sessionize differently from the batch twin (which is exact at
+    # whole-microsecond timestamps).
+    gap_ns = int(round(gap_s * 1e9))
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state):
         last_ts, n_sessions, cur_n, max_n = (
             state.get if state.exists else (None, 0, 0, 0)
@@ -45,8 +51,8 @@ def _session_fold(gap_s: float):
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             for t in pdf["ts"]:
-                ts = t.value / 1e9  # ns → epoch seconds (µs-exact)
-                if last_ts is None or ts - last_ts > gap_s:
+                ts = int(t.value)  # int64 epoch nanoseconds, exact
+                if last_ts is None or ts - last_ts > gap_ns:
                     n_sessions += 1
                     cur_n = 1
                 else:
