@@ -29,6 +29,14 @@ Wire formats (minimal, provider-shape only):
   → embeddings; POST /api/generate {"model", "prompt", "stream": false}
   → response. (No rerank endpoint — rerank falls back to lexical.)
 
+- ``onnx`` (local-model tier, embeddings.c local dispatch +
+  neurondb_tokenizer.c): ``model_path`` names an ONNX encoder; the
+  session is created lazily inside each executor python worker and
+  cached per-process. Optional ``vocab_path`` enables real wordpiece;
+  otherwise the deterministic hash-vocab fallback tokenizer runs (the
+  reference tokenizer's no-vocab behavior). onnxruntime is optional —
+  absent → strict RuntimeError.
+
 Failure contract: a configured-but-unreachable provider raises after
 ``retries`` attempts (strict, like the multimodal codecs) — silent
 fallback would let a misconfigured 100-TB embed job burn a cluster-day
@@ -52,16 +60,22 @@ CONF_PREFIX = "spark.neurondb.llm."
 
 @dataclass(frozen=True)
 class LLMConfig:
-    provider: str = "none"  # none | openai | ollama
+    provider: str = "none"  # none | openai | ollama | onnx
     endpoint: str = ""
     api_key: str = ""
     model: str = ""
     timeout_s: float = 30.0
     batch_size: int = 32
     retries: int = 1
+    # local-model (onnx) tier only:
+    model_path: str = ""
+    vocab_path: str = ""
+    max_tokens: int = 128
 
     @property
     def enabled(self) -> bool:
+        if self.provider == "onnx":
+            return bool(self.model_path)
         return self.provider not in ("", "none") and bool(self.endpoint)
 
 
@@ -78,6 +92,9 @@ def llm_config(spark: SparkSession) -> LLMConfig:
         timeout_s=float(g("timeout_s", "30")),
         batch_size=max(1, int(g("batch_size", "32"))),
         retries=int(g("retries", "1")),
+        model_path=g("model_path", ""),
+        vocab_path=g("vocab_path", ""),
+        max_tokens=max(8, int(g("max_tokens", "128"))),
     )
 
 
@@ -88,20 +105,162 @@ def _post_json(url: str, payload: dict, cfg: LLMConfig) -> dict:
     if cfg.api_key:
         headers["Authorization"] = f"Bearer {cfg.api_key}"
     last: Exception | None = None
+    detail = ""
     for _ in range(cfg.retries + 1):
         try:
             req = urllib.request.Request(url, data=body, headers=headers)
             with urllib.request.urlopen(req, timeout=cfg.timeout_s) as resp:
                 return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            try:
+                detail = e.read().decode("utf-8", "replace")[:500]
+            except Exception:
+                detail = ""
+            # 4xx = caller error (bad key/model/payload): retrying burns
+            # retries×timeout per Arrow batch on every executor for the
+            # same deterministic answer — fail fast with the server body.
+            if 400 <= e.code < 500:
+                raise RuntimeError(
+                    f"neurondb: llm provider {cfg.provider!r} request to "
+                    f"{url} rejected with HTTP {e.code}: {detail}"
+                ) from e
+            last = e
         except (urllib.error.URLError, OSError, ValueError) as e:
             last = e
     raise RuntimeError(
         f"neurondb: llm provider {cfg.provider!r} request to {url} failed "
         f"after {cfg.retries + 1} attempts: {last}"
+        + (f" (last response body: {detail})" if detail else "")
     )
 
 
+# ----------------------------------------------------- local ONNX tier
+#
+# Reference: embeddings.c:332-438 dispatches embed_text to a LOCAL model
+# path as well as HTTP providers; the tokenizer lives in
+# src/onnx/neurondb_tokenizer.c (wordpiece with a basic fallback when no
+# vocab is loaded). Spark mapping: the ONNX session is created lazily
+# INSIDE each executor's python worker and cached per-process keyed by
+# model path — a 1000-executor cluster opens one session per worker, the
+# driver never deserializes the model, and Arrow batches amortize the
+# run() call exactly like the HTTP tier amortizes requests.
+# onnxruntime is an optional dependency: absent → a strict, actionable
+# RuntimeError (same failure contract as a configured-but-unreachable
+# HTTP provider; silent hash-fallback would mislabel a 100-TB embed run).
+
+_ONNX_SESSIONS: dict[str, object] = {}  # per-python-worker session cache
+_VOCABS: dict[str, dict[str, int]] = {}
+
+
+def _load_vocab(vocab_path: str) -> dict[str, int]:
+    vocab = _VOCABS.get(vocab_path)
+    if vocab is None:
+        with open(vocab_path, encoding="utf-8") as f:
+            vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        _VOCABS[vocab_path] = vocab
+    return vocab
+
+
+def _wordpiece_ids(word: str, vocab: dict[str, int], unk: int) -> list[int]:
+    """Greedy longest-match-first wordpiece (neurondb_tokenizer.c
+    semantics): 'playing' → ['play', '##ing']; no match at any position →
+    the whole word is UNK."""
+    ids: list[int] = []
+    start = 0
+    while start < len(word):
+        end = len(word)
+        piece_id = None
+        while end > start:
+            piece = word[start:end] if start == 0 else "##" + word[start:end]
+            if piece in vocab:
+                piece_id = vocab[piece]
+                break
+            end -= 1
+        if piece_id is None:
+            return [unk]
+        ids.append(piece_id)
+        start = end
+    return ids or [unk]
+
+
+def tokenize_ids(texts: list[str], cfg: LLMConfig) -> tuple[list[list[int]], list[list[int]]]:
+    """Deterministic tokenizer for the local tier: wordpiece over
+    ``vocab_path`` when provided, else hash-vocab fallback (djb2 mod 30k,
+    offset past the special ids — the no-vocab-loaded behavior of the
+    reference tokenizer). Returns (input_ids, attention_mask), padded to
+    the batch max and truncated at ``cfg.max_tokens``. CLS=101, SEP=102,
+    PAD=0, UNK=100 (BERT-standard ids)."""
+    cls_id, sep_id, pad_id, unk_id = 101, 102, 0, 100
+    vocab = _load_vocab(cfg.vocab_path) if cfg.vocab_path else None
+    all_ids: list[list[int]] = []
+    for t in texts:
+        words = ("" if t is None else str(t)).lower().split()
+        ids = [cls_id]
+        for w in words:
+            if len(ids) >= cfg.max_tokens - 1:
+                break
+            if vocab is not None:
+                ids.extend(_wordpiece_ids(w, vocab, vocab.get("[UNK]", unk_id)))
+            else:
+                h = 5381
+                for ch in w:
+                    h = ((h * 33) + ord(ch)) & 0xFFFFFFFF
+                ids.append(1000 + (h % 30000))
+        ids = ids[: cfg.max_tokens - 1] + [sep_id]
+        all_ids.append(ids)
+    width = max(len(i) for i in all_ids) if all_ids else 0
+    input_ids = [i + [pad_id] * (width - len(i)) for i in all_ids]
+    attention = [[1] * len(i) + [0] * (width - len(i)) for i in all_ids]
+    return input_ids, attention
+
+
+def _onnx_session(model_path: str):
+    sess = _ONNX_SESSIONS.get(model_path)
+    if sess is None:
+        try:
+            import onnxruntime as ort
+        except ImportError as e:
+            raise RuntimeError(
+                "neurondb: llm provider 'onnx' requires the onnxruntime "
+                "package on every executor (pip install onnxruntime); "
+                f"cannot load {model_path!r}"
+            ) from e
+        sess = ort.InferenceSession(
+            model_path, providers=["CPUExecutionProvider"]
+        )
+        _ONNX_SESSIONS[model_path] = sess
+    return sess
+
+
+def _onnx_embed_batch(texts: list[str], cfg: LLMConfig) -> list[list[float]]:
+    """Run the local encoder: hidden states mean-pooled under the
+    attention mask then L2-normalized (the standard sentence-embedding
+    readout, matching the reference's pooled-output path)."""
+    import numpy as np
+
+    sess = _onnx_session(cfg.model_path)
+    input_ids, attention = tokenize_ids(texts, cfg)
+    ids_arr = np.asarray(input_ids, dtype=np.int64)
+    mask_arr = np.asarray(attention, dtype=np.int64)
+    feeds = {}
+    for inp in sess.get_inputs():
+        if "mask" in inp.name:
+            feeds[inp.name] = mask_arr
+        elif "type" in inp.name:
+            feeds[inp.name] = np.zeros_like(ids_arr)
+        else:
+            feeds[inp.name] = ids_arr
+    out = np.asarray(sess.run(None, feeds)[0], dtype=np.float64)
+    if out.ndim == 3:  # (B, T, H) token states → masked mean-pool
+        m = mask_arr[:, :, None].astype(np.float64)
+        out = (out * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1.0)
+    norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+    return (out / norms).tolist()
+
+
 def _embed_batch(texts: list[str], cfg: LLMConfig) -> list[list[float]]:
+    if cfg.provider == "onnx":
+        return _onnx_embed_batch(texts, cfg)
     if cfg.provider == "openai":
         out = _post_json(
             f"{cfg.endpoint}/v1/embeddings",
@@ -165,7 +324,8 @@ def embed_text_http(
     if not cfg.enabled:
         raise ValueError(
             "neurondb: no llm provider configured "
-            f"(set {CONF_PREFIX}provider and {CONF_PREFIX}endpoint)"
+            f"(set {CONF_PREFIX}provider and {CONF_PREFIX}endpoint, or "
+            f"{CONF_PREFIX}model_path for provider=onnx)"
         )
 
     @pandas_udf("array<double>")
@@ -206,7 +366,8 @@ def llm_complete(
     if not cfg.enabled:
         raise ValueError(
             "neurondb: no llm provider configured "
-            f"(set {CONF_PREFIX}provider and {CONF_PREFIX}endpoint)"
+            f"(set {CONF_PREFIX}provider and {CONF_PREFIX}endpoint, or "
+            f"{CONF_PREFIX}model_path for provider=onnx)"
         )
 
     @pandas_udf("string")

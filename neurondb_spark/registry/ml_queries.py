@@ -503,6 +503,54 @@ SELECT e.vec_id, COALESCE(l.cluster, -1) AS cluster
 FROM embeddings e LEFT JOIN labeled l ON e.vec_id = l.id"""
 
 
+def _q_automl_deploy_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoML + deployment lifecycle end-to-end (ml_automl.c:119 auto
+    train/CV; deployment versioning + rollback + ab_tests semantics,
+    ml/deployment.py): CV two linear candidates, register the winner as
+    v1, a ridge refit as v2, activate v2 then roll back to v1, and score
+    a deterministic md5-bucketed A/B split with the active version.
+    Output = per-arm row counts. The arm assignment and row conservation
+    are SQL-expressible, so this has a REAL oracle — the model lifecycle
+    in between must not drop, duplicate, or crash to match it."""
+    import tempfile
+
+    from neurondb_spark.catalog import Catalog
+    from neurondb_spark.ml.api import MLEngine
+    from neurondb_spark.ml.automl import auto_train
+    from neurondb_spark.ml.deployment import Deployments
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "y", F.col("label").cast("double")
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="neurondb_automl_"))
+    res = auto_train(
+        emb, ["embedding"], "y", task="regression",
+        candidates=["linear_regression", "ridge"], folds=2, catalog=cat,
+    )
+    d = Deployments(cat)
+    d.publish_version("reg", res["model_id"])
+    eng = MLEngine(cat)
+    v2_mid = eng.train(emb, "ridge", ["embedding"], target="y",
+                       params={"regParam": 10.0})
+    v2 = d.publish_version("reg", v2_mid)
+    d.activate("reg", v2)
+    d.rollback("reg")  # active back to v1 = the CV winner
+    pred = d.ab_predict(emb, "reg", "reg", "vec_id", traffic_b=0.5)
+    return (
+        pred.groupBy("ab_arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("ab_arm")
+    )
+
+
+_SQL_AUTOML_AB = """SELECT
+  CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'ab'), 1, 8)) AS BIGINT)
+            % 1000 < 500
+       THEN 'B' ELSE 'A' END AS ab_arm,
+  COUNT(*) AS n
+FROM embeddings GROUP BY 1 ORDER BY 1"""
+
+
 QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
     "dbscan_clusters": (_q_dbscan, _sql_dbscan()),
@@ -521,4 +569,5 @@ QUERIES = {
     "ml_knn_predictions": (_q_knn_model, _sql_knn_model()),
     "tsne_label_centroids": (_q_tsne, None),
     "opq_rotated_variance": (_q_opq, None),
+    "automl_deploy_ab": (_q_automl_deploy_ab, _SQL_AUTOML_AB),
 }

@@ -22,6 +22,7 @@ from neurondb_spark.functions.text import (
 from neurondb_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
+    minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
@@ -129,6 +130,47 @@ def _sql_minhash_signatures() -> str:
         )
         cols.append(f"list_min({hashed}) AS mh{i}")
     return f"SELECT doc_id, {', '.join(cols)} FROM documents"
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (operators/dedup.py:76 — the
+    scale-path near-dup join: shuffle keys are (band, band_signature)
+    buckets, never all-pairs). Banding is a DETERMINISTIC function of the
+    signatures, so the oracle recomputes the same md5 minhashes and the
+    same band join — exact, not rows-only."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=NUM_MINHASHES, bands=4, shingle_n=3
+    )
+
+
+def _sql_minhash_lsh_pairs(bands: int = 4) -> str:
+    toks = sql_tokenize("text")
+    sh = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
+        f"i -> array_to_string({toks}[i:i+2], ' '))"
+    )
+    mh_cols = []
+    for i in range(NUM_MINHASHES):
+        hashed = (
+            f"list_transform({sh}, s -> CAST(('0x' || substr(md5(s || '#{i}'), 1, 15)) AS BIGINT))"
+        )
+        mh_cols.append(f"list_min({hashed}) AS mh{i}")
+    rpb = NUM_MINHASHES // bands
+    band_rows = []
+    for b in range(bands):
+        bsig = " || '_' || ".join(
+            f"CAST(mh{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {bsig} AS bsig FROM sig"
+        )
+    return f"""WITH sig AS MATERIALIZED (
+  SELECT doc_id, {', '.join(mh_cols)} FROM documents),
+bandsig AS ({' UNION ALL '.join(band_rows)})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bandsig a JOIN bandsig b
+  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id"""
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,15 +360,105 @@ def _sql_nlp_classify() -> str:
 FROM documents"""
 
 
+_ZS_LABELS = ["spark query engine", "stream window batch", "table scan filter"]
+_QA_QUESTION = "where does the hash join merge the sort table"
+# Documents are unpunctuated token streams; both sides synthesize
+# identical sentence boundaries (a period after every 5th word) so the
+# extractive-QA sentence scan has real structure to select over.
+_QA_SENT_RE = r"((?:\w+ ){4}\w+) "
+
+
+def _q_zero_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neurondb.zero_shot_classify heuristic tier (functions/nlp.py:115,
+    task wrappers neurondb--1.0.sql:5471-5774): argmax label-word overlap
+    with declaration-order tie-break, no hit → 'other'."""
+    from neurondb_spark.functions.nlp import zero_shot_classify
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", zero_shot_classify("text", _ZS_LABELS).alias("zs_label")
+    )
+
+
+def _sql_zero_shot() -> str:
+    from neurondb_spark.functions.nlp import _py_label_words
+
+    toks = sql_tokenize("text")
+
+    def hits(words):
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"CAST(len(list_filter({toks}, t -> t IN ({lst}))) AS BIGINT)"
+
+    cats = [(lab, _py_label_words(lab)) for lab in _ZS_LABELS]
+    b, c = f"'{cats[0][0]}'", hits(cats[0][1])
+    for label, words in cats[1:]:
+        ci = hits(words)
+        b = f"(CASE WHEN {ci} > {c} THEN '{label}' ELSE {b} END)"
+        c = f"(CASE WHEN {ci} > {c} THEN {ci} ELSE {c} END)"
+    return (
+        f"SELECT doc_id, (CASE WHEN {c} > 0 THEN {b} ELSE 'other' END) "
+        f"AS zs_label FROM documents"
+    )
+
+
+def _q_answer_question(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neurondb.answer_question heuristic tier (functions/nlp.py:129,
+    ml_nlp_production.c): extractive QA — the context sentence with the
+    highest distinct-question-token overlap, first sentence on ties."""
+    from neurondb_spark.functions.nlp import answer_question
+
+    docs = t(spark, sf_dir, "documents")
+    ctx = F.regexp_replace(F.col("text"), _QA_SENT_RE, "$1. ")
+    return docs.select(
+        "doc_id", answer_question(_QA_QUESTION, ctx).alias("answer")
+    )
+
+
+def _sql_answer_question() -> str:
+    from neurondb_spark.functions.text import _py_tokenize
+
+    qtok = []
+    for tok in _py_tokenize(_QA_QUESTION):
+        if tok not in qtok:
+            qtok.append(tok)
+    stoks = sql_tokenize("sent")
+    score = " + ".join(
+        f"(CASE WHEN list_contains({stoks}, '{w}') THEN 1 ELSE 0 END)"
+        for w in qtok
+    )
+    # Spark splits on (?<=[.!?])\s+ (lookbehind); RE2 has no lookbehind,
+    # so re-emit the punctuation and split on a control char — identical
+    # sentences for this context shape (single-space separators).
+    return rf"""WITH ctx AS (
+  SELECT doc_id, string_split(
+    regexp_replace(
+      regexp_replace(text, '{_QA_SENT_RE}', '\1. ', 'g'),
+      '([.!?]) ', '\1' || chr(1), 'g'),
+    chr(1)) AS sents
+  FROM documents),
+s1 AS (SELECT doc_id, sents,
+              unnest(generate_series(1, len(sents))) AS idx FROM ctx),
+s2 AS (SELECT doc_id, idx, sents[idx] AS sent FROM s1),
+ranked AS (
+  SELECT doc_id, sent,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ({score}) DESC, idx ASC) AS rnk
+  FROM s2)
+SELECT doc_id, sent AS answer FROM ranked WHERE rnk = 1"""
+
+
 QUERIES = {
     "text_stats": (_q_text_stats, _sql_text_stats()),
     "nlp_sentiment_classify": (_q_nlp_classify, _sql_nlp_classify()),
     "lang_detect_counts": (_q_lang_detect, _sql_lang_detect()),
     "fingerprint_dedup": (_q_fingerprint_dedup, _sql_fingerprint_dedup()),
     "minhash_signatures": (_q_minhash_signatures, _sql_minhash_signatures()),
+    "minhash_lsh_pairs": (_q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
     "simhash_signatures": (_q_simhash, _sql_simhash()),
     "simhash_neardup_pairs": (_q_simhash_pairs, _sql_simhash_pairs()),
     "ngram_jaccard_pairs": (_q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_neardup_pairs": (_q_embedding_neardup, _sql_embedding_neardup()),
     "chunk_documents": (_q_chunks, _sql_chunks()),
+    "zero_shot_classify": (_q_zero_shot, _sql_zero_shot()),
+    "answer_question": (_q_answer_question, _sql_answer_question()),
 }

@@ -173,3 +173,104 @@ def test_unreachable_provider_raises(spark):
                     model="m", timeout_s=0.5, retries=0)
     with pytest.raises(Exception, match="failed"):
         embed_text_http(_texts_df(spark, 2), "text", cfg=cfg).collect()
+
+
+# ----------------------------------------------------- local ONNX tier
+
+
+def test_http_4xx_fails_fast(spark, server):
+    # 4xx is a caller error: no retry burn, server status surfaced.
+    cfg = LLMConfig(provider="openai", endpoint=server + "/nope",
+                    model="m", timeout_s=2.0, retries=3)
+    from neurondb_spark.llm import _post_json
+
+    with pytest.raises(RuntimeError, match="rejected with HTTP 404"):
+        _post_json(cfg.endpoint + "/v1/embeddings", {"input": []}, cfg)
+
+
+def test_wordpiece_greedy_longest_match(tmp_path):
+    from neurondb_spark.llm import _wordpiece_ids
+
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "play", "##ing", "##er", "p", "##lay"]
+    )}
+    assert _wordpiece_ids("playing", vocab, 1) == [2, 3]
+    assert _wordpiece_ids("player", vocab, 1) == [2, 4]
+    assert _wordpiece_ids("play", vocab, 1) == [2]
+    # no match anywhere -> whole word UNK
+    assert _wordpiece_ids("zzz", vocab, 1) == [1]
+
+
+def test_tokenize_ids_vocab_and_fallback(tmp_path):
+    from neurondb_spark.llm import tokenize_ids
+
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(["[PAD]", "[UNK]", "hello", "world", "##s"]) + "\n")
+    cfg = LLMConfig(provider="onnx", model_path="m.onnx",
+                    vocab_path=str(vp), max_tokens=16)
+    ids, mask = tokenize_ids(["hello worlds", "hello"], cfg)
+    # CLS + pieces + SEP, padded to batch width; mask marks real tokens
+    assert ids[0] == [101, 2, 3, 4, 102]
+    assert ids[1] == [101, 2, 102, 0, 0]
+    assert mask[0] == [1, 1, 1, 1, 1] and mask[1] == [1, 1, 1, 0, 0]
+    # hash-vocab fallback: deterministic, respects truncation
+    cfg2 = LLMConfig(provider="onnx", model_path="m.onnx", max_tokens=8)
+    a1, _ = tokenize_ids(["one two three four five six seven eight"], cfg2)
+    a2, _ = tokenize_ids(["one two three four five six seven eight"], cfg2)
+    assert a1 == a2 and len(a1[0]) == 8 and a1[0][-1] == 102
+
+
+def test_onnx_embed_batch_pooling(monkeypatch):
+    """Full local-tier readout against a fake session: token states are a
+    deterministic function of input ids, so masked mean-pool + L2 norm is
+    checkable by hand — proves feeds construction, pooling and caching
+    without onnxruntime."""
+    import numpy as np
+
+    from neurondb_spark import llm as L
+
+    class _Inp:
+        def __init__(self, name):
+            self.name = name
+
+    class _FakeSession:
+        runs = 0
+
+        def get_inputs(self):
+            return [_Inp("input_ids"), _Inp("attention_mask"),
+                    _Inp("token_type_ids")]
+
+        def run(self, _, feeds):
+            type(self).runs += 1
+            ids = feeds["input_ids"]
+            # hidden state = [id, 2*id] per token -> (B, T, 2)
+            h = np.stack([ids, 2 * ids], axis=2).astype(np.float64)
+            return [h]
+
+    cfg = LLMConfig(provider="onnx", model_path="/fake/model.onnx",
+                    max_tokens=16)
+    monkeypatch.setitem(L._ONNX_SESSIONS, "/fake/model.onnx", _FakeSession())
+    out = L._onnx_embed_batch(["a b", "a"], cfg)
+    ids, mask = L.tokenize_ids(["a b", "a"], cfg)
+    for vec, row_ids, row_mask in zip(out, ids, mask):
+        real = [i for i, m in zip(row_ids, row_mask) if m]
+        mean = sum(real) / len(real)
+        exp = np.array([mean, 2 * mean])
+        exp = exp / np.linalg.norm(exp)
+        assert vec == pytest.approx(exp.tolist())
+
+
+def test_onnx_missing_runtime_strict(spark):
+    """onnxruntime is not installed in this container: the configured
+    local tier must raise the actionable error (never hash-fallback),
+    end-to-end through the executor python worker."""
+    try:
+        import onnxruntime  # noqa: F401
+
+        pytest.skip("onnxruntime installed; strict-missing path not testable")
+    except ImportError:
+        pass
+    cfg = LLMConfig(provider="onnx", model_path="/tmp/none.onnx")
+    assert cfg.enabled
+    with pytest.raises(Exception, match="onnxruntime"):
+        embed_text_http(_texts_df(spark, 2), "text", cfg=cfg).collect()
