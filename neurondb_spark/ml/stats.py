@@ -234,3 +234,127 @@ def label_recall_at_k(
             / F.lit(float(k))
         ).alias("recall_at_k")
     )
+
+
+# ------------------------------------------------- exact iterative ML
+#
+# Fixed-iteration, fixed-init variants of KMeans and logistic regression
+# whose every arithmetic step is reproducible bit-for-bit by portable SQL
+# (reference records exact metrics for its trainers,
+# tests/sql/basic/001_linreg_basic.sql:35-70; ml_kmeans.c / logistic in
+# ml_linear_regression.c train on fixed seeds). The MLlib-backed
+# `ml_kmeans`/`logistic_regression` remain the production trainers; these
+# exist so the TRAINING loop itself — not just a frozen model — sits
+# under the DuckDB oracle gate. All cross-row reductions use bsum/davg
+# (order-independent fixed-point / decimal), so a 1000-executor shuffle
+# order cannot change a single bit of the result.
+
+
+def _explode_vec(df: DataFrame, vec_col: str, keep: list[str]) -> DataFrame:
+    from neurondb_spark.functions.vector import vec
+
+    return df.select(
+        *keep, F.posexplode(vec(vec_col)).alias("_p0", "val")
+    ).select(*keep, (F.col("_p0") + 1).cast("int").alias("pos"), "val")
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """Deterministic distributed Lloyd: init = the k lowest-id vectors
+    (cluster number = id rank), then ``iters`` rounds of
+    assign-to-nearest (exact fixed-point L2, ties to the lower cluster)
+    + decimal-exact centroid means. Returns (id, cluster) assignments.
+
+    Scale: the exploded join shuffles n·d·k rows per round — the honest
+    distributed form (MLlib's dense path does the same flops); centroids
+    stay a DataFrame end to end, nothing collects to the driver."""
+    from neurondb_spark.functions.aggregates import davg
+    from pyspark.sql import Window as W
+
+    ex = _explode_vec(df, vec_col, [id_col])
+    init = (
+        df.select(id_col).orderBy(id_col).limit(k)
+        .select(
+            id_col,
+            (F.row_number().over(W.orderBy(id_col)) - 1).alias("cluster"),
+        )
+    )
+    cent = (
+        init.join(ex, id_col)
+        .select("cluster", "pos", F.col("val").alias("cval"))
+    )
+    assign = None
+    for _ in range(iters):
+        d = (
+            ex.join(cent, "pos")
+            .groupBy(id_col, "cluster")
+            .agg(bsum((F.col("val") - F.col("cval"))
+                      * (F.col("val") - F.col("cval"))).alias("dist"))
+        )
+        w = W.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cluster").asc())
+        assign = (
+            d.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col, "cluster")
+        )
+        cent = (
+            assign.join(ex, id_col)
+            .groupBy("cluster", "pos")
+            .agg(davg("val").alias("cval"))
+        )
+    return assign
+
+
+def logreg_gd_exact(
+    df: DataFrame, vec_col: str, y_col: str, id_col: str,
+    iters: int = 2, lr: float = 1.0,
+) -> DataFrame:
+    """Fixed-iteration batch gradient descent for logistic regression,
+    cross-engine exact: zero init, mean gradient, and the rational
+    'fast sigmoid' sigma(z) = 0.5 + 0.5*z/(1+|z|) — pure IEEE arithmetic,
+    no libm exp() whose final-ulp differs between engines. Returns
+    (id, prediction) with prediction = [x.beta > 0].
+
+    Scale: each iteration is one groupBy(pos) gradient reduction (64
+    groups, map-side combined) plus one groupBy(id) dot product — the
+    standard data-parallel GD allreduce shape; beta never leaves the
+    cluster."""
+    ex = _explode_vec(df, vec_col, [id_col, y_col])
+    n_rows = df.count()  # fixed denominator for the mean gradient
+    beta = None  # zero vector
+    for _ in range(iters):
+        if beta is None:
+            resid = df.select(id_col, (F.col(y_col) - 0.5).alias("resid"))
+        else:
+            z = (
+                ex.join(beta, "pos")
+                .groupBy(id_col)
+                .agg(bsum(F.col("val") * F.col("b")).alias("z"))
+            )
+            p = 0.5 + 0.5 * F.col("z") / (1.0 + F.abs(F.col("z")))
+            resid = (
+                df.select(id_col, y_col).join(z, id_col)
+                .select(id_col, (F.col(y_col) - p).alias("resid"))
+            )
+        grad = (
+            ex.join(resid, id_col)
+            .groupBy("pos")
+            .agg((bsum(F.col("val") * F.col("resid"))
+                  / F.lit(float(n_rows))).alias("g"))
+        )
+        if beta is None:
+            beta = grad.select("pos", (F.lit(lr) * F.col("g")).alias("b"))
+        else:
+            beta = (
+                beta.join(grad, "pos")
+                .select("pos", (F.col("b") + F.lit(lr) * F.col("g")).alias("b"))
+            )
+    z_final = (
+        ex.join(beta, "pos")
+        .groupBy(id_col)
+        .agg(bsum(F.col("val") * F.col("b")).alias("z"))
+    )
+    return z_final.select(
+        id_col, F.when(F.col("z") > 0, 1).otherwise(0).alias("prediction")
+    )

@@ -503,6 +503,95 @@ SELECT e.vec_id, COALESCE(l.cluster, -1) AS cluster
 FROM embeddings e LEFT JOIN labeled l ON e.vec_id = l.id"""
 
 
+_EX_CTE = """ex AS MATERIALIZED (
+  SELECT vec_id, CAST((label < 5) AS DOUBLE) AS y,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings)"""
+
+
+def _q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact KMeans (ml/stats.kmeans_lloyd_exact): fixed init =
+    the 4 lowest vec_ids, 2 Lloyd rounds, fixed-point distances and
+    decimal-exact means — the TRAINING loop itself is under the gate,
+    not just a frozen model (cf. ml_kmeans.c seeded trainer)."""
+    from neurondb_spark.ml.stats import kmeans_lloyd_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_exact(emb, "embedding", "vec_id", k=4, iters=2)
+
+
+def _sql_kmeans_fixed(k: int = 4) -> str:
+    dist = O.bsum("(ex.val - c.cval) * (ex.val - c.cval)")
+    steps = []
+    prev_cent = "c0"
+    for it in (1, 2):
+        steps.append(f"""d{it} AS (
+  SELECT ex.vec_id, c.cluster, {dist} AS dist
+  FROM ex JOIN {prev_cent} c ON ex.pos = c.pos
+  GROUP BY ex.vec_id, c.cluster),
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d{it}) WHERE rn = 1)""")
+        if it < 2:
+            steps.append(f"""c{it} AS (
+  SELECT a.cluster, e.pos, {O.davg('e.val')} AS cval
+  FROM a{it} a JOIN ex e ON e.vec_id = a.vec_id
+  GROUP BY a.cluster, e.pos)""")
+        prev_cent = f"c{it}"
+    return f"""WITH {_EX_CTE},
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (
+  SELECT i.cluster, e.pos, e.val AS cval
+  FROM init i JOIN ex e ON e.vec_id = i.vec_id),
+{', '.join(steps)}
+SELECT vec_id, cluster FROM a2"""
+
+
+def _q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact logistic regression (ml/stats.logreg_gd_exact):
+    zero-init 2-iteration batch GD with the rational fast sigmoid —
+    per-row predictions hash-checked against the identically-unrolled
+    DuckDB trainer (reference records exact trainer metrics,
+    tests/sql/basic/001_linreg_basic.sql:35-70)."""
+    from neurondb_spark.ml.stats import logreg_gd_exact
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") < 5).cast("double")
+    )
+    return logreg_gd_exact(emb, "embedding", "y", "vec_id", iters=2, lr=1.0)
+
+
+def _sql_logreg_gd() -> str:
+    n = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings)"
+    g1 = O.bsum("val * (y - 0.5)")
+    gz = O.bsum("ex.val * b1.b")
+    g2 = O.bsum("ex.val * r2.resid")
+    z2 = O.bsum("ex.val * b2.b")
+    return f"""WITH {_EX_CTE},
+g1 AS (SELECT pos, {g1} / {n} AS g FROM ex GROUP BY pos),
+b1 AS (SELECT pos, 1.0 * g AS b FROM g1),
+z1 AS (SELECT ex.vec_id, {gz} AS z
+       FROM ex JOIN b1 ON ex.pos = b1.pos GROUP BY ex.vec_id),
+r2 AS (SELECT em.vec_id,
+              CAST((em.label < 5) AS DOUBLE)
+                - (0.5 + 0.5 * z1.z / (1.0 + abs(z1.z))) AS resid
+       FROM embeddings em JOIN z1 ON em.vec_id = z1.vec_id),
+g2 AS (SELECT ex.pos, {g2} / {n} AS g
+       FROM ex JOIN r2 ON ex.vec_id = r2.vec_id GROUP BY ex.pos),
+b2 AS (SELECT b1.pos, b1.b + 1.0 * g2.g AS b
+       FROM b1 JOIN g2 ON b1.pos = g2.pos),
+z2 AS (SELECT ex.vec_id, {z2} AS z
+       FROM ex JOIN b2 ON ex.pos = b2.pos GROUP BY ex.vec_id)
+SELECT vec_id, CASE WHEN z > 0 THEN 1 ELSE 0 END AS prediction FROM z2"""
+
+
 def _q_automl_deploy_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AutoML + deployment lifecycle end-to-end (ml_automl.c:119 auto
     train/CV; deployment versioning + rollback + ab_tests semantics,
@@ -570,4 +659,6 @@ QUERIES = {
     "tsne_label_centroids": (_q_tsne, None),
     "opq_rotated_variance": (_q_opq, None),
     "automl_deploy_ab": (_q_automl_deploy_ab, _SQL_AUTOML_AB),
+    "kmeans_fixed_lloyd": (_q_kmeans_fixed, _sql_kmeans_fixed()),
+    "logreg_gd_predictions": (_q_logreg_gd, _sql_logreg_gd()),
 }
