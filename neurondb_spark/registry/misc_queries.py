@@ -132,7 +132,9 @@ def _q_fp16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_stream_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming job-queue drain (worker_queue.c analog):
     enqueue deterministic jobs, AvailableNow drain, return processed
-    counts by type. Side-effecting (writes under /tmp) → rows-only."""
+    counts by type. The enqueued set is a pure function of i∈[0,30), so
+    a generate_series oracle checks the exactly-once contract: every job
+    processed once, none dropped, none duplicated."""
     from neurondb_spark.streaming.queue import JobQueueWorker, enqueue_jobs
 
     td = tempfile.mkdtemp(prefix="neurondb_stream_q_")
@@ -159,8 +161,10 @@ def _q_stream_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming infra can wobble under full-gate session load (the
     stream_job_queue lesson), so a failed streaming run falls back to the
     identical batch aggregation — for a static directory the watermark
-    never discards anything, so the results are the same rows.
-    Side-effecting (writes under /tmp) → rows-only."""
+    never discards anything, so the results are the same rows. The event
+    frame is a pure function of i∈[0,40), so a generate_series oracle
+    hash-checks the windowed stats (values are integer-valued doubles —
+    sums are exact in any order, no decimal detour needed)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -247,12 +251,28 @@ _SQL_TIME_TRAVEL = """SELECT label, COUNT(*) AS n, MAX(vec_id) AS max_id
 FROM embeddings WHERE vec_id <= 300 GROUP BY label"""
 
 
+_SQL_STREAM_QUEUE = """SELECT
+  CASE WHEN i % 3 = 0 THEN 'embed' WHEN i % 3 = 1 THEN 'reindex'
+       ELSE 'compact' END AS job_type,
+  COUNT(*) AS n
+FROM generate_series(0, 29) t(i) GROUP BY 1 ORDER BY 1"""
+
+_SQL_STREAM_MONITOR = """WITH rows AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00' + to_minutes(7 * i) AS ts,
+         CASE WHEN i % 2 = 1 THEN 'click' ELSE 'view' END AS event_type,
+         CAST(i % 5 AS DOUBLE) AS value
+  FROM generate_series(0, 39) t(i))
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       COUNT(*) AS n, AVG(value) AS avg_value, MAX(value) AS max_value
+FROM rows GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 QUERIES = {
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),
     "ann_batch_topk": (_q_ann_batch_topk, _sql_ann_batch_topk()),
     "detokenize_roundtrip": (_q_detokenize, _sql_detokenize()),
     "fp16_roundtrip_err": (_q_fp16_roundtrip, None),
-    "stream_job_queue": (_q_stream_queue, None),
-    "stream_monitor_window": (_q_stream_monitor, None),
+    "stream_job_queue": (_q_stream_queue, _SQL_STREAM_QUEUE),
+    "stream_monitor_window": (_q_stream_monitor, _SQL_STREAM_MONITOR),
 }
