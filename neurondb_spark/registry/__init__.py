@@ -115,6 +115,9 @@ FORCE_RECHECK = frozenset({
     # rewritten in round 5 (integer-nanosecond gap comparison in the
     # stateful sessionizer — ADVICE r4):
     "stream_sessionize",
+    # graduated from rows-only to hash-checked oracles in round 5
+    # (generate_series / SQL-fp16 oracles) — re-record in oracle mode:
+    "stream_monitor_window", "fp16_roundtrip_err",
 })
 
 

@@ -111,8 +111,11 @@ FROM documents WHERE doc_id <= 200"""
 
 def _q_fp16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """halfvec surface (quantization.c:152-227): IEEE fp16 round-trip max
-    error per vector. numpy float16 is bit-exact but DuckDB has no half
-    type → rows-only check; exactness asserted in tests."""
+    error per vector. DuckDB has no half type, but fp16 round-to-nearest-
+    even is pure integer/power-of-two arithmetic, so the oracle
+    REIMPLEMENTS the codec in SQL (exponent-bucket CASE, exact quantum
+    division, manual half-even) and hash-checks numpy's float16 bit for
+    bit — verified over random + tie + subnormal inputs."""
     from neurondb_spark.functions.quantization import fp16_roundtrip_udf
 
     emb = t(spark, sf_dir, "embeddings")
@@ -127,6 +130,36 @@ def _q_fp16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", err.alias("fp16_max_err")).where(
         F.col("fp16_max_err") < 1.0
     )
+
+
+def _sql_fp16_roundtrip() -> str:
+    """fp16 RTNE in portable SQL: q = 2^(e-10) by exponent bucket
+    (boundaries are exact doubles), m = a/q exact, half-even via the
+    floor parity; subnormals use the fixed quantum 2^-24 and >=65520
+    overflows to inf (the exact half-even boundary past 65504)."""
+    qcase = " ".join(
+        f"WHEN a >= {2.0**e!r} THEN {2.0**(e - 10)!r}"
+        for e in range(15, -15, -1)
+    )
+    return f"""WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+p1 AS (SELECT vec_id, x, abs(x) AS a FROM ex),
+p2 AS (SELECT vec_id, x, a, (CASE {qcase} ELSE {2.0 ** -24!r} END) AS q
+       FROM p1),
+p3 AS (SELECT vec_id, x, a, q, floor(a / q) AS f, a / q - floor(a / q) AS d
+       FROM p2),
+p4 AS (SELECT vec_id, x,
+  (CASE WHEN x = 0 THEN 0.0
+        WHEN a >= 65520 THEN (CASE WHEN x > 0 THEN 'inf'::DOUBLE
+                                   ELSE '-inf'::DOUBLE END)
+        ELSE (CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END)
+             * (CASE WHEN d > 0.5 THEN f + 1
+                     WHEN d < 0.5 THEN f
+                     ELSE f + CAST(CAST(f AS BIGINT) % 2 AS DOUBLE) END)
+             * q END) AS rt
+  FROM p3)
+SELECT vec_id, MAX(abs(x - rt)) AS fp16_max_err
+FROM p4 GROUP BY vec_id HAVING MAX(abs(x - rt)) < 1.0"""
 
 
 def _q_stream_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,7 +305,7 @@ QUERIES = {
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),
     "ann_batch_topk": (_q_ann_batch_topk, _sql_ann_batch_topk()),
     "detokenize_roundtrip": (_q_detokenize, _sql_detokenize()),
-    "fp16_roundtrip_err": (_q_fp16_roundtrip, None),
+    "fp16_roundtrip_err": (_q_fp16_roundtrip, _sql_fp16_roundtrip()),
     "stream_job_queue": (_q_stream_queue, _SQL_STREAM_QUEUE),
     "stream_monitor_window": (_q_stream_monitor, _SQL_STREAM_MONITOR),
 }
