@@ -118,6 +118,9 @@ FORCE_RECHECK = frozenset({
     # graduated from rows-only to hash-checked oracles in round 5
     # (generate_series / SQL-fp16 oracles) — re-record in oracle mode:
     "stream_monitor_window", "fp16_roundtrip_err",
+    # graduated in round 5: lex-min-simple-path oracle reproduces greedy
+    # DFS preorder (proved on 3000 random graphs + this instance):
+    "graph_dfs_order",
 })
 
 

@@ -299,6 +299,74 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8  # subspaces, codewords, dim-per-subspace
+
+
+def _q_pq_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC top-k with a DETERMINISTIC codebook — the sub-slices
+    of the 16 lowest-vec_id embeddings — so the full quantize→LUT→scan
+    pipeline (pq_ops.c semantics) is hash-checkable: the oracle re-derives
+    the codebook from the table, re-encodes every row (same left-assoc
+    sub-distance folds, same lowest-code tie-break as the struct
+    array_min), rebuilds the query LUT and replays the ADC sum in subspace
+    order. Complements `pq_adc_topk`, which keeps the trained-KMeans
+    codebook (approximate → rows-only) and the numpy batch encoder as the
+    corpus-scale path."""
+    from neurondb_spark.index.pq import PQCodebook, pq_search
+
+    emb = t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id") <= _PQ_K).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    books = [
+        [[float(x) for x in r[0][mi * _PQ_SUB:(mi + 1) * _PQ_SUB]] for r in rows]
+        for mi in range(_PQ_M)
+    ]
+    cb = PQCodebook(_PQ_M, _PQ_K, EMB_DIM, books)
+    q = [float(x) for x in qvec(spark, sf_dir)]
+    codes = emb.select("vec_id", cb.encode_expr("embedding").alias("codes"))
+    return pq_search(codes, cb, "codes", q, k=10).select("vec_id", "adc_distance")
+
+
+def _sql_pq_adc_exact() -> str:
+    def dist(mi: int, a: str, b: str) -> str:
+        terms = [
+            f"(CAST({a}[{mi * _PQ_SUB + j}] AS DOUBLE) - "
+            f"CAST({b}[{mi * _PQ_SUB + j}] AS DOUBLE))"
+            for j in range(1, _PQ_SUB + 1)
+        ]
+        return " + ".join(f"{x} * {x}" for x in terms)
+
+    dcols = ",\n    ".join(
+        f"{dist(mi, 'e.embedding', 'c.cv')} AS d{mi}" for mi in range(_PQ_M)
+    )
+    encmin = ", ".join(
+        f"(MIN({{'d': d{mi}, 'i': code}})).i AS c{mi}" for mi in range(_PQ_M)
+    )
+    lutcols = ",\n    ".join(
+        f"{dist(mi, 'q.qe', 'c.cv')} AS l{mi}" for mi in range(_PQ_M)
+    )
+    adds = " + ".join(f"l{mi}.l{mi}" for mi in range(_PQ_M))
+    joins = "\n".join(
+        f"JOIN lut l{mi} ON l{mi}.code = enc.c{mi}" for mi in range(_PQ_M)
+    )
+    return f"""{QVEC_CTE},
+cw AS (SELECT vec_id - 1 AS code, embedding AS cv
+       FROM embeddings WHERE vec_id <= {_PQ_K}),
+dd AS (SELECT e.vec_id, c.code,
+    {dcols}
+  FROM embeddings e CROSS JOIN cw c),
+enc AS (SELECT vec_id, {encmin} FROM dd GROUP BY vec_id),
+lut AS (SELECT c.code,
+    {lutcols}
+  FROM cw c CROSS JOIN q)
+SELECT enc.vec_id, sqrt({adds}) AS adc_distance
+FROM enc
+{joins}
+ORDER BY adc_distance ASC, enc.vec_id ASC LIMIT 10"""
+
+
 _hnsw_cache: dict[str, "object"] = {}
 
 
@@ -461,6 +529,7 @@ QUERIES = {
     "consistent_snapshot_knn": (_q_consistent, _sql_consistent()),
     "rerank_candidates": (_q_rerank_candidates, _sql_rerank_candidates()),
     "pq_adc_topk": (_q_pq_adc, None),
+    "pq_adc_exact_codebook": (_q_pq_adc_exact, _sql_pq_adc_exact()),
     "hnsw_knn_full_ef": (_q_hnsw_full, _sql_hnsw_full()),
     "ivfpq_knn_exact_limit": (_q_ivfpq_full, _sql_ivfpq_full()),
 }

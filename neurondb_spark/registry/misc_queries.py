@@ -162,6 +162,77 @@ SELECT vec_id, MAX(abs(x - rt)) AS fp16_max_err
 FROM p4 GROUP BY vec_id HAVING MAX(abs(x - rt)) < 1.0"""
 
 
+def _fp16_qcase(a: str) -> str:
+    """fp16 quantum by exponent bucket (shared with _sql_fp16_roundtrip):
+    q = 2^(e-10); bucket boundaries are exact doubles."""
+    return " ".join(
+        f"WHEN {a} >= {2.0**e!r} THEN {2.0**(e - 10)!r}"
+        for e in range(15, -15, -1)
+    )
+
+
+def _fp16_rt(x: str, a: str, q: str, f: str, d: str) -> str:
+    """Round-to-nearest-even reconstruction given precomputed |x|, quantum,
+    floor multiple and fractional part (quantization.c:152-227 semantics)."""
+    return (
+        f"(CASE WHEN {x} = 0 THEN 0.0 "
+        f"WHEN {a} >= 65520 THEN (CASE WHEN {x} > 0 THEN 'inf'::DOUBLE "
+        f"ELSE '-inf'::DOUBLE END) "
+        f"ELSE (CASE WHEN {x} > 0 THEN 1.0 ELSE -1.0 END) * "
+        f"(CASE WHEN {d} > 0.5 THEN {f} + 1 WHEN {d} < 0.5 THEN {f} "
+        f"ELSE {f} + CAST(CAST({f} AS BIGINT) % 2 AS DOUBLE) END) * {q} END)"
+    )
+
+
+def _q_halfvec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """halfvec kNN (quantization.c:152-227 + vector.c distance ops): both
+    sides quantized to IEEE fp16, then exact-L2 top-10 over the decoded
+    values. fp16-decoded doubles are exact, so the fold order (left-assoc,
+    matching the oracle's ordered list_reduce) makes the distance
+    bit-reproducible."""
+    import numpy as np
+
+    from neurondb_spark.functions.quantization import fp16_roundtrip_udf
+    from neurondb_spark.operators.knn import knn
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding_h", fp16_roundtrip_udf()(F.col("embedding"))
+    )
+    qh = [float(np.float16(x)) for x in qvec(spark, sf_dir)]
+    return knn(
+        emb, "embedding_h", qh, k=10, metric="l2", dim=COMPILE_DIM,
+        tiebreak=["vec_id"],
+    ).select("vec_id", "label", "distance")
+
+
+def _sql_halfvec_knn() -> str:
+    """Per-element fp16 codec (staged CTEs, shared CASE builders with
+    _sql_fp16_roundtrip) + ordered list_reduce fold = Spark's left-assoc
+    aggregate over zip_with."""
+    sub = f"{2.0 ** -24!r}"
+    return f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+ex AS (SELECT e.vec_id, e.label, CAST(unnest(e.embedding) AS DOUBLE) AS xe,
+              generate_subscripts(e.embedding, 1) AS pos FROM embeddings e),
+qx AS (SELECT CAST(unnest(qe) AS DOUBLE) AS xq,
+              generate_subscripts(qe, 1) AS pos FROM q),
+j0 AS (SELECT vec_id, label, pos, xe, xq, abs(xe) AS ae, abs(xq) AS aq
+       FROM ex JOIN qx USING (pos)),
+j1 AS (SELECT *, (CASE {_fp16_qcase('ae')} ELSE {sub} END) AS qte,
+               (CASE {_fp16_qcase('aq')} ELSE {sub} END) AS qtq FROM j0),
+j2 AS (SELECT *, floor(ae / qte) AS fe, ae / qte - floor(ae / qte) AS de,
+               floor(aq / qtq) AS fq, aq / qtq - floor(aq / qtq) AS dq
+       FROM j1),
+j3 AS (SELECT vec_id, label, pos,
+        {_fp16_rt('xe', 'ae', 'qte', 'fe', 'de')} AS he,
+        {_fp16_rt('xq', 'aq', 'qtq', 'fq', 'dq')} AS hq FROM j2),
+d AS (SELECT vec_id, label,
+        sqrt(list_reduce(list((he - hq) * (he - hq) ORDER BY pos),
+                         (acc, v) -> acc + v)) AS distance
+      FROM j3 GROUP BY vec_id, label)
+SELECT vec_id, label, distance FROM d
+ORDER BY distance ASC, vec_id ASC LIMIT 10"""
+
+
 def _q_stream_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming job-queue drain (worker_queue.c analog):
     enqueue deterministic jobs, AvailableNow drain, return processed
@@ -306,6 +377,7 @@ QUERIES = {
     "ann_batch_topk": (_q_ann_batch_topk, _sql_ann_batch_topk()),
     "detokenize_roundtrip": (_q_detokenize, _sql_detokenize()),
     "fp16_roundtrip_err": (_q_fp16_roundtrip, _sql_fp16_roundtrip()),
+    "halfvec_knn": (_q_halfvec_knn, _sql_halfvec_knn()),
     "stream_job_queue": (_q_stream_queue, _SQL_STREAM_QUEUE),
     "stream_monitor_window": (_q_stream_monitor, _SQL_STREAM_MONITOR),
 }

@@ -447,6 +447,42 @@ ranked AS (
 SELECT doc_id, sent AS answer FROM ranked WHERE rnk = 1"""
 
 
+def _q_fill_mask_t2t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neurondb.fill_mask + text2text task router heuristic tiers
+    (functions/nlp.py:161,169; task wrappers neurondb--1.0.sql:5471-5774):
+    mask a deterministic token, fill it back, and route summarize (first-2
+    sentences over synthesized boundaries) + uppercase through the
+    text2text dispatcher — all string-exact."""
+    from neurondb_spark.functions.nlp import fill_mask, text2text
+
+    docs = t(spark, sf_dir, "documents")
+    masked = F.regexp_replace(F.col("text"), r"\bdata\b", "[MASK]")
+    sent_ctx = F.regexp_replace(F.col("text"), _QA_SENT_RE, "$1. ")
+    return docs.select(
+        "doc_id",
+        fill_mask(masked).alias("filled"),
+        text2text(sent_ctx, "summarize").alias("summary"),
+        text2text(F.substring(F.col("text"), 1, 40), "uppercase").alias("upper_head"),
+    )
+
+
+def _sql_fill_mask_t2t() -> str:
+    # Same lookbehind workaround as _sql_answer_question: re-emit the
+    # punctuation and split on a control char.
+    return rf"""WITH s AS (
+  SELECT doc_id, text,
+    string_split(regexp_replace(
+        regexp_replace(text, '{_QA_SENT_RE}', '\1. ', 'g'),
+        '([.!?]) ', '\1' || chr(1), 'g'), chr(1)) AS sents
+  FROM documents)
+SELECT doc_id,
+  replace(regexp_replace(text, '\bdata\b', '[MASK]', 'g'), '[MASK]', 'the')
+    AS filled,
+  array_to_string(list_slice(sents, 1, 2), ' ') AS summary,
+  upper(substr(text, 1, 40)) AS upper_head
+FROM s"""
+
+
 QUERIES = {
     "text_stats": (_q_text_stats, _sql_text_stats()),
     "nlp_sentiment_classify": (_q_nlp_classify, _sql_nlp_classify()),
@@ -461,4 +497,5 @@ QUERIES = {
     "chunk_documents": (_q_chunks, _sql_chunks()),
     "zero_shot_classify": (_q_zero_shot, _sql_zero_shot()),
     "answer_question": (_q_answer_question, _sql_answer_question()),
+    "fill_mask_text2text": (_q_fill_mask_t2t, _sql_fill_mask_t2t()),
 }

@@ -289,10 +289,36 @@ def _sql_vector_math() -> str:
 FROM embeddings"""
 
 
+def _q_vector_var_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_variance / vector_stddev (vector_ops.c:361-551): population
+    variance over the elements — two left-assoc folds (sum, then squared
+    deviations), both replayed in order by the oracle's list_reduce."""
+    from neurondb_spark.functions.vector import vector_stddev, vector_variance
+
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        vector_variance("embedding").alias("var_val"),
+        vector_stddev("embedding").alias("std_val"),
+    )
+
+
+def _sql_vector_var_std() -> str:
+    darr = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    mean = f"(list_reduce({darr}, (a, b) -> a + b) / {EMB_DIM})"
+    var = (
+        f"(list_reduce(list_transform({darr}, "
+        f"x -> (x - m.mean) * (x - m.mean)), (a, b) -> a + b) / {EMB_DIM})"
+    )
+    return f"""WITH m AS (SELECT vec_id, embedding, {mean} AS mean FROM embeddings)
+SELECT vec_id, {var} AS var_val, sqrt({var}) AS std_val FROM m"""
+
+
 QUERIES = {
     "vector_arith_ops": (_q_vector_arith, _sql_vector_arith()),
     "vector_math_ops": (_q_vector_math, _sql_vector_math()),
     "sparse_vector_dot": (_q_sparse_dot, _sql_sparse_dot()),
     "vector_masked_ops": (_q_masked_ops, _sql_masked_ops()),
     "sparse_metrics_knn": (_q_sparse_metrics, _sql_sparse_metrics()),
+    "vector_variance_stddev": (_q_vector_var_std, _sql_vector_var_std()),
 }
