@@ -137,6 +137,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     max_df: int | None = None,
     eager: bool = True,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold via an inverted shingle index:
     explode distinct shingles, self-join on the shingle (only pairs sharing
@@ -158,6 +159,8 @@ def ngram_jaccard_pairs(
     """
     if threshold <= 0.0:
         raise ValueError("neurondb: ngram_jaccard_pairs needs threshold > 0")
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"neurondb: unknown set-similarity measure {measure!r}")
     # single-file parquet scans arrive as one partition; the shingle
     # computation is CPU-heavy per row, so spread it across the cluster
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
@@ -199,14 +202,21 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
-    sim = F.col("_common").cast("double") / (
-        (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double")
-    )
+    if measure == "jaccard":
+        sim = F.col("_common").cast("double") / (
+            (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double")
+        )
+        out_col = "jaccard_sim"
+    else:  # overlap coefficient: |A∩B| / min(|A|,|B|)
+        sim = F.col("_common").cast("double") / (
+            F.least(F.col("_na"), F.col("_nb")).cast("double")
+        )
+        out_col = "containment"
     out = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", sim.alias("jaccard_sim"))
-        .where(F.col("jaccard_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", sim.alias(out_col))
+        .where(F.col(out_col) >= F.lit(float(threshold)))
     )
     if eager:
         # pairs output is tiny relative to the index; materialize it, then
@@ -214,6 +224,31 @@ def ngram_jaccard_pairs(
         out = out.localCheckpoint(eager=True)
         ex.unpersist()
     return out
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    block_col: str | None = None,
+    max_df: int | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """Overlap-coefficient (containment) near-duplicate pairs:
+    |S(A)∩S(B)| / min(|S(A)|,|S(B)|) ≥ threshold — the distributed analog
+    of substring/containment dedup in training-data pipelines. Catches a
+    small document whose shingle set sits mostly inside a larger one
+    (boilerplate inclusion, quote expansion, partial crawls) — exactly the
+    pairs size-sensitive Jaccard under-scores. Same inverted-index plan,
+    shuffle keys, and max_df stop-shingle semantics as
+    :func:`ngram_jaccard_pairs`."""
+    return ngram_jaccard_pairs(
+        df, text_col, id_col, threshold=threshold, shingle_n=shingle_n,
+        block_col=block_col, max_df=max_df, eager=eager,
+        measure="containment",
+    )
 
 
 def simhash(text, bits: int = 16) -> Column:

@@ -243,6 +243,45 @@ JOIN sizes sb ON common.id_b = sb.doc_id
 WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.03"""
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) dedup pairs — the substring-dedup
+    analog for training pipelines (operators/dedup.py:
+    ngram_containment_pairs): same inverted shingle index as the Jaccard
+    row, final score |A∩B|/min(|A|,|B|) so boilerplate-inclusion pairs
+    that Jaccard under-scores cross the bar."""
+    from neurondb_spark.operators.dedup import ngram_containment_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "text", "doc_id", threshold=0.12, shingle_n=3,
+        block_col="lang", max_df=20,
+    )
+
+
+def _sql_ngram_containment() -> str:
+    toks = sql_tokenize("text")
+    sh = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
+        f"i -> CAST(('0x' || substr(md5(array_to_string({toks}[i:i+2], ' ')), 1, 15)) AS BIGINT)))"
+    )
+    c = "CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)"
+    return f"""WITH s AS (SELECT doc_id, lang, {sh} AS sh FROM documents),
+ex0 AS (SELECT doc_id, lang, unnest(sh) AS sing FROM s),
+keep AS (SELECT sing FROM ex0 GROUP BY sing HAVING COUNT(*) <= 20),
+ex AS (SELECT ex0.* FROM ex0 JOIN keep ON ex0.sing = keep.sing),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b
+    ON a.sing = b.sing AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, {c} AS containment
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE {c} >= 0.12"""
+
+
 # gate LSH blocking config: 4 bands x 8 bits = 256 buckets/band (oracle SQL
 # stays tractable; production defaults in dedup.py are 8 x 16)
 _ND_BANDS, _ND_BITS, _ND_SEED = 4, 8, 42
@@ -493,6 +532,7 @@ QUERIES = {
     "simhash_signatures": (_q_simhash, _sql_simhash()),
     "simhash_neardup_pairs": (_q_simhash_pairs, _sql_simhash_pairs()),
     "ngram_jaccard_pairs": (_q_ngram_jaccard, _sql_ngram_jaccard()),
+    "ngram_containment_pairs": (_q_ngram_containment, _sql_ngram_containment()),
     "embedding_neardup_pairs": (_q_embedding_neardup, _sql_embedding_neardup()),
     "chunk_documents": (_q_chunks, _sql_chunks()),
     "zero_shot_classify": (_q_zero_shot, _sql_zero_shot()),

@@ -146,3 +146,38 @@ def test_ngram_jaccard_eager_releases_cache(spark):
     # (small) pairs result may remain while `out` is referenced
     assert after <= before + 1
     assert n >= 0
+
+
+def test_ngram_containment_finds_subset_doc(spark):
+    """A document fully contained in a larger one must score 1.0 on
+    containment while its Jaccard stays below a 0.8 bar."""
+    big = " ".join(WORDS)            # 22 tokens -> 20 trigram shingles
+    small = " ".join(WORDS[:8])      # prefix -> every shingle inside big
+    other = " ".join(reversed(WORDS))
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id int, text string"
+    )
+    from neurondb_spark.operators.dedup import ngram_containment_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            docs, "text", "doc_id", threshold=0.9, shingle_n=3
+        ).collect()
+    }
+    assert got.get((1, 2)) == 1.0, got
+    jac = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.01, shingle_n=3
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.8  # Jaccard under-scores the contained doc
+
+
+def test_ngram_pairs_rejects_unknown_measure(spark):
+    docs = _docs(spark, n=4)
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, measure="dice"
+        )
