@@ -130,6 +130,39 @@ class PQCodebook:
 
         return _encode
 
+    def encode_udf_exact(self):
+        """Arrow-batched numpy encoder BIT-IDENTICAL to ``encode_expr``:
+        the squared sub-distance accumulates with an explicit left-assoc
+        loop (d = t0²; d = d + t1²; …) of elementwise float64 ops — the
+        same IEEE rounding sequence as the expression fold — instead of
+        ``encode_udf``'s expanded −2x·c+|c|² GEMM (whose BLAS summation
+        order is unspecified). numpy argmin ties → lowest index, matching
+        the struct array_min. Use for oracle-checked paths; at m=8,k=16
+        it is ~50× faster than the interpreted expression (which falls
+        out of whole-stage codegen past janino's 64 KB)."""
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        books = [np.array(b, dtype=np.float64) for b in self.codebooks]
+        m, sub = self.m, self.sub
+
+        @pandas_udf("array<int>")
+        def _encode(vecs: pd.Series) -> pd.Series:
+            x = np.asarray(vecs.tolist(), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for mi in range(m):
+                xs = x[:, mi * sub:(mi + 1) * sub]
+                cb = books[mi]
+                diff = xs[:, None, 0] - cb[None, :, 0]
+                d = diff * diff
+                for j in range(1, sub):
+                    diff = xs[:, None, j] - cb[None, :, j]
+                    d = d + diff * diff
+                codes[:, mi] = np.argmin(d, axis=1)
+            return pd.Series([row.tolist() for row in codes])
+
+        return _encode
+
     def decode_expr(self, codes_col: Column | str) -> Column:
         """Reconstruct the (approximate) vector from codes."""
         c = F.col(codes_col) if isinstance(codes_col, str) else codes_col

@@ -88,10 +88,20 @@ def minhash_lsh_pairs(
     Scale: the only shuffle keys are (band_idx, band_signature) — bucket
     sizes are data-dependent but never global; skewed buckets (boilerplate
     docs) are handled by AQE skew-join when joined back.
+
+    The banded-signature table (n_docs × bands rows of small ints/strings)
+    is materialized once before the self-join: signature hashing is the
+    CPU-heavy stage (tokenize → shingles → num_hashes seeded md5s per
+    shingle) and a lazy plan would recompute it for BOTH join sides — at
+    warehouse scale this is a written signature table, refreshed
+    incrementally. The input is also spread across the cluster first:
+    single-file corpora arrive as one partition, which would serialize
+    the hashing on one core.
     """
     if num_hashes % bands != 0:
         raise ValueError("neurondb: num_hashes must be divisible by bands")
     rpb = num_hashes // bands
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sig = minhash_signature(text_col, num_hashes, shingle_n)
     base = df.select(F.col(id_col), sig.alias("_sig"))
     bands_arr = F.array(
@@ -110,7 +120,7 @@ def minhash_lsh_pairs(
     )
     exploded = base.select(id_col, F.explode(bands_arr).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
-    )
+    ).localCheckpoint(eager=True)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (

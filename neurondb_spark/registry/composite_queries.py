@@ -264,6 +264,85 @@ FROM documents WHERE octet_length(CAST(text AS BLOB)) = length(text)
 ORDER BY distance ASC, media_id ASC LIMIT 5"""
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation (north-star composition of the
+    text-analysis + dedup family): language-ID → quality-score filter →
+    exact fingerprint dedup (keep the lowest doc_id per fingerprint, one
+    combiner-heavy groupBy — no window) → per-language corpus stats with
+    a decimal-exact quality mean. Every stage is an oracle-proven
+    operator; this row proves they compose without drift."""
+    from neurondb_spark.functions.aggregates import davg
+    from neurondb_spark.functions.text import (
+        detect_language,
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        detect_language("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("fp"),
+        token_count("text").alias("n_tok"),
+    ).where(F.col("q") >= 0.5)
+    kept = (
+        scored.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang_pred", "n_tok", "q")).alias("s"))
+        .select("s.*")
+    )
+    return kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        davg("q").alias("avg_quality"),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from neurondb_spark.functions.text import sql_doc_fingerprint, sql_tokenize
+    from neurondb_spark.registry.text_pipeline import _LANG_WORDS
+
+    toks = sql_tokenize("text")
+    cnts = {
+        lang: "len(list_filter(%s, x -> x IN (%s)))"
+        % (toks, ", ".join(f"'{x}'" for x in w))
+        for lang, w in _LANG_WORDS.items()
+    }
+    lang_expr = "'en'"
+    best = cnts["en"]
+    for lang in ("es", "de", "fr"):
+        lang_expr = f"(CASE WHEN {cnts[lang]} > ({best}) THEN '{lang}' ELSE {lang_expr} END)"
+        best = f"greatest({best}, {cnts[lang]})"
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    stop = f"CAST(len(list_filter({toks}, x -> x IN ('the','and','of','to','in','a','is'))) AS DOUBLE)"
+    uniq = f"CAST(len(list_distinct({toks})) AS DOUBLE)"
+    q = (
+        f"((least({n_tok} / 100.0, 1.0)) + "
+        f"(CASE WHEN {n_chars} = 0.0 THEN 0.0 ELSE {alpha} / {n_chars} END) + "
+        f"(least({stop} / greatest({n_tok} * 0.05, 1.0), 1.0)) + "
+        f"(CASE WHEN {n_tok} = 0.0 THEN 0.0 ELSE {uniq} / {n_tok} END)) / 4.0"
+    )
+    return f"""WITH scored AS (
+  SELECT doc_id,
+         (CASE WHEN ({best}) > 0 THEN {lang_expr} ELSE 'unknown' END) AS lang_pred,
+         {q} AS q,
+         {sql_doc_fingerprint('text')} AS fp,
+         CAST(len({toks}) AS INTEGER) AS n_tok
+  FROM documents),
+filt AS (SELECT * FROM scored WHERE q >= 0.5),
+kept AS (
+  SELECT fp, lang_pred, n_tok, q FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM filt) WHERE rn = 1)
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       {O.davg('q')} AS avg_quality
+FROM kept GROUP BY lang_pred"""
+
+
 QUERIES = {
     "cross_modal_search": (_q_cross_modal, _sql_cross_modal()),
     "graph_knn": (_q_graph_knn, _sql_graph_knn()),
@@ -271,4 +350,5 @@ QUERIES = {
     "rerank_ensemble_borda": (_q_ensemble_borda, _sql_ensemble_borda()),
     "vector_casts": (_q_vector_casts, _sql_vector_casts()),
     "knn_mahalanobis": (_q_mahalanobis, _sql_mahalanobis()),
+    "corpus_curation_pipeline": (_q_curation_pipeline, _sql_curation_pipeline()),
 }

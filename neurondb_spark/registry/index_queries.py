@@ -325,7 +325,10 @@ def _q_pq_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cb = PQCodebook(_PQ_M, _PQ_K, EMB_DIM, books)
     q = [float(x) for x in qvec(spark, sf_dir)]
-    codes = emb.select("vec_id", cb.encode_expr("embedding").alias("codes"))
+    # encode_udf_exact = the same left-assoc folds as encode_expr, but
+    # Arrow-batched (the expression form overflows janino's 64 KB at
+    # m·k·sub = 8·16·8 and runs interpreted, ~50× slower)
+    codes = emb.select("vec_id", cb.encode_udf_exact()(F.col("embedding")).alias("codes"))
     return pq_search(codes, cb, "codes", q, k=10).select("vec_id", "adc_distance")
 
 

@@ -162,6 +162,37 @@ SELECT vec_id, MAX(abs(x - rt)) AS fp16_max_err
 FROM p4 GROUP BY vec_id HAVING MAX(abs(x - rt)) < 1.0"""
 
 
+def _q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the VALUE gate (data_management.py:
+    compact — read → coalesce → rewrite → verified backup-keeping swap;
+    vacuum/compact family, §2.11): write a lineitem slice as 16 small
+    files, compact to 2, read the swapped-in result back and aggregate.
+    The oracle computes the same aggregates from the ORIGINAL table, so
+    any row lost, duplicated, or corrupted by the rewrite/swap breaks the
+    hash — content preservation, not just file-count, is what's checked
+    (file-count and crash-swap mechanics are pytest-covered)."""
+    from neurondb_spark.data_management import compact
+    from neurondb_spark.functions.aggregates import dsum
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 500)
+    base = os.path.join(tempfile.mkdtemp(prefix="neurondb_compact_"), "t")
+    li.repartition(16).write.mode("overwrite").parquet(base)
+    compact(spark, base, target_partitions=2)
+    back = spark.read.parquet(base)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def _sql_compact_roundtrip() -> str:
+    return f"""SELECT l_returnflag, COUNT(*) AS n_rows,
+  {O.dsum('l_extendedprice')} AS sum_price,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem WHERE l_partkey <= 500 GROUP BY l_returnflag"""
+
+
 def _fp16_qcase(a: str) -> str:
     """fp16 quantum by exponent bucket (shared with _sql_fp16_roundtrip):
     q = 2^(e-10); bucket boundaries are exact doubles."""
@@ -378,6 +409,7 @@ QUERIES = {
     "detokenize_roundtrip": (_q_detokenize, _sql_detokenize()),
     "fp16_roundtrip_err": (_q_fp16_roundtrip, _sql_fp16_roundtrip()),
     "halfvec_knn": (_q_halfvec_knn, _sql_halfvec_knn()),
+    "compact_roundtrip": (_q_compact_roundtrip, _sql_compact_roundtrip()),
     "stream_job_queue": (_q_stream_queue, _SQL_STREAM_QUEUE),
     "stream_monitor_window": (_q_stream_monitor, _SQL_STREAM_MONITOR),
 }

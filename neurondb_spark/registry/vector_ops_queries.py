@@ -314,6 +314,45 @@ def _sql_vector_var_std() -> str:
 SELECT vec_id, {var} AS var_val, sqrt({var}) AS std_val FROM m"""
 
 
+def _q_vector_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neurondb.preprocess dispatcher (neurondb--1.0.sql:6091-6118) —
+    all four routes under the hash gate: standardize ((x−mean)/sd with
+    the ordered-fold mean/variance), minmax, clip to [−1,1], l2
+    normalize. One representative element per route keeps the output
+    scalar-typed."""
+    from neurondb_spark.functions.nlp import preprocess
+
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.element_at(preprocess("embedding", "standardize"), 1).alias("std_e1"),
+        F.element_at(preprocess("embedding", "minmax"), 2).alias("mm_e2"),
+        F.element_at(preprocess("embedding", "clip"), 3).alias("clip_e3"),
+        F.element_at(preprocess("embedding", "l2"), 4).alias("l2_e4"),
+    )
+
+
+def _sql_vector_preprocess() -> str:
+    e = lambda i: O.elem("embedding", i)  # noqa: E731
+    darr = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    mean = f"(list_reduce({darr}, (a, b) -> a + b) / {EMB_DIM})"
+    var = (
+        f"(list_reduce(list_transform({darr}, "
+        f"x -> (x - m.mean) * (x - m.mean)), (a, b) -> a + b) / {EMB_DIM})"
+    )
+    sumsq = " + ".join(f"({e(i)}) * ({e(i)})" for i in range(1, EMB_DIM + 1))
+    lo = "CAST(list_aggregate(embedding, 'min') AS DOUBLE)"
+    hi = "CAST(list_aggregate(embedding, 'max') AS DOUBLE)"
+    return f"""WITH m AS (SELECT vec_id, embedding, {mean} AS mean FROM embeddings),
+m2 AS (SELECT vec_id, embedding, mean, sqrt({var}) AS sd FROM m)
+SELECT vec_id,
+  (({e(1)}) - mean) / sd AS std_e1,
+  (({e(2)}) - {lo}) / ({hi} - {lo}) AS mm_e2,
+  least(greatest({e(3)}, -1.0), 1.0) AS clip_e3,
+  ({e(4)}) / sqrt({sumsq}) AS l2_e4
+FROM m2"""
+
+
 QUERIES = {
     "vector_arith_ops": (_q_vector_arith, _sql_vector_arith()),
     "vector_math_ops": (_q_vector_math, _sql_vector_math()),
@@ -321,4 +360,5 @@ QUERIES = {
     "vector_masked_ops": (_q_masked_ops, _sql_masked_ops()),
     "sparse_metrics_knn": (_q_sparse_metrics, _sql_sparse_metrics()),
     "vector_variance_stddev": (_q_vector_var_std, _sql_vector_var_std()),
+    "vector_preprocess_ops": (_q_vector_preprocess, _sql_vector_preprocess()),
 }

@@ -70,3 +70,16 @@ def test_pq_encode_udf_matches_expr(spark):
          emb.select("vec_id", cb.encode_udf()(F.col("embedding")).alias("c")).collect()}
     mismatched = [k for k in a if a[k] != b[k]]
     assert not mismatched, f"{len(mismatched)} rows differ, e.g. {mismatched[:3]}"
+
+
+def test_pq_encode_udf_exact_matches_expr(spark):
+    """encode_udf_exact must be bit-identical to encode_expr: same
+    left-assoc accumulation order, same lowest-index argmin ties."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = PQCodebook.train(emb, "embedding", DIM, m=8, k=16)
+    a = {r["vec_id"]: r["c"] for r in
+         emb.select("vec_id", cb.encode_expr("embedding").alias("c")).collect()}
+    b = {r["vec_id"]: r["c"] for r in
+         emb.select("vec_id",
+                    cb.encode_udf_exact()(F.col("embedding")).alias("c")).collect()}
+    assert a == b
