@@ -38,9 +38,19 @@ def _dim_check(a: Column, b: Column, expr: Column, checked: bool) -> Column:
     ).otherwise(expr)
 
 
+# The unrolled chain is a left-deep expression tree of depth `dim`; JVM
+# analysis/optimization recurse per level and overflow the default driver
+# stack somewhere past ~300 terms (observed: StackOverflowError at
+# dim=384 inside withColumn analysis). The fold form is one
+# HigherOrderFunction node — constant tree depth — with the identical
+# left-associative arithmetic, so past this bound it is strictly the
+# right compile, not a compromise.
+UNROLL_DIM_MAX = 192
+
+
 def _fold_sum(a: Column, b: Column, term, dim: int | None) -> Column:
     """Sum of term(a_i, b_i) over elements, left-associative."""
-    if dim is not None:
+    if dim is not None and dim <= UNROLL_DIM_MAX:
         s = term(F.element_at(a, 1), F.element_at(b, 1))
         for i in range(2, dim + 1):
             s = s + term(F.element_at(a, i), F.element_at(b, i))
@@ -49,7 +59,7 @@ def _fold_sum(a: Column, b: Column, term, dim: int | None) -> Column:
 
 
 def _fold_sum_one(a: Column, term, dim: int | None) -> Column:
-    if dim is not None:
+    if dim is not None and dim <= UNROLL_DIM_MAX:
         s = term(F.element_at(a, 1))
         for i in range(2, dim + 1):
             s = s + term(F.element_at(a, i))
@@ -224,7 +234,7 @@ def mahalanobis_distance(a, b, inv_diag, dim: int | None = None, checked: bool =
     """Diagonal-covariance Mahalanobis: sqrt(sum w_i (a_i-b_i)^2)
     (vector_distance.c:545)."""
     a, b, w = vec(a), vec(b), vec(inv_diag)
-    if dim is not None:
+    if dim is not None and dim <= UNROLL_DIM_MAX:
         s = None
         for i in range(1, dim + 1):
             d = F.element_at(a, i) - F.element_at(b, i)

@@ -353,6 +353,59 @@ SELECT vec_id,
 FROM m2"""
 
 
+def _q_vector_sum_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_sum + element-wise min/max over rows (aggregates.c §2.4 —
+    the ✔-only tail of the aggregate family): three vector_agg_exploded
+    passes joined on (label, pos); the sum routes through decimal (exact
+    in any partitioning/order, same as the oracle's DECIMAL(38,6) sum)."""
+    from neurondb_spark.functions.aggregates import vector_agg_exploded
+
+    emb = t(spark, sf_dir, "embeddings")
+    s = vector_agg_exploded(emb, "embedding", ["label"], op="sum", out_col="sum_val")
+    mn = vector_agg_exploded(emb, "embedding", ["label"], op="min", out_col="min_val")
+    mx = vector_agg_exploded(emb, "embedding", ["label"], op="max", out_col="max_val")
+    return s.join(mn, ["label", "pos"]).join(mx, ["label", "pos"])
+
+
+def _sql_vector_sum_minmax() -> str:
+    return f"""WITH ex AS (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS p
+  FROM embeddings)
+SELECT label, CAST(p AS INTEGER) AS pos, {O.dsum('v')} AS sum_val,
+       MIN(v) AS min_val, MAX(v) AS max_val
+FROM ex GROUP BY label, p"""
+
+
+def _q_vector_cross3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_cross_product (vector_advanced.c:30): 3-D cross product of
+    each embedding's first three components with the query vector's —
+    two products + one subtraction per component, IEEE-exact."""
+    from neurondb_spark.functions.vector import vector_cross_product
+
+    emb = t(spark, sf_dir, "embeddings")
+    q3 = qvec(spark, sf_dir)[:3]
+    qcol = F.array(*[F.lit(float(x)) for x in q3])
+    cr = vector_cross_product("embedding", qcol)
+    return emb.select(
+        "vec_id",
+        F.element_at(cr, 1).alias("cx"),
+        F.element_at(cr, 2).alias("cy"),
+        F.element_at(cr, 3).alias("cz"),
+    )
+
+
+def _sql_vector_cross3() -> str:
+    e = lambda i: O.elem("embedding", i)  # noqa: E731
+    q = lambda i: f"(SELECT CAST(qe[{i}] AS DOUBLE) FROM q)"  # noqa: E731
+    return f"""{QVEC_CTE}
+SELECT vec_id,
+  ({e(2)}) * {q(3)} - ({e(3)}) * {q(2)} AS cx,
+  ({e(3)}) * {q(1)} - ({e(1)}) * {q(3)} AS cy,
+  ({e(1)}) * {q(2)} - ({e(2)}) * {q(1)} AS cz
+FROM embeddings"""
+
+
 QUERIES = {
     "vector_arith_ops": (_q_vector_arith, _sql_vector_arith()),
     "vector_math_ops": (_q_vector_math, _sql_vector_math()),
@@ -361,4 +414,6 @@ QUERIES = {
     "sparse_metrics_knn": (_q_sparse_metrics, _sql_sparse_metrics()),
     "vector_variance_stddev": (_q_vector_var_std, _sql_vector_var_std()),
     "vector_preprocess_ops": (_q_vector_preprocess, _sql_vector_preprocess()),
+    "vector_sum_minmax_by_label": (_q_vector_sum_minmax, _sql_vector_sum_minmax()),
+    "vector_cross_product3": (_q_vector_cross3, _sql_vector_cross3()),
 }

@@ -147,3 +147,19 @@ def test_f1_at_k_reference_semantics(spark):
     # disjoint → P+R < 1e-10 → 0.0 (reference guard)
     none = F.array(F.lit(7), F.lit(8))
     assert _one(spark, f1_at_k(none, relevant, 2)) == 0.0
+
+
+def test_knn_large_dim_compiles_via_fold(spark):
+    """dim > UNROLL_DIM_MAX must route to the constant-depth fold: the
+    unrolled 384-term chain used to overflow the JVM analyzer stack
+    (StackOverflowError in withColumn) — the default rag_query dim."""
+    import random
+
+    from neurondb_spark.operators.knn import knn
+
+    rng = random.Random(0)
+    rows = [(i, [rng.random() for _ in range(384)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    out = knn(df, "v", rows[0][1], k=3, metric="l2", dim=384,
+              tiebreak=["id"]).collect()
+    assert out[0]["id"] == 0 and out[0]["distance"] == 0.0
