@@ -387,16 +387,26 @@ def monitor_drift_timeseries(
     """
     from neurondb_spark.functions.aggregates import bsum
 
+    def _ts_lit(x):
+        # A naive-datetime literal is converted through the PYTHON
+        # process timezone (TZ env), which silently shifts the baseline
+        # boundary on non-UTC hosts; a string cast parses in the SESSION
+        # timezone, which the engine pins to UTC (session.py).
+        if hasattr(x, "isoformat"):
+            x = x.isoformat(sep=" ")
+        return F.lit(x).cast("timestamp")
+
+    baseline_lo, baseline_hi = _ts_lit(baseline_lo), _ts_lit(baseline_hi)
     w = (hi - lo) / bins
     b = F.least(
         F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
         F.lit(bins - 1),
     ).cast("int")
     ts = F.col(ts_col)
-    base = df.where((ts >= F.lit(baseline_lo)) & (ts < F.lit(baseline_hi)))
+    base = df.where((ts >= baseline_lo) & (ts < baseline_hi))
     bl = base.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("nq"))
     bl_tot = base.count()
-    cur = df.where(ts >= F.lit(baseline_hi))
+    cur = df.where(ts >= baseline_hi)
     ch = cur.groupBy(
         F.date_trunc(bucket, ts).alias("bucket"), b.alias("bin")
     ).agg(F.count(F.lit(1)).alias("np_"))

@@ -121,6 +121,10 @@ FORCE_RECHECK = frozenset({
     # graduated in round 5: lex-min-simple-path oracle reproduces greedy
     # DFS preorder (proved on 3000 random graphs + this instance):
     "graph_dfs_order",
+    # rewritten in round 5: baseline-boundary literals now parse in the
+    # session timezone (the hostile-TZ gate caught the Python-local-TZ
+    # datetime conversion); values identical under UTC:
+    "drift_timeseries",
 })
 
 

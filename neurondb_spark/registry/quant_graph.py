@@ -295,30 +295,33 @@ SELECT node, MIN(r) AS comp FROM reach GROUP BY node"""
 
 
 def _q_dfs_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DFS preorder from node 15 — the min node of the sparse graph's
-    largest component (29 nodes at sf0.01) — (vgraph_dfs,
-    vector_graph_ops.c:335): ascending-neighbor tie-break, bounded
-    collect — the reference's single-value semantics.
+    """DFS preorder (vgraph_dfs, vector_graph_ops.c:335): ascending-
+    neighbor tie-break, bounded collect — the reference's single-value
+    semantics — over the partkey heap-tree (p → ⌊p/2⌋ for the distinct
+    partkeys ≤ 400 present in lineitem, rooted at 1).
 
     Oracle-able despite being sequential: greedy (ascending-neighbor)
     DFS visits nodes in lexicographic order of their DFS-tree paths, and
     each node's tree path is the lexicographically smallest simple path
-    from the root — so sorting nodes by MIN(path) over all depth-bounded
-    simple paths reproduces the preorder. Verified by brute force on
-    3000 random graphs and exact on this instance; pytest additionally
-    asserts dfs determinism."""
+    from the root (brute-verified on 3000 random graphs) — so ranking
+    nodes by MIN(path) from a recursive path CTE reproduces the
+    preorder. The heap-tree shape keeps this robust at EVERY scale
+    factor: depth ≤ ⌈log2 400⌉ = 9 < max_depth (a binding depth limit
+    would break the equivalence — depth-limited DFS reachability is not
+    bounded-path reachability), and tree paths are unique so the CTE
+    enumerates O(nodes) rows, never exponential."""
     from neurondb_spark.operators.graph import dfs
 
     li = t(spark, sf_dir, "lineitem")
     e = (
-        li.where((F.col("l_partkey") <= 200) & (F.col("l_quantity") <= 1))
+        li.where((F.col("l_partkey") <= 400) & (F.col("l_partkey") >= 2))
         .select(
-            (F.col("l_partkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            F.col("l_partkey").alias("src"),
+            F.floor(F.col("l_partkey") / 2).cast("long").alias("dst"),
         )
         .distinct()
     )
-    order = dfs(e, 15, max_depth=12)
+    order = dfs(e, 1, max_depth=12)
     import pandas as pd
 
     return spark.createDataFrame(
@@ -328,16 +331,16 @@ def _q_dfs_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dfs_order() -> str:
-    """Enumerate simple paths from the root (≤12 hops, the query's
-    max_depth), take each node's lexicographically smallest path, rank.
-    The edge filter keeps the component at 29 nodes / sparse, so the
-    path enumeration is bounded (~0.3s in DuckDB)."""
+    """Rank nodes by their (unique) root path in the heap-tree — equal to
+    greedy DFS preorder; ≤12 hops mirrors the query's max_depth (which
+    never binds: tree depth ≤ 9)."""
     return """WITH RECURSIVE e AS (
-  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-  FROM lineitem WHERE l_partkey <= 200 AND l_quantity <= 1),
+  SELECT DISTINCT l_partkey AS src,
+                  CAST(floor(l_partkey / 2.0) AS BIGINT) AS dst
+  FROM lineitem WHERE l_partkey <= 400 AND l_partkey >= 2),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 paths(node, path) AS (
-  SELECT CAST(15 AS BIGINT), [CAST(15 AS BIGINT)]
+  SELECT CAST(1 AS BIGINT), [CAST(1 AS BIGINT)]
   UNION ALL
   SELECT u.dst, list_append(p.path, u.dst)
   FROM paths p JOIN und u ON u.src = p.node
