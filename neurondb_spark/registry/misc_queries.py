@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from neurondb_spark import oracle as O
-from neurondb_spark.functions.text import sql_tokenize, tokenize
+from neurondb_spark.functions.text import (
+    sql_doc_fingerprint,
+    sql_tokenize,
+    tokenize,
+)
 from neurondb_spark.operators.knn import vec_route
 from neurondb_spark.registry.common import COMPILE_DIM, EMB_DIM, qvec, t
 
@@ -160,6 +164,72 @@ p4 AS (SELECT vec_id, x,
   FROM p3)
 SELECT vec_id, MAX(abs(x - rt)) AS fp16_max_err
 FROM p4 GROUP BY vec_id HAVING MAX(abs(x - rt)) < 1.0"""
+
+
+def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup as a Structured Streaming aggregation
+    (streaming/dedup.py): drain the documents corpus through a
+    fingerprint-keyed streaming groupBy (AvailableNow, complete-mode
+    memory sink) — min(id)/count are order-independent, so the drained
+    state table must hash-equal the batch/oracle dedup no matter how the
+    micro-batches arrive. Same infra-only batch fallback contract as the
+    other stream rows (narrow catch, logged to stderr)."""
+    from pyspark.sql import types as T
+
+    from neurondb_spark.streaming.dedup import dedup_batch, dedup_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # Plant REAL duplicates (the raw corpus has none): re-inject the
+    # doc_id<=50 texts under shifted ids — min(id) must pick the
+    # original and dup_count must say 2 for exactly those fingerprints.
+    docs = base.unionAll(
+        base.where(F.col("doc_id") <= 50)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    src = os.path.join(tempfile.gettempdir(), f"neurondb_sdedup_src{tag}")
+    if not os.path.isdir(src):
+        docs.coalesce(2).write.mode("overwrite").parquet(src)
+    out = None
+    try:
+        stream = dedup_stream(spark, src, schema, "text", "doc_id")
+        qname = f"neurondb_sdedup_gate{tag}"
+        q = (
+            stream.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        out = spark.table(qname)
+        if not out.head(1):
+            out = None
+    except StreamingQueryException as e:
+        print(f"neurondb: stream_exact_dedup streaming drain failed, "
+              f"using batch twin: {e}", file=sys.stderr)
+        out = None
+    if out is None:
+        out = dedup_batch(spark.read.schema(schema).parquet(src), "text", "doc_id")
+    return out.select("fingerprint", "doc_id", "dup_count")
+
+
+def _sql_stream_exact_dedup() -> str:
+    fp = sql_doc_fingerprint("text")
+    return f"""WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000, text FROM documents
+  WHERE doc_id <= 50)
+SELECT {fp} AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM corpus GROUP BY 1"""
 
 
 def _q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,6 +480,7 @@ QUERIES = {
     "fp16_roundtrip_err": (_q_fp16_roundtrip, _sql_fp16_roundtrip()),
     "halfvec_knn": (_q_halfvec_knn, _sql_halfvec_knn()),
     "compact_roundtrip": (_q_compact_roundtrip, _sql_compact_roundtrip()),
+    "stream_exact_dedup": (_q_stream_exact_dedup, _sql_stream_exact_dedup()),
     "stream_job_queue": (_q_stream_queue, _SQL_STREAM_QUEUE),
     "stream_monitor_window": (_q_stream_monitor, _SQL_STREAM_MONITOR),
 }
