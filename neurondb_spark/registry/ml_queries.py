@@ -28,6 +28,46 @@ def _q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_LINREG = sql_simple_linreg("lineitem", "l_quantity", "l_extendedprice", O.dsum)
 
 
+_NB_FEATURES = ["spark", "join", "window", "hash", "vector", "merge",
+                "batch", "key"]
+
+
+def _q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge y ~ 1 + l_quantity + l_discount via normal equations +
+    exact 3×3 cofactor solve (ml/exact_models.py) — graduates the ridge
+    family from pytest-only to the hash gate."""
+    from neurondb_spark.ml.exact_models import ridge_closed_form
+
+    li = t(spark, sf_dir, "lineitem")
+    return ridge_closed_form(li, "l_quantity", "l_discount",
+                             "l_extendedprice", lam=10.0)
+
+
+def _sql_ridge() -> str:
+    from neurondb_spark.ml.exact_models import sql_ridge_closed_form
+
+    return sql_ridge_closed_form("lineitem", "l_quantity", "l_discount",
+                                 "l_extendedprice", 10.0, O.dsum)
+
+
+def _q_bernoulli_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli NB language classifier over token-presence features,
+    Laplace-smoothed, trained + resubstitution-predicted in one plan
+    (ml/exact_models.py) — the Naive Bayes family under the hash gate
+    with the full posterior score checked bit-for-bit."""
+    from neurondb_spark.ml.exact_models import bernoulli_nb_predict
+
+    docs = t(spark, sf_dir, "documents")
+    return bernoulli_nb_predict(docs, "text", "lang", "doc_id", _NB_FEATURES)
+
+
+def _sql_bernoulli_nb() -> str:
+    from neurondb_spark.ml.exact_models import sql_bernoulli_nb_predict
+
+    return sql_bernoulli_nb_predict("documents", "text", "lang", "doc_id",
+                                    _NB_FEATURES)
+
+
 def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return zscore_outliers(
@@ -642,6 +682,8 @@ FROM embeddings GROUP BY 1 ORDER BY 1"""
 
 QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
+    "ridge_closed_form": (_q_ridge, _sql_ridge()),
+    "bernoulli_nb_lang": (_q_bernoulli_nb, _sql_bernoulli_nb()),
     "dbscan_clusters": (_q_dbscan, _sql_dbscan()),
     "zscore_outliers": (_q_zscore, _SQL_ZSCORE),
     "centroid_drift": (_q_drift, _SQL_DRIFT),

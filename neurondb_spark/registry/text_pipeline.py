@@ -522,6 +522,23 @@ SELECT doc_id,
 FROM s"""
 
 
+def _q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition quality filters (functions/repetition.py):
+    top-bigram / top-trigram / duplicate-token fractions + keep verdict,
+    all exact count ratios. Pure map-stage expressions — codegens into
+    the scan, zero shuffle at any scale."""
+    from neurondb_spark.functions.repetition import repetition_filters
+
+    docs = tp(spark, sf_dir, "documents")
+    return repetition_filters(docs, "text", "doc_id")
+
+
+def _sql_repetition_filters() -> str:
+    from neurondb_spark.functions.repetition import sql_repetition_filters
+
+    return sql_repetition_filters("documents", "text", "doc_id")
+
+
 QUERIES = {
     "text_stats": (_q_text_stats, _sql_text_stats()),
     "nlp_sentiment_classify": (_q_nlp_classify, _sql_nlp_classify()),
@@ -538,4 +555,6 @@ QUERIES = {
     "zero_shot_classify": (_q_zero_shot, _sql_zero_shot()),
     "answer_question": (_q_answer_question, _sql_answer_question()),
     "fill_mask_text2text": (_q_fill_mask_t2t, _sql_fill_mask_t2t()),
+    "repetition_quality_filters": (_q_repetition_filters,
+                                   _sql_repetition_filters()),
 }
