@@ -234,3 +234,228 @@ ranked AS (
   FROM scored)
 SELECT {id_col}, cls AS predicted, score AS posterior_score
 FROM ranked WHERE _rn = 1"""
+
+
+def regression_eval_exact(
+    df: DataFrame, y_col: str, yhat_col: str
+) -> DataFrame:
+    """Exact regression evaluation metrics (the reference's
+    evaluate_*_by_model_id metric set, ml_linear_regression.c:3082):
+    mse / rmse / mae / r² over (y, ŷ) pairs, all from decimal-exact
+    sufficient sums — one aggregation pass, engine-replayable.
+
+    r² = 1 − ss_res/ss_tot with ss_tot = Σy² − (Σy)²/n (computational
+    form — identical association in the oracle)."""
+    y, yh = F.col(y_col), F.col(yhat_col)
+    res = y - yh
+    agg = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(res * res).alias("ss_res"),
+        dsum(F.abs(res)).alias("s_abs"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("syy"),
+    )
+    mse = F.col("ss_res") / F.col("n")
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        mse.alias("mse"),
+        F.sqrt(mse).alias("rmse"),
+        (F.col("s_abs") / F.col("n")).alias("mae"),
+        (1.0 - F.col("ss_res") / ss_tot).alias("r2"),
+    )
+
+
+def sql_regression_eval_exact(
+    pred_cte: str, y: str, yhat: str, dsum_sql
+) -> str:
+    """DuckDB oracle for :func:`regression_eval_exact`; ``pred_cte`` is a
+    WITH-body fragment producing the (y, yhat) relation named ``pred``."""
+    return f"""WITH {pred_cte},
+ag AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum_sql(f'({y} - {yhat}) * ({y} - {yhat})')} AS ss_res,
+         {dsum_sql(f'abs({y} - {yhat})')} AS s_abs,
+         {dsum_sql(y)} AS sy,
+         {dsum_sql(f'{y} * {y}')} AS syy
+  FROM pred)
+SELECT CAST(n AS BIGINT) AS n,
+       ss_res / n AS mse,
+       sqrt(ss_res / n) AS rmse,
+       s_abs / n AS mae,
+       (1.0 - ss_res / (syy - sy * sy / n)) AS r2
+FROM ag"""
+
+
+def classification_eval_exact(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Exact per-class classification metrics (the reference's
+    accuracy/precision/recall/f1 evaluation set): for every true class,
+    tp / fp / fn counts and the derived ratios, with the reference's
+    1e-10 zero-guard on f1 (ml_recall_metrics.c:192-254). Integer counts
+    + IEEE division → bit-replayable.
+
+    Scale: two small groupBy passes over (label, pred) count cells —
+    map-side combined; output is |classes| rows."""
+    cells = df.groupBy(label_col, pred_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tp = (
+        cells.where(F.col(label_col) == F.col(pred_col))
+        .select(F.col(label_col).alias("cls"), F.col("_c").alias("tp"))
+    )
+    actual = cells.groupBy(label_col).agg(F.sum("_c").alias("n_actual"))
+    predicted = cells.groupBy(pred_col).agg(F.sum("_c").alias("n_pred"))
+    base = (
+        actual.select(F.col(label_col).alias("cls"), "n_actual")
+        .join(predicted.select(F.col(pred_col).alias("cls"), "n_pred"), "cls",
+              "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("n_actual"), F.lit(0)).alias("n_actual"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+        )
+    )
+    prec = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    )
+    rec = F.when(F.col("n_actual") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / F.col("n_actual").cast("double")
+    )
+    out = base.select(
+        "cls", "tp", "n_actual", "n_pred",
+        prec.alias("precision"), rec.alias("recall"),
+    )
+    f1 = F.when(
+        F.col("precision") + F.col("recall") < 1e-10, F.lit(0.0)
+    ).otherwise(
+        2.0 * (F.col("precision") * F.col("recall"))
+        / (F.col("precision") + F.col("recall"))
+    )
+    return out.select("*", f1.alias("f1"))
+
+
+def sql_classification_eval_exact(pred_cte: str, label: str, pred: str) -> str:
+    """DuckDB oracle for :func:`classification_eval_exact`; ``pred_cte``
+    produces the (label, pred) relation named ``pred_rel``."""
+    return f"""WITH {pred_cte},
+cells AS (
+  SELECT {label} AS lbl, {pred} AS prd, COUNT(*) AS _c
+  FROM pred_rel GROUP BY 1, 2),
+tp AS (SELECT lbl AS cls, _c AS tp FROM cells WHERE lbl = prd),
+act AS (SELECT lbl AS cls, CAST(SUM(_c) AS BIGINT) AS n_actual
+        FROM cells GROUP BY 1),
+prd AS (SELECT prd AS cls, CAST(SUM(_c) AS BIGINT) AS n_pred
+        FROM cells GROUP BY 1),
+base AS (
+  SELECT COALESCE(a.cls, p.cls) AS cls,
+         COALESCE(t.tp, 0) AS tp,
+         COALESCE(a.n_actual, 0) AS n_actual,
+         COALESCE(p.n_pred, 0) AS n_pred
+  FROM act a FULL OUTER JOIN prd p ON a.cls = p.cls
+  LEFT JOIN tp t ON COALESCE(a.cls, p.cls) = t.cls),
+m AS (
+  SELECT cls, tp, n_actual, n_pred,
+         CASE WHEN n_pred = 0 THEN 0.0
+              ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+         CASE WHEN n_actual = 0 THEN 0.0
+              ELSE CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) END AS recall
+  FROM base)
+SELECT cls, tp, n_actual, n_pred, precision, recall,
+       CASE WHEN precision + recall < 1e-10 THEN 0.0
+            ELSE 2.0 * (precision * recall) / (precision + recall) END AS f1
+FROM m"""
+
+
+def silhouette_simplified(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster over the
+    oracle-exact Lloyd assignments: a(i) = ||x_i − c_own||,
+    b(i) = min over other clusters ||x_i − c||, s = (b−a)/max(a,b)
+    (0 when both are 0). Returns (cluster, n_points, avg_silhouette)
+    with a decimal-exact mean — the clustering-quality metric family
+    next to davies_bouldin (reference ClusteringEvaluator analog, the
+    O(n·k) variant every engine uses at scale instead of O(n²) exact
+    silhouette).
+
+    Scale: distances come from one exploded join against the k·d
+    centroid frame (broadcast), grouped per (row, cluster) — same
+    allreduce shape as the Lloyd iteration itself."""
+    from neurondb_spark.functions.aggregates import bsum, davg
+    from neurondb_spark.ml.stats import _explode_vec, kmeans_lloyd_exact
+
+    assign = kmeans_lloyd_exact(df, vec_col, id_col, k=k, iters=iters)
+    ex = _explode_vec(df, vec_col, [id_col])
+    cent = (
+        assign.join(ex, id_col)
+        .groupBy("cluster", "pos")
+        .agg(davg("val").alias("cval"))
+    )
+    d = (
+        ex.join(cent.withColumnRenamed("cluster", "cl"), "pos")
+        .groupBy(id_col, "cl")
+        .agg(bsum((F.col("val") - F.col("cval"))
+                  * (F.col("val") - F.col("cval"))).alias("sq"))
+        .select(id_col, "cl", F.sqrt(F.col("sq")).alias("dist"))
+    )
+    j = d.join(assign, id_col)
+    own = j.where(F.col("cl") == F.col("cluster")).select(
+        id_col, "cluster", F.col("dist").alias("a")
+    )
+    other = (
+        j.where(F.col("cl") != F.col("cluster"))
+        .groupBy(id_col)
+        .agg(F.min("dist").alias("b"))
+    )
+    mx = F.greatest(F.col("a"), F.col("b"))
+    s = own.join(other, id_col).select(
+        "cluster",
+        F.when(mx == 0.0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / mx)
+        .alias("s"),
+    )
+    return s.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        davg("s").alias("avg_silhouette"),
+    )
+
+
+def sql_silhouette_simplified(kmeans_sql: str, davg_sql, bsum_sql) -> str:
+    """DuckDB oracle replaying :func:`silhouette_simplified`.
+
+    ``kmeans_sql`` is the full oracle statement for the assignments,
+    ending in ``SELECT vec_id, cluster FROM a2``; its final SELECT is
+    spliced off and the silhouette CTEs are appended to the SAME WITH
+    chain (DuckDB rejects a nested WITH that redefines the outer ``ex``
+    CTE, and reusing the chain also shares the exploded frame)."""
+    prefix, final = kmeans_sql.rsplit("\nSELECT", 1)
+    assert final.strip() == "vec_id, cluster FROM a2", final
+    sq = bsum_sql("(ex.val - c.cval) * (ex.val - c.cval)")
+    return f"""{prefix},
+asg AS (SELECT vec_id, cluster FROM a2),
+c2 AS (
+  SELECT a.cluster, e.pos, {davg_sql('e.val')} AS cval
+  FROM asg a JOIN ex e ON e.vec_id = a.vec_id
+  GROUP BY a.cluster, e.pos),
+dall AS (
+  SELECT ex.vec_id, c.cluster AS cl, sqrt({sq}) AS dist
+  FROM ex JOIN c2 c ON ex.pos = c.pos
+  GROUP BY ex.vec_id, c.cluster),
+own AS (
+  SELECT d.vec_id, g.cluster, d.dist AS a
+  FROM dall d JOIN asg g ON d.vec_id = g.vec_id AND d.cl = g.cluster),
+oth AS (
+  SELECT d.vec_id, MIN(d.dist) AS b
+  FROM dall d JOIN asg g ON d.vec_id = g.vec_id AND d.cl <> g.cluster
+  GROUP BY d.vec_id),
+sil AS (
+  SELECT o.cluster,
+         CASE WHEN greatest(o.a, t.b) = 0.0 THEN 0.0
+              ELSE (t.b - o.a) / greatest(o.a, t.b) END AS s
+  FROM own o JOIN oth t USING (vec_id))
+SELECT cluster, COUNT(*) AS n_points, {davg_sql('s')} AS avg_silhouette
+FROM sil GROUP BY cluster"""

@@ -68,6 +68,76 @@ def _sql_bernoulli_nb() -> str:
                                     _NB_FEATURES)
 
 
+def _q_linreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact regression evaluation metrics (mse/rmse/mae/r²) over the
+    closed-form linreg's own predictions — the reference's
+    evaluate_*_by_model_id metric contract under the hash gate
+    (ml/exact_models.py regression_eval_exact)."""
+    from neurondb_spark.ml.exact_models import regression_eval_exact
+
+    li = t(spark, sf_dir, "lineitem")
+    model = simple_linreg(li, "l_quantity", "l_extendedprice").select(
+        "slope", "intercept"
+    )
+    pred = li.crossJoin(F.broadcast(model)).select(
+        F.col("l_extendedprice").alias("y"),
+        (F.col("intercept") + F.col("slope") * F.col("l_quantity")).alias("yhat"),
+    )
+    return regression_eval_exact(pred, "y", "yhat")
+
+
+def _sql_linreg_eval() -> str:
+    from neurondb_spark.ml.exact_models import sql_regression_eval_exact
+
+    d = O.dsum
+    pred_cte = f"""s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {d('l_quantity')} AS sx, {d('l_extendedprice')} AS sy,
+         {d('l_quantity * l_extendedprice')} AS sxy,
+         {d('l_quantity * l_quantity')} AS sxx
+  FROM lineitem),
+mdl AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           AS intercept
+  FROM s),
+pred AS (
+  SELECT l_extendedprice AS y,
+         (mdl.intercept + mdl.slope * l_quantity) AS yhat
+  FROM lineitem, mdl)"""
+    return sql_regression_eval_exact(pred_cte, "y", "yhat", O.dsum)
+
+
+def _q_nb_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-class precision/recall/f1 (+ tp/support counts) of the
+    Bernoulli NB classifier vs true labels — the classification half of
+    the reference's evaluation metric set, with its 1e-10 f1 zero-guard
+    (ml/exact_models.py classification_eval_exact)."""
+    from neurondb_spark.ml.exact_models import (
+        bernoulli_nb_predict,
+        classification_eval_exact,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    preds = bernoulli_nb_predict(docs, "text", "lang", "doc_id", _NB_FEATURES)
+    joined = preds.join(docs.select("doc_id", "lang"), "doc_id")
+    return classification_eval_exact(joined, "lang", "predicted")
+
+
+def _sql_nb_eval() -> str:
+    from neurondb_spark.ml.exact_models import (
+        sql_bernoulli_nb_predict,
+        sql_classification_eval_exact,
+    )
+
+    nb = sql_bernoulli_nb_predict("documents", "text", "lang", "doc_id",
+                                  _NB_FEATURES)
+    pred_cte = f"""pred_rel AS (
+  SELECT d.lang AS lang, nb.predicted AS predicted
+  FROM ({nb}) nb JOIN documents d USING (doc_id))"""
+    return sql_classification_eval_exact(pred_cte, "lang", "predicted")
+
+
 def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return zscore_outliers(
@@ -594,6 +664,23 @@ c0 AS (
 SELECT vec_id, cluster FROM a2"""
 
 
+def _q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the oracle-exact Lloyd
+    clustering (ml/exact_models.silhouette_simplified) — the
+    clustering-quality metric family (ClusteringEvaluator analog) under
+    the hash gate next to davies_bouldin."""
+    from neurondb_spark.ml.exact_models import silhouette_simplified
+
+    emb = t(spark, sf_dir, "embeddings")
+    return silhouette_simplified(emb, "embedding", "vec_id", k=4, iters=2)
+
+
+def _sql_kmeans_silhouette() -> str:
+    from neurondb_spark.ml.exact_models import sql_silhouette_simplified
+
+    return sql_silhouette_simplified(_sql_kmeans_fixed(), O.davg, O.bsum)
+
+
 def _q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-exact logistic regression (ml/stats.logreg_gd_exact):
     zero-init 2-iteration batch GD with the rational fast sigmoid —
@@ -684,6 +771,8 @@ QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
     "ridge_closed_form": (_q_ridge, _sql_ridge()),
     "bernoulli_nb_lang": (_q_bernoulli_nb, _sql_bernoulli_nb()),
+    "linreg_eval_metrics": (_q_linreg_eval, _sql_linreg_eval()),
+    "nb_eval_metrics": (_q_nb_eval, _sql_nb_eval()),
     "dbscan_clusters": (_q_dbscan, _sql_dbscan()),
     "zscore_outliers": (_q_zscore, _SQL_ZSCORE),
     "centroid_drift": (_q_drift, _SQL_DRIFT),
@@ -702,5 +791,6 @@ QUERIES = {
     "opq_rotated_variance": (_q_opq, None),
     "automl_deploy_ab": (_q_automl_deploy_ab, _SQL_AUTOML_AB),
     "kmeans_fixed_lloyd": (_q_kmeans_fixed, _sql_kmeans_fixed()),
+    "kmeans_silhouette": (_q_kmeans_silhouette, _sql_kmeans_silhouette()),
     "logreg_gd_predictions": (_q_logreg_gd, _sql_logreg_gd()),
 }

@@ -88,3 +88,72 @@ def test_repetition_filters_corpus(spark):
     for r in out:
         assert 0.0 < r["top2_frac"] <= 1.0
         assert 0.0 <= r["dup_tok_frac"] < 1.0
+
+
+def test_regression_eval_perfect_fit(spark):
+    from neurondb_spark.ml.exact_models import regression_eval_exact
+
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(1, 11)], ["y", "yhat"]
+    )
+    row = regression_eval_exact(df, "y", "yhat").head()
+    assert row["mse"] == 0.0 and row["rmse"] == 0.0 and row["mae"] == 0.0
+    assert row["r2"] == 1.0
+
+
+def test_regression_eval_known_values(spark):
+    from neurondb_spark.ml.exact_models import regression_eval_exact
+
+    # y = [1,2,3], yhat = [2,2,2] -> mse=2/3, mae=2/3, r2 = 1 - 2/2 = 0
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0), (3.0, 2.0)], ["y", "yhat"]
+    )
+    row = regression_eval_exact(df, "y", "yhat").head()
+    assert abs(row["mse"] - 2.0 / 3.0) < 1e-12
+    assert abs(row["mae"] - 2.0 / 3.0) < 1e-12
+    assert abs(row["r2"]) < 1e-12
+
+
+def test_classification_eval_confusion(spark):
+    from neurondb_spark.ml.exact_models import classification_eval_exact
+
+    # a: 2 correct, 1 predicted as b; b: 1 correct, 1 predicted as a
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a")]
+    df = spark.createDataFrame(rows, ["label", "pred"])
+    got = {r["cls"]: r for r in
+           classification_eval_exact(df, "label", "pred").collect()}
+    a, b = got["a"], got["b"]
+    assert (a["tp"], a["n_actual"], a["n_pred"]) == (2, 3, 3)
+    assert abs(a["precision"] - 2 / 3) < 1e-12
+    assert abs(a["recall"] - 2 / 3) < 1e-12
+    assert (b["tp"], b["n_actual"], b["n_pred"]) == (1, 2, 2)
+
+
+def test_classification_eval_absent_class(spark):
+    """A class never predicted gets precision 0 and f1 0 (zero-guard),
+    and a predicted-only class still appears via the full outer join."""
+    from neurondb_spark.ml.exact_models import classification_eval_exact
+
+    rows = [("a", "c"), ("a", "c"), ("b", "b")]
+    df = spark.createDataFrame(rows, ["label", "pred"])
+    got = {r["cls"]: r for r in
+           classification_eval_exact(df, "label", "pred").collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["precision"] == 0.0 and got["a"]["f1"] == 0.0
+    assert got["c"]["n_actual"] == 0 and got["c"]["recall"] == 0.0
+
+
+def test_silhouette_separated_clusters(spark):
+    """Two well-separated planted blobs -> avg silhouette near 1 in both
+    clusters."""
+    from neurondb_spark.ml.exact_models import silhouette_simplified
+
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (i + 5, [100.0 + 0.01 * i, 0.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = silhouette_simplified(df, "embedding", "vec_id", k=2, iters=2).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_points"] == 5
+        assert r["avg_silhouette"] > 0.95
