@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from neurondb_spark.functions.aggregates import dsum
+from neurondb_spark.functions.aggregates import bsum, dsum
 from neurondb_spark.functions.text import sql_tokenize, tokenize
 
 
@@ -245,24 +245,35 @@ def regression_eval_exact(
     sufficient sums — one aggregation pass, engine-replayable.
 
     r² = 1 − ss_res/ss_tot with ss_tot = Σy² − (Σy)²/n (computational
-    form — identical association in the oracle)."""
+    form — identical association in the oracle).
+
+    Residual sums use NORMALIZED binary fixed-point (`bsum` of res²/n):
+    raw Σres² at price-scale magnitudes needs ~15-16 significant
+    decimal digits, where the decimal(38,6) cast paths of the two
+    engines can disagree by one grid unit (observed at sf0.001). Per-row
+    division by n is engine-identical IEEE, keeps every addend at the
+    magnitude of the FINAL metric (so the fixed-point range holds at
+    any scale factor), and the power-of-two bsum grid has no
+    cross-engine rounding ambiguity. y-term sums keep the proven dsum
+    path (same construction as the long-green linreg oracle)."""
     y, yh = F.col(y_col), F.col(yhat_col)
     res = y - yh
+    n_rows = float(df.count())
+    nlit = F.lit(n_rows)
     agg = df.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(res * res).alias("ss_res"),
-        dsum(F.abs(res)).alias("s_abs"),
+        bsum(res * res / nlit, bits=28).alias("mse"),
+        bsum(F.abs(res) / nlit, bits=28).alias("mae"),
         dsum(y).alias("sy"),
         dsum(y * y).alias("syy"),
     )
-    mse = F.col("ss_res") / F.col("n")
-    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    n = F.lit(n_rows)
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / n
     return agg.select(
-        F.col("n").cast("bigint").alias("n"),
-        mse.alias("mse"),
-        F.sqrt(mse).alias("rmse"),
-        (F.col("s_abs") / F.col("n")).alias("mae"),
-        (1.0 - F.col("ss_res") / ss_tot).alias("r2"),
+        n.cast("bigint").alias("n"),
+        F.col("mse").alias("mse"),
+        F.sqrt(F.col("mse")).alias("rmse"),
+        F.col("mae").alias("mae"),
+        (1.0 - F.col("mse") * n / ss_tot).alias("r2"),
     )
 
 
@@ -271,19 +282,23 @@ def sql_regression_eval_exact(
 ) -> str:
     """DuckDB oracle for :func:`regression_eval_exact`; ``pred_cte`` is a
     WITH-body fragment producing the (y, yhat) relation named ``pred``."""
+    from neurondb_spark.oracle import bsum as bsum_sql
+
     return f"""WITH {pred_cte},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pred),
 ag AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         {dsum_sql(f'({y} - {yhat}) * ({y} - {yhat})')} AS ss_res,
-         {dsum_sql(f'abs({y} - {yhat})')} AS s_abs,
-         {dsum_sql(y)} AS sy,
-         {dsum_sql(f'{y} * {y}')} AS syy
+  SELECT
+    {bsum_sql(f'(({y} - {yhat}) * ({y} - {yhat})) / (SELECT n FROM nn)', bits=28)} AS mse,
+    {bsum_sql(f'abs({y} - {yhat}) / (SELECT n FROM nn)', bits=28)} AS mae,
+    {dsum_sql(y)} AS sy,
+    {dsum_sql(f'{y} * {y}')} AS syy
   FROM pred)
-SELECT CAST(n AS BIGINT) AS n,
-       ss_res / n AS mse,
-       sqrt(ss_res / n) AS rmse,
-       s_abs / n AS mae,
-       (1.0 - ss_res / (syy - sy * sy / n)) AS r2
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+       mse,
+       sqrt(mse) AS rmse,
+       mae,
+       (1.0 - mse * (SELECT n FROM nn)
+              / (syy - sy * sy / (SELECT n FROM nn))) AS r2
 FROM ag"""
 
 
@@ -459,3 +474,251 @@ sil AS (
   FROM own o JOIN oth t USING (vec_id))
 SELECT cluster, COUNT(*) AS n_points, {davg_sql('s')} AS avg_silhouette
 FROM sil GROUP BY cluster"""
+
+
+def _with_cofactor_betas(df: DataFrame) -> DataFrame:
+    """Append beta0/beta1/beta2 to a frame carrying the normal-equation
+    matrix columns (a,b,c,d,e,f = packed symmetric X'X+λI; p,q,r = X'y)
+    via the explicit 3×3 cofactor inverse — the shared solve for ridge,
+    grid search, and CV. Fixed expression tree → engine-replayable."""
+    cof = df.select(
+        "*",
+        (F.col("d") * F.col("f") - F.col("e") * F.col("e")).alias("c11"),
+        (F.col("c") * F.col("e") - F.col("b") * F.col("f")).alias("c12"),
+        (F.col("b") * F.col("e") - F.col("c") * F.col("d")).alias("c13"),
+        (F.col("a") * F.col("f") - F.col("c") * F.col("c")).alias("c22"),
+        (F.col("b") * F.col("c") - F.col("a") * F.col("e")).alias("c23"),
+        (F.col("a") * F.col("d") - F.col("b") * F.col("b")).alias("c33"),
+    )
+    dt = cof.select(
+        "*",
+        (F.col("a") * F.col("c11") + F.col("b") * F.col("c12")
+         + F.col("c") * F.col("c13")).alias("det"),
+    )
+    return dt.select(
+        "*",
+        ((F.col("c11") * F.col("p") + F.col("c12") * F.col("q")
+          + F.col("c13") * F.col("r")) / F.col("det")).alias("beta0"),
+        ((F.col("c12") * F.col("p") + F.col("c22") * F.col("q")
+          + F.col("c23") * F.col("r")) / F.col("det")).alias("beta1"),
+        ((F.col("c13") * F.col("p") + F.col("c23") * F.col("q")
+          + F.col("c33") * F.col("r")) / F.col("det")).alias("beta2"),
+    )
+
+
+_SQL_COF = """cf AS (
+  SELECT *,
+         d * f - e * e AS c11,
+         c * e - b * f AS c12,
+         b * e - c * d AS c13,
+         a * f - c * c AS c22,
+         b * c - a * e AS c23,
+         a * d - b * b AS c33
+  FROM m),
+dt AS (SELECT *, a * c11 + b * c12 + c * c13 AS det FROM cf),
+bt AS (
+  SELECT *,
+         (c11 * p + c12 * q + c13 * r) / det AS beta0,
+         (c12 * p + c22 * q + c23 * r) / det AS beta1,
+         (c13 * p + c23 * q + c33 * r) / det AS beta2
+  FROM dt)"""
+
+
+def _ss_res_expansion():
+    """Σ(y − β0 − β1x1 − β2x2)² expanded in the 9 sufficient statistics
+    (columns sn, ssy, ssyy, ssx1, ssx2, ssx11, ssx12, ssx22, ssx1y,
+    ssx2y) — residual sum of squares WITHOUT a second data pass. One
+    fixed left-assoc chain, replayed verbatim by the SQL twin."""
+    b0, b1, b2 = F.col("beta0"), F.col("beta1"), F.col("beta2")
+    return (
+        F.col("ssyy")
+        + b0 * b0 * F.col("sn")
+        + b1 * b1 * F.col("ssx11")
+        + b2 * b2 * F.col("ssx22")
+        - 2.0 * b0 * F.col("ssy")
+        - 2.0 * b1 * F.col("ssx1y")
+        - 2.0 * b2 * F.col("ssx2y")
+        + 2.0 * b0 * b1 * F.col("ssx1")
+        + 2.0 * b0 * b2 * F.col("ssx2")
+        + 2.0 * b1 * b2 * F.col("ssx12")
+    )
+
+
+_SQL_SS_RES = """(ssyy
+  + beta0 * beta0 * sn
+  + beta1 * beta1 * ssx11
+  + beta2 * beta2 * ssx22
+  - 2.0 * beta0 * ssy
+  - 2.0 * beta1 * ssx1y
+  - 2.0 * beta2 * ssx2y
+  + 2.0 * beta0 * beta1 * ssx1
+  + 2.0 * beta0 * beta2 * ssx2
+  + 2.0 * beta1 * beta2 * ssx12)"""
+
+
+def _ridge_stats(df: DataFrame, x1_col: str, x2_col: str, y_col: str,
+                 group: list[str] | None = None) -> DataFrame:
+    """The 10 ridge sufficient statistics (optionally per group)."""
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("sn"),
+        dsum(x1).alias("ssx1"), dsum(x2).alias("ssx2"), dsum(y).alias("ssy"),
+        dsum(x1 * x1).alias("ssx11"), dsum(x1 * x2).alias("ssx12"),
+        dsum(x2 * x2).alias("ssx22"), dsum(x1 * y).alias("ssx1y"),
+        dsum(x2 * y).alias("ssx2y"), dsum(y * y).alias("ssyy"),
+    ]
+    return df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
+
+
+def _sql_ridge_stats(table: str, x1: str, x2: str, y: str, dsum_sql,
+                     group: str | None = None, prefix: str = "s") -> str:
+    g = f"{group}, " if group else ""
+    body = f"""SELECT {g}CAST(COUNT(*) AS DOUBLE) AS {prefix}n,
+         {dsum_sql(x1)} AS {prefix}sx1, {dsum_sql(x2)} AS {prefix}sx2,
+         {dsum_sql(y)} AS {prefix}sy,
+         {dsum_sql(f'{x1} * {x1}')} AS {prefix}sx11,
+         {dsum_sql(f'{x1} * {x2}')} AS {prefix}sx12,
+         {dsum_sql(f'{x2} * {x2}')} AS {prefix}sx22,
+         {dsum_sql(f'{x1} * {y}')} AS {prefix}sx1y,
+         {dsum_sql(f'{x2} * {y}')} AS {prefix}sx2y,
+         {dsum_sql(f'{y} * {y}')} AS {prefix}syy
+  FROM {table}"""
+    return body + (f"\n  GROUP BY {group}" if group else "")
+
+
+def ridge_grid_rmse(
+    df: DataFrame, x1_col: str, x2_col: str, y_col: str, lams: list[float]
+) -> DataFrame:
+    """Grid search over ridge λ in ONE scan: the sufficient statistics
+    are computed once, every λ's betas come from the shared cofactor
+    solve, and the training RMSE per λ comes from the algebraic
+    expansion of Σ(y−ŷ)² in those same statistics — grid size costs
+    nothing extra (the reference's neurondb_grid_search surface,
+    ml_hyperparameter_tuning.c:39).
+
+    Scale: one aggregation pass over the fact table; the grid lives on
+    |λ| rows. This is THE shape for hyperparameter sweeps at 100 TB —
+    never one training scan per candidate when the model is
+    sufficient-statistics-trainable."""
+    spark = df.sparkSession
+    stats = _ridge_stats(df, x1_col, x2_col, y_col)
+    lam_df = spark.createDataFrame([(float(l),) for l in lams], "lam double")
+    g = lam_df.crossJoin(F.broadcast(stats))
+    m = g.select(
+        "*",
+        (F.col("sn") + F.col("lam")).alias("a"),
+        F.col("ssx1").alias("b"), F.col("ssx2").alias("c"),
+        (F.col("ssx11") + F.col("lam")).alias("d"),
+        F.col("ssx12").alias("e"),
+        (F.col("ssx22") + F.col("lam")).alias("f"),
+        F.col("ssy").alias("p"), F.col("ssx1y").alias("q"),
+        F.col("ssx2y").alias("r"),
+    )
+    bt = _with_cofactor_betas(m)
+    return bt.select(
+        "lam",
+        F.sqrt(_ss_res_expansion() / F.col("sn")).alias("train_rmse"),
+    )
+
+
+def sql_ridge_grid_rmse(
+    table: str, x1: str, x2: str, y: str, lams: list[float], dsum_sql
+) -> str:
+    """DuckDB oracle replaying :func:`ridge_grid_rmse` exactly."""
+    vals = ", ".join(f"(CAST('{float(l)!r}' AS DOUBLE))" for l in lams)
+    return f"""WITH st AS (
+  {_sql_ridge_stats(table, x1, x2, y, dsum_sql, prefix='s')}),
+lam_grid(lam) AS (VALUES {vals}),
+g AS (SELECT * FROM lam_grid CROSS JOIN st),
+m AS (
+  SELECT *,
+         sn + lam AS a, ssx1 AS b, ssx2 AS c,
+         ssx11 + lam AS d, ssx12 AS e, ssx22 + lam AS f,
+         ssy AS p, ssx1y AS q, ssx2y AS r
+  FROM g),
+{_SQL_COF}
+SELECT lam, sqrt({_SQL_SS_RES} / sn) AS train_rmse FROM bt"""
+
+
+def ridge_cv_rmse(
+    df: DataFrame, x1_col: str, x2_col: str, y_col: str,
+    key_cols: list[str], lam: float = 1.0, k_folds: int = 3,
+) -> DataFrame:
+    """Exact k-fold cross-validation of closed-form ridge in ONE
+    grouped scan (the reference's cross_validate surface,
+    ml_automl.c): rows hash into k md5 folds; per-fold sufficient
+    statistics are aggregated once; each fold's TRAIN model comes from
+    the complement statistics (total − fold); its held-out RMSE comes
+    from the ss_res expansion over the fold's OWN statistics. Returns
+    (fold, n_test, rmse).
+
+    Scale: one groupBy(fold) pass + one total pass — k-fold CV at a
+    cost independent of k, with no per-fold re-scan. Every reduction is
+    order-independent, so the full CV loop sits under the hash gate."""
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols],
+                      F.lit("cv"))
+    fold = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % k_folds
+    ).cast("int")
+    base = df.withColumn("fold", fold)
+    fstats = _ridge_stats(base, x1_col, x2_col, y_col, group=["fold"])
+    tstats = _ridge_stats(df, x1_col, x2_col, y_col).select(
+        *[F.col(c).alias(f"t{c[1:]}" if c.startswith("s") else f"t{c}")
+          for c in ["sn", "ssx1", "ssx2", "ssy", "ssx11", "ssx12",
+                    "ssx22", "ssx1y", "ssx2y", "ssyy"]]
+    )
+    L = F.lit(float(lam))
+    g = fstats.crossJoin(F.broadcast(tstats))
+    m = g.select(
+        "*",
+        ((F.col("tn") - F.col("sn")) + L).alias("a"),
+        (F.col("tsx1") - F.col("ssx1")).alias("b"),
+        (F.col("tsx2") - F.col("ssx2")).alias("c"),
+        ((F.col("tsx11") - F.col("ssx11")) + L).alias("d"),
+        (F.col("tsx12") - F.col("ssx12")).alias("e"),
+        ((F.col("tsx22") - F.col("ssx22")) + L).alias("f"),
+        (F.col("tsy") - F.col("ssy")).alias("p"),
+        (F.col("tsx1y") - F.col("ssx1y")).alias("q"),
+        (F.col("tsx2y") - F.col("ssx2y")).alias("r"),
+    )
+    bt = _with_cofactor_betas(m)
+    return bt.select(
+        "fold",
+        F.col("sn").cast("bigint").alias("n_test"),
+        F.sqrt(_ss_res_expansion() / F.col("sn")).alias("rmse"),
+    )
+
+
+def sql_ridge_cv_rmse(
+    table: str, x1: str, x2: str, y: str, key_exprs: list[str],
+    lam: float, k_folds: int, dsum_sql,
+) -> str:
+    """DuckDB oracle replaying :func:`ridge_cv_rmse` exactly."""
+    lam_sql = f"CAST('{float(lam)!r}' AS DOUBLE)"
+    key = " || '#' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    fold = (f"CAST(CAST(('0x' || substr(md5({key} || '#' || 'cv'), 1, 8)) "
+            f"AS BIGINT) % {k_folds} AS INTEGER)")
+    return f"""WITH base AS (
+  SELECT *, {fold} AS fold FROM {table}),
+fs AS (
+  {_sql_ridge_stats('base', x1, x2, y, dsum_sql, group='fold', prefix='s')}),
+ts AS (
+  {_sql_ridge_stats(table, x1, x2, y, dsum_sql, prefix='t')}),
+g AS (SELECT * FROM fs CROSS JOIN ts),
+m AS (
+  SELECT *,
+         (tn - sn) + {lam_sql} AS a,
+         (tsx1 - ssx1) AS b,
+         (tsx2 - ssx2) AS c,
+         (tsx11 - ssx11) + {lam_sql} AS d,
+         (tsx12 - ssx12) AS e,
+         (tsx22 - ssx22) + {lam_sql} AS f,
+         (tsy - ssy) AS p,
+         (tsx1y - ssx1y) AS q,
+         (tsx2y - ssx2y) AS r
+  FROM g),
+{_SQL_COF}
+SELECT fold, CAST(sn AS BIGINT) AS n_test,
+       sqrt({_SQL_SS_RES} / sn) AS rmse
+FROM bt"""

@@ -138,6 +138,48 @@ def _sql_nb_eval() -> str:
     return sql_classification_eval_exact(pred_cte, "lang", "predicted")
 
 
+_RIDGE_GRID = [0.0, 1.0, 100.0, 10000.0]
+
+
+def _q_ridge_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan ridge λ grid search (ml/exact_models.ridge_grid_rmse):
+    shared sufficient statistics + per-λ cofactor solve + algebraic
+    train-RMSE — the neurondb_grid_search surface under the hash gate
+    with training and scoring both replayed."""
+    from neurondb_spark.ml.exact_models import ridge_grid_rmse
+
+    li = t(spark, sf_dir, "lineitem")
+    return ridge_grid_rmse(li, "l_quantity", "l_discount",
+                           "l_extendedprice", _RIDGE_GRID)
+
+
+def _sql_ridge_grid() -> str:
+    from neurondb_spark.ml.exact_models import sql_ridge_grid_rmse
+
+    return sql_ridge_grid_rmse("lineitem", "l_quantity", "l_discount",
+                               "l_extendedprice", _RIDGE_GRID, O.dsum)
+
+
+def _q_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-fold CV of closed-form ridge in one grouped scan
+    (ml/exact_models.ridge_cv_rmse): md5 folds, complement-statistics
+    training, held-out RMSE from the ss_res expansion — the
+    cross_validate surface (ml_automl.c) fully under the hash gate."""
+    from neurondb_spark.ml.exact_models import ridge_cv_rmse
+
+    li = t(spark, sf_dir, "lineitem")
+    return ridge_cv_rmse(li, "l_quantity", "l_discount", "l_extendedprice",
+                         ["l_orderkey", "l_linenumber"], lam=10.0, k_folds=3)
+
+
+def _sql_ridge_cv() -> str:
+    from neurondb_spark.ml.exact_models import sql_ridge_cv_rmse
+
+    return sql_ridge_cv_rmse("lineitem", "l_quantity", "l_discount",
+                             "l_extendedprice",
+                             ["l_orderkey", "l_linenumber"], 10.0, 3, O.dsum)
+
+
 def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return zscore_outliers(
@@ -772,6 +814,8 @@ QUERIES = {
     "ridge_closed_form": (_q_ridge, _sql_ridge()),
     "bernoulli_nb_lang": (_q_bernoulli_nb, _sql_bernoulli_nb()),
     "linreg_eval_metrics": (_q_linreg_eval, _sql_linreg_eval()),
+    "ridge_grid_search": (_q_ridge_grid, _sql_ridge_grid()),
+    "ridge_cv_rmse": (_q_ridge_cv, _sql_ridge_cv()),
     "nb_eval_metrics": (_q_nb_eval, _sql_nb_eval()),
     "dbscan_clusters": (_q_dbscan, _sql_dbscan()),
     "zscore_outliers": (_q_zscore, _SQL_ZSCORE),
