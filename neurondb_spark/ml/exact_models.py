@@ -722,3 +722,147 @@ m AS (
 SELECT fold, CAST(sn AS BIGINT) AS n_test,
        sqrt({_SQL_SS_RES} / sn) AS rmse
 FROM bt"""
+
+
+def feature_importance_linreg(
+    df: DataFrame, x1_col: str, x2_col: str, y_col: str
+) -> DataFrame:
+    """Standardized-coefficient feature importance for the two-feature
+    OLS model (the reference's feature_importance surface,
+    ml_automl.c): importance_i = |β_i| · σ_xi / σ_y with population
+    σ from the computational form sqrt((Σx² − (Σx)²/n)/n). One stats
+    scan + O(1) solve, engine-replayable end to end."""
+    stats = _ridge_stats(df, x1_col, x2_col, y_col)
+    m = stats.select(
+        "*",
+        F.col("sn").alias("a"),
+        F.col("ssx1").alias("b"), F.col("ssx2").alias("c"),
+        F.col("ssx11").alias("d"), F.col("ssx12").alias("e"),
+        F.col("ssx22").alias("f"),
+        F.col("ssy").alias("p"), F.col("ssx1y").alias("q"),
+        F.col("ssx2y").alias("r"),
+    )
+    bt = _with_cofactor_betas(m)
+    n = F.col("sn")
+    sd_x1 = F.sqrt((F.col("ssx11") - F.col("ssx1") * F.col("ssx1") / n) / n)
+    sd_x2 = F.sqrt((F.col("ssx22") - F.col("ssx2") * F.col("ssx2") / n) / n)
+    sd_y = F.sqrt((F.col("ssyy") - F.col("ssy") * F.col("ssy") / n) / n)
+    one = bt.select(
+        F.col("beta1"), F.col("beta2"),
+        (F.abs(F.col("beta1")) * sd_x1 / sd_y).alias("imp1"),
+        (F.abs(F.col("beta2")) * sd_x2 / sd_y).alias("imp2"),
+    )
+    a = one.select(F.lit(x1_col).alias("feature"),
+                   F.col("beta1").alias("beta"),
+                   F.col("imp1").alias("importance"))
+    b = one.select(F.lit(x2_col).alias("feature"),
+                   F.col("beta2").alias("beta"),
+                   F.col("imp2").alias("importance"))
+    return a.unionAll(b)
+
+
+def sql_feature_importance_linreg(
+    table: str, x1: str, x2: str, y: str, dsum_sql
+) -> str:
+    """DuckDB oracle replaying :func:`feature_importance_linreg`."""
+    return f"""WITH st AS (
+  {_sql_ridge_stats(table, x1, x2, y, dsum_sql, prefix='s')}),
+m AS (
+  SELECT *,
+         sn AS a, ssx1 AS b, ssx2 AS c,
+         ssx11 AS d, ssx12 AS e, ssx22 AS f,
+         ssy AS p, ssx1y AS q, ssx2y AS r
+  FROM st),
+{_SQL_COF},
+one AS (
+  SELECT beta1, beta2,
+         abs(beta1) * sqrt((ssx11 - ssx1 * ssx1 / sn) / sn)
+                    / sqrt((ssyy - ssy * ssy / sn) / sn) AS imp1,
+         abs(beta2) * sqrt((ssx22 - ssx2 * ssx2 / sn) / sn)
+                    / sqrt((ssyy - ssy * ssy / sn) / sn) AS imp2
+  FROM bt)
+SELECT '{x1}' AS feature, beta1 AS beta, imp1 AS importance FROM one
+UNION ALL
+SELECT '{x2}' AS feature, beta2 AS beta, imp2 AS importance FROM one"""
+
+
+def decision_stump_gini(
+    df: DataFrame, feature_col: str, label: "F.Column | str"
+) -> DataFrame:
+    """Exact depth-1 decision-tree split search (the reference's
+    decision-tree family, ml_decision_tree.c:1091): evaluate EVERY
+    candidate threshold (the distinct feature values; split = x ≤ v)
+    by weighted Gini impurity over a binary label. Returns the full
+    candidate evaluation (threshold, n_left, n_right, weighted_gini) —
+    the stump is its argmin (ties → smallest threshold).
+
+    Scale: one groupBy(feature) count pass (map-side combined), then
+    windows over the |distinct values| candidate table — the classic
+    histogram-based split search every distributed tree trainer uses;
+    candidate count is bounded by feature cardinality, not data size.
+    """
+    lab = F.col(label).cast("int") if isinstance(label, str) else label.cast("int")
+    cells = (
+        df.select(F.col(feature_col).alias("v"), lab.alias("y"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    c = cells.select(
+        "v",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("pos").over(tot).alias("pt"),
+    )
+    c = c.where(F.col("nl") < F.col("nt"))  # right side must be non-empty
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    pr = (F.col("pt") - F.col("pl")).cast("double")
+    gl = 1.0 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    gr = 1.0 - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    nt = F.col("nt").cast("double")
+    return c.select(
+        F.col("v").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        (F.col("nt") - F.col("nl")).alias("n_right"),
+        (nl / nt * gl + nr / nt * gr).alias("weighted_gini"),
+    )
+
+
+def sql_decision_stump_gini(
+    table: str, feature: str, label_expr: str
+) -> str:
+    """DuckDB oracle replaying :func:`decision_stump_gini`."""
+    return f"""WITH cells AS (
+  SELECT {feature} AS v, COUNT(*) AS n,
+         CAST(SUM(CAST({label_expr} AS INT)) AS BIGINT) AS pos
+  FROM {table} GROUP BY 1),
+c AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS nl,
+         SUM(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS pl,
+         SUM(n) OVER () AS nt,
+         SUM(pos) OVER () AS pt
+  FROM cells),
+f AS (SELECT * FROM c WHERE nl < nt),
+g AS (
+  SELECT v, nl, nt - nl AS n_right, pl, pt,
+         CAST(nl AS DOUBLE) AS dnl, CAST(pl AS DOUBLE) AS dpl,
+         CAST(nt - nl AS DOUBLE) AS dnr, CAST(pt - pl AS DOUBLE) AS dpr,
+         CAST(nt AS DOUBLE) AS dnt
+  FROM f)
+SELECT v AS threshold,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       (dnl / dnt * (1.0 - (dpl / dnl) * (dpl / dnl)
+                         - ((dnl - dpl) / dnl) * ((dnl - dpl) / dnl))
+        + dnr / dnt * (1.0 - (dpr / dnr) * (dpr / dnr)
+                           - ((dnr - dpr) / dnr) * ((dnr - dpr) / dnr)))
+         AS weighted_gini
+FROM g"""

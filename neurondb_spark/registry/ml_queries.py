@@ -180,6 +180,44 @@ def _sql_ridge_cv() -> str:
                              ["l_orderkey", "l_linenumber"], 10.0, 3, O.dsum)
 
 
+def _q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-coefficient feature importance for the 2-feature
+    OLS model (feature_importance surface, ml_automl.c) — betas AND
+    importances under the hash gate (ml/exact_models.py)."""
+    from neurondb_spark.ml.exact_models import feature_importance_linreg
+
+    li = t(spark, sf_dir, "lineitem")
+    return feature_importance_linreg(li, "l_quantity", "l_discount",
+                                     "l_extendedprice")
+
+
+def _sql_feature_importance() -> str:
+    from neurondb_spark.ml.exact_models import sql_feature_importance_linreg
+
+    return sql_feature_importance_linreg("lineitem", "l_quantity",
+                                         "l_discount", "l_extendedprice",
+                                         O.dsum)
+
+
+def _q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact depth-1 decision-tree split search (ml_decision_tree.c:1091
+    family): full candidate-threshold Gini evaluation over
+    l_quantity → [l_returnflag = 'R'], histogram-based like every
+    distributed tree trainer (ml/exact_models.decision_stump_gini)."""
+    from neurondb_spark.ml.exact_models import decision_stump_gini
+
+    li = t(spark, sf_dir, "lineitem")
+    return decision_stump_gini(li, "l_quantity",
+                               (F.col("l_returnflag") == "R"))
+
+
+def _sql_decision_stump() -> str:
+    from neurondb_spark.ml.exact_models import sql_decision_stump_gini
+
+    return sql_decision_stump_gini("lineitem", "l_quantity",
+                                   "(l_returnflag = 'R')")
+
+
 def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return zscore_outliers(
@@ -816,6 +854,9 @@ QUERIES = {
     "linreg_eval_metrics": (_q_linreg_eval, _sql_linreg_eval()),
     "ridge_grid_search": (_q_ridge_grid, _sql_ridge_grid()),
     "ridge_cv_rmse": (_q_ridge_cv, _sql_ridge_cv()),
+    "feature_importance_linreg": (_q_feature_importance,
+                                  _sql_feature_importance()),
+    "decision_stump_gini": (_q_decision_stump, _sql_decision_stump()),
     "nb_eval_metrics": (_q_nb_eval, _sql_nb_eval()),
     "dbscan_clusters": (_q_dbscan, _sql_dbscan()),
     "zscore_outliers": (_q_zscore, _SQL_ZSCORE),

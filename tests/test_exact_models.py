@@ -203,3 +203,36 @@ def test_ridge_cv_partitions_and_recovers(spark):
     assert sum(r["n_test"] for r in out) == 300
     for r in out:
         assert r["rmse"] < 1e-5
+
+
+def test_feature_importance_scale_invariant(spark, li):
+    """Standardized importance must be invariant to feature rescaling
+    (the point of standardizing); raw betas are not."""
+    from neurondb_spark.ml.exact_models import feature_importance_linreg
+
+    base = {r["feature"]: r for r in feature_importance_linreg(
+        li, "l_quantity", "l_discount", "l_extendedprice").collect()}
+    scaled_df = li.withColumn("q1000", F.col("l_quantity") * 1000.0)
+    scaled = {r["feature"]: r for r in feature_importance_linreg(
+        scaled_df, "q1000", "l_discount", "l_extendedprice").collect()}
+    assert abs(scaled["q1000"]["beta"] - base["l_quantity"]["beta"] / 1000.0) \
+        < 1e-9 * abs(base["l_quantity"]["beta"])
+    assert abs(scaled["q1000"]["importance"]
+               - base["l_quantity"]["importance"]) \
+        < 1e-9 * base["l_quantity"]["importance"]
+
+
+def test_decision_stump_planted_split(spark):
+    """Label flips exactly at x>5 -> best split (min weighted gini) is
+    threshold 5 with gini 0."""
+    from neurondb_spark.ml.exact_models import decision_stump_gini
+
+    rows = [(float(x), 1 if x > 5 else 0) for x in range(1, 11)
+            for _ in range(7)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = decision_stump_gini(df, "x", F.col("y") == 1).collect()
+    assert len(out) == 9  # 10 distinct values, last has empty right side
+    best = min(out, key=lambda r: (r["weighted_gini"], r["threshold"]))
+    assert best["threshold"] == 5.0
+    assert best["weighted_gini"] == 0.0
+    assert best["n_left"] == 35 and best["n_right"] == 35
