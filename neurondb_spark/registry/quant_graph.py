@@ -350,10 +350,152 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY mp) - 1 AS BIGINT) AS pos, node
 FROM minp ORDER BY pos"""
 
 
+def _q_quant_compare_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantize_compare_distances (quantization.c:463-1216 family): per
+    row, exact L2 to the query on the raw vector vs on the
+    int8-roundtripped vector, plus the absolute distance error — the
+    distance-quality half of quantize_analyze under the hash gate.
+    Pure codegen'd expressions, one scan, no shuffle."""
+    from neurondb_spark.functions.distance import l2_distance
+    from neurondb_spark.functions.quantization import (
+        int8_dequantize,
+        vector_to_int8,
+    )
+    from neurondb_spark.operators.knn import _query_lit
+    from neurondb_spark.registry.common import COMPILE_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    s = int8_scale("embedding")
+    rq = int8_dequantize(vector_to_int8("embedding"), s)
+    d_raw = l2_distance("embedding", _query_lit(q), dim=COMPILE_DIM,
+                        checked=False)
+    d_q = l2_distance(rq, _query_lit(q), dim=COMPILE_DIM, checked=False)
+    return emb.select(
+        "vec_id",
+        d_raw.alias("d_raw"),
+        d_q.alias("d_int8"),
+        F.abs(d_raw - d_q).alias("dist_err"),
+    )
+
+
+def _sql_quant_compare_distances() -> str:
+    absmax = ", ".join(f"abs({O.elem('embedding', i)})"
+                       for i in range(1, EMB_DIM + 1))
+    scale = (f"(CASE WHEN greatest({absmax}) = 0.0 THEN 1.0 "
+             f"ELSE 127.0 / greatest({absmax}) END)")
+    deq = ("list_transform(embedding, v -> "
+           "CAST(CAST(trunc(least(greatest(CAST(v AS DOUBLE) * s, -127.0), "
+           "127.0)) AS INTEGER) AS DOUBLE) / s)")
+    d_raw = O.sql_l2("sc.embedding", "q.qe", EMB_DIM)
+    d_q = O.sql_l2("sc.rq", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE},
+sc AS (
+  SELECT vec_id, embedding, {deq} AS rq
+  FROM (SELECT vec_id, embedding, {scale} AS s FROM embeddings))
+SELECT sc.vec_id AS vec_id,
+       {d_raw} AS d_raw,
+       {d_q} AS d_int8,
+       abs(({d_raw}) - ({d_q})) AS dist_err
+FROM sc CROSS JOIN q"""
+
+
+def _q_index_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index tuning + validation surface as ONE engine query
+    (index/tuning.py heuristics: index_recommend_type, ivf_tune,
+    lsh_tune, validate_vectors; reference index_tuning.c /
+    index_validator.c, neurondb--1.0.sql:2611-2693): table stats →
+    recommendation + parameter plan + data-quality counts, all
+    expression-level so the oracle replays the whole report."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    has_nonfinite = F.exists(
+        v.cast("array<double>"),
+        lambda x: F.isnan(x) | (F.abs(x) == float("inf")),
+    )
+    agg = emb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.size(v)).alias("dim"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(F.when(v.isNotNull() & (F.size(v) != EMB_DIM), 1)
+              .otherwise(0)).alias("dim_mismatch"),
+        F.sum(F.when(v.isNotNull() & has_nonfinite, 1)
+              .otherwise(0)).alias("non_finite"),
+    )
+    n = F.col("n_rows")
+    nlists = F.greatest(
+        F.lit(16).cast("bigint"),
+        F.least(F.lit(65536).cast("bigint"), F.floor(F.sqrt(n))),
+    )
+    frac = 0.02 + 0.3 * F.greatest(F.lit(0.0), F.lit(0.9) - F.lit(0.5))
+    nprobe = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(nlists, F.floor(nlists.cast("double") * frac)),
+    )
+    nbits = F.greatest(
+        F.lit(4).cast("bigint"),
+        F.least(F.lit(24).cast("bigint"), F.floor(F.col("dim") / 4)),
+    )
+    return agg.select(
+        n.alias("n_rows"),
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("nulls").cast("bigint").alias("nulls"),
+        F.col("dim_mismatch").cast("bigint").alias("dim_mismatch"),
+        F.col("non_finite").cast("bigint").alias("non_finite"),
+        F.when(n < 100000, F.lit("exact")).otherwise(F.lit("ivf"))
+         .alias("recommended"),
+        nlists.alias("ivf_nlists"),
+        nprobe.alias("ivf_nprobe"),
+        nbits.alias("lsh_nbits"),
+        F.lit(2).cast("bigint").alias("lsh_probe_hamming"),
+    )
+
+
+def _sql_index_tuning_report() -> str:
+    inf = "CAST('inf' AS DOUBLE)"
+    nonfin = (f"len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR "
+              f"abs(CAST(x AS DOUBLE)) = {inf})) > 0")
+    frac = (f"({O.dlit(0.02)} + {O.dlit(0.3)} * "
+            f"greatest({O.dlit(0.0)}, {O.dlit(0.9)} - {O.dlit(0.5)}))")
+    return f"""WITH ag AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+         CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS nulls,
+         CAST(SUM(CASE WHEN embedding IS NOT NULL
+                        AND len(embedding) <> {EMB_DIM} THEN 1 ELSE 0 END)
+              AS BIGINT) AS dim_mismatch,
+         CAST(SUM(CASE WHEN embedding IS NOT NULL AND ({nonfin})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS non_finite
+  FROM embeddings),
+h AS (
+  SELECT *,
+         greatest(CAST(16 AS BIGINT),
+                  least(CAST(65536 AS BIGINT),
+                        CAST(floor(sqrt(n_rows)) AS BIGINT))) AS ivf_nlists
+  FROM ag)
+SELECT n_rows, dim, nulls, dim_mismatch, non_finite,
+       CASE WHEN n_rows < 100000 THEN 'exact' ELSE 'ivf' END AS recommended,
+       ivf_nlists,
+       greatest(CAST(1 AS BIGINT),
+                least(ivf_nlists,
+                      CAST(floor(CAST(ivf_nlists AS DOUBLE) * {frac})
+                           AS BIGINT))) AS ivf_nprobe,
+       greatest(CAST(4 AS BIGINT),
+                least(CAST(24 AS BIGINT),
+                      CAST(floor(dim / 4) AS BIGINT))) AS lsh_nbits,
+       CAST(2 AS BIGINT) AS lsh_probe_hamming
+FROM h"""
+
+
 QUERIES = {
     "int8_quantize_analysis": (_q_int8_analysis, _sql_int8_analysis()),
+    "index_tuning_report": (_q_index_tuning_report,
+                            _sql_index_tuning_report()),
     "quantize_int4_fp8": (_q_int4_fp8_analysis, _sql_int4_fp8_analysis()),
     "quantize_uint8_ternary": (_q_uint8_ternary, _sql_uint8_ternary()),
+    "quantize_compare_distances": (_q_quant_compare_distances,
+                                   _sql_quant_compare_distances()),
     "binary_hamming_knn": (_q_binary_hamming_knn, _sql_binary_hamming_knn()),
     "graph_pagerank": (_q_pagerank, _sql_pagerank()),
     "graph_bfs": (_q_bfs, _SQL_BFS),
