@@ -108,6 +108,74 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted to the testdata schema —
+    orders has no o_shippriority column): unshipped-revenue top 10 for
+    one market segment. Exercises the 3-way join with a broadcast-able
+    dimension filter + aggregate + global top-k — the canonical
+    relational plan Catalyst must get right (§2.0)."""
+    cust = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_TPCH_Q3 = f"""SELECT l_orderkey, o_orderdate,
+  {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): one tight filter + one
+    aggregate — the pushdown benchmark; the executed plan must show
+    PushedFilters on the parquet scan and a 2-column ReadSchema."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_SQL_TPCH_Q6 = f"""SELECT
+  {O.dsum('l_extendedprice * l_discount')} AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= {O.dlit(0.05)} AND l_discount <= {O.dlit(0.07)}
+  AND l_quantity < 24"""
+
+
 def _q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
@@ -228,6 +296,8 @@ QUERIES = {
     "vector_norms": (_q_vector_norms, _sql_vector_norms()),
     "vector_avg_by_label": (_q_vector_avg_by_label, _SQL_VECTOR_AVG_BY_LABEL),
     "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
+    "tpch_q3_shipping": (_q_tpch_q3, _SQL_TPCH_Q3),
+    "tpch_q6_forecast": (_q_tpch_q6, _SQL_TPCH_Q6),
     "top_revenue_customers": (_q_top_revenue_customers, _SQL_TOP_REVENUE_CUSTOMERS),
     "orders_topk_per_segment": (_q_orders_topk_per_segment, _SQL_ORDERS_TOPK_PER_SEGMENT),
     "faceted_vector_search": (_q_faceted_search, _sql_faceted_search()),
