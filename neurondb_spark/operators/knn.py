@@ -84,8 +84,12 @@ def knn_regress(
     tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """kNN mean of neighbor targets (src/ml/ml_knn.c:363)."""
+    from neurondb_spark.functions.aggregates import davg
+
     top = knn(df, vec_col, query, k=k, metric=metric, dim=dim, tiebreak=tiebreak)
-    return top.agg(F.avg(target_col).alias("prediction"))
+    # davg: order-independent exact mean — the k-row sum must not depend
+    # on partition arrival order (hash-gate discipline)
+    return top.agg(davg(target_col).alias("prediction"))
 
 
 def multi_vector_search(

@@ -347,6 +347,27 @@ SELECT label, COUNT(*) AS votes FROM top GROUP BY label
 ORDER BY votes DESC, label ASC"""
 
 
+def _q_knn_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN regression (ml_knn.c:363): decimal-exact mean of the k=25
+    nearest neighbors' labels, deterministic vec_id tiebreak —
+    graduates knn_regress from pytest-only to the hash gate."""
+    from neurondb_spark.operators.knn import knn_regress
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = qvec(spark, sf_dir)
+    return knn_regress(emb, "embedding", "label", q, k=25,
+                       dim=COMPILE_DIM, tiebreak=["vec_id"])
+
+
+def _sql_knn_regress() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE},
+top AS (
+  SELECT e.label FROM embeddings e CROSS JOIN q
+  ORDER BY {d} ASC, e.vec_id ASC LIMIT 25)
+SELECT {O.davg('label')} AS prediction FROM top"""
+
+
 def _q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = qvec(spark, sf_dir)
@@ -864,6 +885,7 @@ QUERIES = {
     "distribution_divergence": (_q_distribution_divergence, _SQL_DIVERGENCE),
     "js_divergence_hist": (_q_js_divergence, _sql_js_divergence()),
     "knn_classify_vote": (_q_knn_vote, _sql_knn_vote()),
+    "knn_regress_label": (_q_knn_regress, _sql_knn_regress()),
     "label_recall_at_k": (_q_recall_at_k, _sql_recall_at_k()),
     "label_f1_at_k": (_q_f1_at_k, _sql_f1_at_k()),
     "lof_outliers": (_q_lof, _sql_lof()),
