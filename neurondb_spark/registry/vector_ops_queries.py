@@ -406,8 +406,48 @@ SELECT vec_id,
 FROM embeddings"""
 
 
+def _q_vector_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_in text-literal parsing under the hash gate
+    (functions/vector.parse_vector; vector_in per
+    neurondb--1.0.sql:55-76): synthesize ``[a,b,c]`` literals from
+    integer-valued columns (integer→string is cross-engine exact,
+    unlike double→string), parse, and check dims / element access /
+    fold-sum of the parsed array."""
+    from neurondb_spark.functions.vector import parse_vector, vector_dims
+
+    orders = t(spark, sf_dir, "orders")
+    lit = F.concat(
+        F.lit("["), (F.col("o_orderkey") % 7).cast("long").cast("string"),
+        F.lit(","), (F.col("o_orderkey") % 13).cast("long").cast("string"),
+        F.lit(","), (F.col("o_orderkey") % 29).cast("long").cast("string"),
+        F.lit("]"),
+    )
+    v = parse_vector(lit)
+    return orders.select(
+        "o_orderkey",
+        vector_dims(v).alias("dims"),
+        v.getItem(1).alias("v2"),
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x).alias("vsum"),
+    )
+
+
+def _sql_vector_parse() -> str:
+    lit = ("('[' || CAST(o_orderkey % 7 AS VARCHAR) || ',' "
+           "|| CAST(o_orderkey % 13 AS VARCHAR) || ',' "
+           "|| CAST(o_orderkey % 29 AS VARCHAR) || ']')")
+    parsed = (f"list_transform(string_split(regexp_replace(trim({lit}), "
+              f"'^\\[|\\]$', '', 'g'), ','), x -> CAST(x AS DOUBLE))")
+    return f"""WITH p AS (SELECT o_orderkey, {parsed} AS v FROM orders)
+SELECT o_orderkey,
+       CAST(len(v) AS INTEGER) AS dims,
+       v[2] AS v2,
+       list_reduce(list_prepend(0.0, v), (a, x) -> a + x) AS vsum
+FROM p"""
+
+
 QUERIES = {
     "vector_arith_ops": (_q_vector_arith, _sql_vector_arith()),
+    "vector_parse_roundtrip": (_q_vector_parse, _sql_vector_parse()),
     "vector_math_ops": (_q_vector_math, _sql_vector_math()),
     "sparse_vector_dot": (_q_sparse_dot, _sql_sparse_dot()),
     "vector_masked_ops": (_q_masked_ops, _sql_masked_ops()),
