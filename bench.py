@@ -81,6 +81,7 @@ def main() -> None:
     try:
         from neurondb_spark.registry.index_queries import (
             _consistent_index_for,
+            _hnsw_dml_index_for,
             _hnsw_index_for,
             _hybrid_index_for,
             _index_for,
@@ -92,6 +93,7 @@ def main() -> None:
 
         _ivfpq_index_for(spark, sf_dir)
         _hnsw_index_for(spark, sf_dir)
+        _hnsw_dml_index_for(spark, sf_dir)
         _index_for(spark, sf_dir)
         _tenant_index_for(spark, sf_dir)
         _temporal_index_for(spark, sf_dir)

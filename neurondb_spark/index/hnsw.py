@@ -81,6 +81,7 @@ class _ShardGraph:
         self.m = m
         self.m0 = 2 * m
         self.ef = max(ef_construction, m + 1)
+        self.seed = seed
         m_l = 1.0 / math.log(m) if m > 1 else 1.0
         self.levels = np.array(
             [_level_for(int(i), seed, m_l) for i in ids], dtype=np.int32
@@ -164,10 +165,32 @@ class _ShardGraph:
             for lay in range(entry_level + 1, level + 1):
                 self.neighbors[lay].setdefault(idx, [])
 
+    def extend(self, vecs: np.ndarray, ids: np.ndarray) -> None:
+        """Incremental insertion (ml_hnsw_insert): append new vectors and
+        run the SAME insert routine the build uses, against the existing
+        graph — links, bidirectional prune and entry promotion included.
+        New nodes are inserted in id order (deterministic)."""
+        n_old = len(self.ids)
+        m_l = 1.0 / math.log(self.m) if self.m > 1 else 1.0
+        seed = getattr(self, "seed", 0)
+        new_levels = np.array(
+            [_level_for(int(i), seed, m_l) for i in ids], dtype=np.int32
+        )
+        self.vecs = np.vstack([self.vecs, vecs]) if n_old else np.asarray(vecs)
+        self.ids = np.concatenate([self.ids, ids])
+        self.levels = np.concatenate([self.levels, new_levels])
+        new_max = int(self.levels.max(initial=0))
+        while len(self.neighbors) <= new_max:
+            self.neighbors.append({})
+        self.max_level = new_max
+        for idx in range(n_old, n_old + len(ids)):
+            self._insert(idx)
+
     def rows(self, shard: int) -> "pd.DataFrame":
         n = len(self.ids)
         return pd.DataFrame({
             "shard": np.full(n, shard, dtype=np.int32),
+            "node": np.arange(n, dtype=np.int32),
             "vec_id": self.ids.astype(np.int64),
             "vector": [v.tolist() for v in self.vecs],
             "level": self.levels,
@@ -184,12 +207,51 @@ class _ShardGraph:
 
 _GRAPH_SCHEMA = T.StructType([
     T.StructField("shard", T.IntegerType()),
+    T.StructField("node", T.IntegerType()),
     T.StructField("vec_id", T.LongType()),
     T.StructField("vector", T.ArrayType(T.DoubleType())),
     T.StructField("level", T.IntegerType()),
     T.StructField("is_entry", T.BooleanType()),
     T.StructField("adj", T.StringType()),
 ])
+
+
+def _graph_from_rows(pdf: pd.DataFrame, metric: str, m: int = 16,
+                     ef_construction: int = 64, seed: int = 0) -> _ShardGraph:
+    """Rebuild one shard's in-RAM graph from its persisted rows.
+
+    Adjacency indices refer to BUILD positions; rows come back in
+    arbitrary parquet order, so remap via the explicit ``node`` column
+    (build position). Legacy rows (pre-insert-support) lack ``node``; for
+    those, build order was vec_id order, so argsort(vec_id) recovers it.
+    """
+    if "node" in pdf.columns and pdf["node"].notna().all():
+        order = np.argsort(pdf["node"].to_numpy(), kind="mergesort")
+    else:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="mergesort")
+    vecs_b = np.array(pdf["vector"].tolist(), dtype=np.float64)[order]
+    ids_b = pdf["vec_id"].to_numpy()[order]
+    levels_b = pdf["level"].to_numpy()[order]
+    adj_col = pdf["adj"].to_numpy()
+    adj_b = [json.loads(adj_col[i]) for i in order]
+    entry_pos = np.flatnonzero(pdf["is_entry"].to_numpy()[order])
+
+    g = _ShardGraph.__new__(_ShardGraph)
+    g.vecs = vecs_b
+    g.ids = ids_b
+    g.metric = metric
+    g.m = m
+    g.m0 = 2 * m
+    g.ef = max(ef_construction, m + 1)
+    g.seed = seed
+    g.levels = levels_b
+    g.max_level = int(levels_b.max(initial=0))
+    g.neighbors = [{} for _ in range(g.max_level + 1)]
+    for i, layers in enumerate(adj_b):
+        for lay, nbrs in enumerate(layers):
+            g.neighbors[lay][i] = list(nbrs)
+    g.entry = int(entry_pos[0]) if len(entry_pos) else None
+    return g
 
 _CAND_SCHEMA = T.StructType([
     T.StructField("vec_id", T.LongType()),
@@ -200,38 +262,13 @@ _CAND_SCHEMA = T.StructType([
 def _search_shard(pdf: pd.DataFrame, query: np.ndarray, k: int,
                   ef_search: int, metric: str) -> pd.DataFrame:
     """Beam-search one shard's graph (runs inside an applyInPandas task)."""
-    vecs = np.array(pdf["vector"].tolist(), dtype=np.float64)
-    ids = pdf["vec_id"].to_numpy()
-    levels = pdf["level"].to_numpy()
-    adj = [json.loads(a) for a in pdf["adj"]]
-    entry_pos = int(np.flatnonzero(pdf["is_entry"].to_numpy())[0])
-    # positions in this pdf ARE the graph's node indices only if the rows
-    # come back in build order — they don't (parquet shuffles row order),
-    # so remap via vec_id → position-at-build. Build wrote nodes in
-    # vec_id-sorted order, so argsort(ids) recovers it.
-    order = np.argsort(ids, kind="mergesort")  # build idx -> row position
-    vecs_b = vecs[order]
-    ids_b = ids[order]
-    levels_b = levels[order]
-    adj_b = [adj[i] for i in order]
-    entry_b = int(np.flatnonzero(order == entry_pos)[0])
-
-    g = _ShardGraph.__new__(_ShardGraph)
-    g.vecs = vecs_b
-    g.ids = ids_b
-    g.metric = metric
-    g.levels = levels_b
-    g.max_level = int(levels_b.max(initial=0))
-    g.neighbors = [{} for _ in range(g.max_level + 1)]
-    for i, layers in enumerate(adj_b):
-        for lay, nbrs in enumerate(layers):
-            g.neighbors[lay][i] = list(nbrs)
-    ep = [entry_b]
-    for lay in range(int(levels_b[entry_b]), 0, -1):
+    g = _graph_from_rows(pdf, metric)
+    ep = [g.entry]
+    for lay in range(int(g.levels[g.entry]), 0, -1):
         ep = [g._search_layer(query, ep, 1, lay)[0][1]]
     found = g._search_layer(query, ep, max(ef_search, k), 0)[:k]
     return pd.DataFrame({
-        "vec_id": [int(ids_b[i]) for _, i in found],
+        "vec_id": [int(g.ids[i]) for _, i in found],
         "distance": [float(d) for d, _ in found],
     })
 
@@ -305,14 +342,140 @@ class HNSWIndex:
     ) -> DataFrame:
         """Every shard beam-searches in parallel; global TakeOrdered
         merges num_shards·k candidates (tiny). Ordering is
-        (distance, vec_id) — deterministic."""
+        (distance, vec_id) — deterministic.
+
+        Soft-deleted rows (see :meth:`delete`) stay in the graph as
+        ROUTING nodes — the classic HNSW tombstone design (the reference
+        marks dead tuples and lets VACUUM rewrite, hnsw_am.c) — so each
+        shard over-fetches by the tombstone count and results are
+        anti-joined against the tombstone table before the global top-k.
+        Call :meth:`vacuum` when tombstones accumulate."""
         q = np.array([float(x) for x in query], dtype=np.float64)
-        kk, ef, met = int(k), int(ef_search), self.meta["metric"]
+        ef, met = int(ef_search), self.meta["metric"]
+        tomb = self._tombstones(spark)
+        n_tomb = tomb.count() if tomb is not None else 0
+        kk = int(k) + n_tomb  # per-shard fetch covers every tombstone
 
         def _search(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _search_shard(pdf, q, kk, ef, met)
+            return _search_shard(pdf, q, kk, max(ef, kk), met)
 
         df = spark.read.parquet(os.path.join(self.path, "data"))
         cands = df.groupBy("shard").applyInPandas(_search, _CAND_SCHEMA)
+        if tomb is not None:
+            cands = cands.join(tomb, "vec_id", "left_anti")
         out = cands.withColumnRenamed("distance", dist_col)
-        return out.orderBy(F.col(dist_col).asc(), F.col("vec_id").asc()).limit(kk)
+        return out.orderBy(F.col(dist_col).asc(), F.col("vec_id").asc()).limit(int(k))
+
+    def insert(self, df_new: DataFrame) -> "HNSWIndex":
+        """Incremental insert (ml_hnsw_insert, hnsw_am.c:1546-1650): new
+        rows hash to their shard, and each shard's task reconstructs its
+        graph and runs the build-identical insert routine for its new
+        vectors (id order — deterministic). One applyInPandas pass over
+        old+new rows; the rewritten graph replaces the old one via a
+        verified backup-keeping swap. At scale the per-task cost is one
+        shard's graph + its new rows — the same executor-RAM contract as
+        the build."""
+        from neurondb_spark.data_management import _swap_in
+
+        spark = df_new.sparkSession
+        meta = self.meta
+        msh = int(meta["num_shards"])
+        met, mm = meta["metric"], int(meta["m"])
+        efc, sd = int(meta["ef_construction"]), int(meta["seed"])
+        data_path = os.path.join(self.path, "data")
+
+        old = spark.read.parquet(data_path)
+        if "node" not in old.columns:  # legacy layout: build order = id order
+            from pyspark.sql.window import Window
+
+            old = old.withColumn(
+                "node",
+                F.row_number().over(
+                    Window.partitionBy("shard").orderBy("vec_id")
+                ) - 1,
+            )
+        old = old.select(
+            "shard", "node", "vec_id", "vector", "level", "is_entry", "adj",
+            F.lit(False).alias("_new"),
+        )
+        new = df_new.select(
+            F.pmod(F.hash(F.col(meta["id_col"])), F.lit(msh)).cast("int").alias("shard"),
+            F.lit(-1).alias("node"),
+            F.col(meta["id_col"]).cast("long").alias("vec_id"),
+            F.col(meta["vec_col"]).cast("array<double>").alias("vector"),
+            F.lit(0).alias("level"),
+            F.lit(False).alias("is_entry"),
+            F.lit(None).cast("string").alias("adj"),
+            F.lit(True).alias("_new"),
+        )
+
+        def _ins(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            newm = pdf["_new"].to_numpy()
+            oldp, newp = pdf[~newm], pdf[newm].sort_values("vec_id", kind="mergesort")
+            nvecs = np.array(newp["vector"].tolist(), dtype=np.float64)
+            nids = newp["vec_id"].to_numpy()
+            if len(oldp) == 0:
+                g = _ShardGraph(nvecs, nids, met, mm, efc, sd)
+            else:
+                g = _graph_from_rows(oldp, met, mm, efc, sd)
+                if len(newp):
+                    g.extend(nvecs, nids)
+            return g.rows(shard)
+
+        merged = old.unionByName(new)
+        tmp = os.path.join(self.path, "data_tmp")
+        (
+            merged.groupBy("shard")
+            .applyInPandas(_ins, _GRAPH_SCHEMA)
+            .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+        )
+        _swap_in(spark, data_path, tmp)
+        self.meta["total_rows"] = spark.read.parquet(data_path).count()
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+        return self
+
+    def delete(self, spark: SparkSession, ids: list[int]) -> None:
+        """Soft delete: append tombstones; the graph keeps the nodes for
+        routing and search filters them from results (reference: dead
+        tuples stay in the AM until VACUUM)."""
+        pdf = pd.DataFrame({"vec_id": pd.Series(list(ids), dtype="int64")})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "tombstones")
+        )
+
+    def _tombstones(self, spark: SparkSession) -> DataFrame | None:
+        p = os.path.join(self.path, "tombstones")
+        if not os.path.isdir(p):
+            return None
+        return spark.read.parquet(p).select("vec_id").distinct()
+
+    def vacuum(self, spark: SparkSession) -> "HNSWIndex":
+        """VACUUM analog: rebuild every shard's graph from its live rows
+        only, then clear tombstones. Same shard-parallel build as
+        :meth:`build` (dead routing nodes and their links disappear)."""
+        import shutil
+
+        tomb = self._tombstones(spark)
+        if tomb is None:
+            return self
+        live = (
+            spark.read.parquet(os.path.join(self.path, "data"))
+            .join(tomb, "vec_id", "left_anti")
+            .select(
+                F.col("vec_id").alias(self.meta["id_col"]),
+                F.col("vector").alias(self.meta["vec_col"]),
+            )
+        )
+        live = live.localCheckpoint()  # materialize before overwriting the source
+        m = self.meta
+        HNSWIndex.build(
+            live, m["vec_col"], m["id_col"], self.path, dim=m.get("dim"),
+            num_shards=m["num_shards"], m=m["m"],
+            ef_construction=m["ef_construction"], metric=m["metric"],
+            seed=m["seed"],
+        )
+        shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
+        self.meta = HNSWIndex.load(self.path).meta
+        return self

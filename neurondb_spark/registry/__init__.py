@@ -146,6 +146,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         metrics_extra,
         misc_queries,
         ml_queries,
+        ops_queries,
         quality_queries,
         quant_graph,
         search,
@@ -159,6 +160,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         core, search, text_pipeline, events, index_queries, ml_queries,
         embed_rerank, quant_graph, timeseries_rel, vector_ops_queries,
         metrics_extra, misc_queries, composite_queries, quality_queries,
+        ops_queries,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -426,6 +426,73 @@ FROM embeddings e CROSS JOIN q
 ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
 
 
+_hnsw_dml_cache: dict[str, "object"] = {}
+
+
+def _hnsw_dml_index_for(spark: SparkSession, sf_dir: str):
+    """Build on the even half, ml_hnsw_insert the odd half, tombstone
+    vec_id % 37 == 0 — the full index DML lifecycle in one cached index."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _hnsw_dml_cache:
+        return _hnsw_dml_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_hnswdml{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = HNSWIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        idx = HNSWIndex.build(
+            emb.where(F.col("vec_id") % 2 == 0), "embedding", "vec_id", path,
+            dim=EMB_DIM, num_shards=4, m=8, ef_construction=48, seed=7,
+        )
+        idx.insert(emb.where(F.col("vec_id") % 2 == 1))
+        deleted = [
+            r["vec_id"]
+            for r in emb.where(F.col("vec_id") % 37 == 0).select("vec_id").collect()
+        ]
+        idx.delete(spark, deleted)
+    _hnsw_dml_cache[key] = idx
+    return idx
+
+
+def _q_hnsw_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DML lifecycle under the hash gate (ml_hnsw_insert +
+    dead-tuple tombstones, hnsw_am.c:1546-1650): half the table is built,
+    half incrementally inserted, and every vec_id % 37 == 0 row soft
+    deleted. Full-ef search must return the exact top-10 over live rows —
+    an inserted row missing from the graph, a deleted row leaking through
+    the tombstone anti-join, or a corrupted adjacency rewrite all break
+    the hash. Distances of the survivors are recomputed with the exact
+    fold (candidate SET is what the graph determines — the
+    hnsw_knn_full_ef parity pattern)."""
+    from neurondb_spark.functions.distance import l2_distance
+    from neurondb_spark.operators.knn import _query_lit
+
+    idx = _hnsw_dml_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    n = idx.meta["total_rows"]
+    hits = idx.search(spark, q, k=10, ef_search=int(n)).select("vec_id")
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.join(hits, "vec_id")
+        .select("vec_id",
+                l2_distance("embedding", _query_lit(q), dim=COMPILE_DIM,
+                            checked=False).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    )
+
+
+def _sql_hnsw_dml() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id % 37 <> 0
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
 _ivfpq_cache: dict[str, "object"] = {}
 
 
@@ -534,5 +601,6 @@ QUERIES = {
     "pq_adc_topk": (_q_pq_adc, None),
     "pq_adc_exact_codebook": (_q_pq_adc_exact, _sql_pq_adc_exact()),
     "hnsw_knn_full_ef": (_q_hnsw_full, _sql_hnsw_full()),
+    "hnsw_insert_delete_knn": (_q_hnsw_dml, _sql_hnsw_dml()),
     "ivfpq_knn_exact_limit": (_q_ivfpq_full, _sql_ivfpq_full()),
 }

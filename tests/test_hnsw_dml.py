@@ -1,0 +1,101 @@
+"""HNSW index DML lifecycle: incremental insert, tombstone delete, vacuum
+(index/hnsw.py; reference ml_hnsw_insert + dead-tuple VACUUM, hnsw_am.c)."""
+
+import os
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    row = emb.where(F.col("vec_id") == 5).head()
+    return [float(x) for x in row["embedding"]]
+
+
+def _brute_ids(emb, qv, k, exclude=()):
+    from neurondb_spark.functions.distance import l2_distance
+    from neurondb_spark.operators.knn import _query_lit
+
+    df = emb
+    if exclude:
+        df = df.where(~F.col("vec_id").isin(list(exclude)))
+    rows = (
+        df.select("vec_id", l2_distance("embedding", _query_lit(qv), checked=False).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .collect()
+    )
+    return [r["vec_id"] for r in rows]
+
+
+@pytest.fixture(scope="module")
+def dml_index(spark, emb):
+    """Build on the even half, insert the odd half."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_dml_"), "idx")
+    idx = HNSWIndex.build(
+        emb.where(F.col("vec_id") % 2 == 0), "embedding", "vec_id", path,
+        num_shards=4, m=8, ef_construction=48, seed=7,
+    )
+    idx.insert(emb.where(F.col("vec_id") % 2 == 1))
+    return idx
+
+
+def test_insert_then_full_ef_search_is_exact(spark, emb, qv, dml_index):
+    n = dml_index.meta["total_rows"]
+    assert n == emb.count()  # every inserted row landed
+    got = [
+        r["vec_id"]
+        for r in dml_index.search(spark, qv, k=10, ef_search=int(n)).collect()
+    ]
+    assert got == _brute_ids(emb, qv, 10)
+
+
+def test_insert_realistic_ef_recall(spark, emb, qv, dml_index):
+    got = {
+        r["vec_id"]
+        for r in dml_index.search(spark, qv, k=10, ef_search=64).collect()
+    }
+    want = set(_brute_ids(emb, qv, 10))
+    assert len(got & want) >= 8  # ≥0.8 recall at ef=64 on the grown graph
+
+
+def test_delete_excludes_tombstoned_rows(spark, emb, qv, dml_index):
+    n = dml_index.meta["total_rows"]
+    top = _brute_ids(emb, qv, 3)
+    dml_index.delete(spark, top)
+    got = [
+        r["vec_id"]
+        for r in dml_index.search(spark, qv, k=10, ef_search=int(n)).collect()
+    ]
+    assert not (set(got) & set(top))
+    assert got == _brute_ids(emb, qv, 10, exclude=top)
+
+
+def test_vacuum_rewrites_without_tombstones(spark, emb, qv, dml_index):
+    n0 = dml_index.meta["total_rows"]
+    top = _brute_ids(emb, qv, 3)  # tombstoned by the previous test
+    dml_index.vacuum(spark)
+    assert dml_index._tombstones(spark) is None
+    assert dml_index.meta["total_rows"] == n0 - len(top)
+    n = dml_index.meta["total_rows"]
+    got = [
+        r["vec_id"]
+        for r in dml_index.search(spark, qv, k=10, ef_search=int(n)).collect()
+    ]
+    assert got == _brute_ids(emb, qv, 10, exclude=top)

@@ -1,0 +1,83 @@
+"""PCA sufficient-statistics operator (ml/pca.py)."""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_component_matches_numpy_eigenvector(spark, emb):
+    from neurondb_spark.ml.pca import (
+        covariance_from_stats,
+        pca_sufficient_stats,
+        power_iteration,
+    )
+
+    dim = 8
+    stats = pca_sufficient_stats(emb, "embedding", dim)
+    cov = covariance_from_stats(stats, dim)
+    v = np.array(power_iteration(cov, n_iter=200))
+
+    X = np.array(
+        [r[0][:dim] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(C)
+    # near-isotropic embeddings ⇒ tight spectral gap ⇒ eigenVECTOR
+    # alignment converges slowly, but the Rayleigh quotient converges
+    # twice as fast — assert variance captured, which is what PCA is for
+    rayleigh = float(v @ C @ v)
+    assert rayleigh > 0.999 * float(evals[-1])
+    assert math.isclose(float(v @ v), 1.0, rel_tol=1e-12)
+
+
+def test_projection_column_equals_driver_dot(spark, emb):
+    from neurondb_spark.ml.pca import pca_top_component
+
+    v, proj = pca_top_component(emb, "embedding", 8, n_iter=12)
+    rows = emb.select("vec_id", "embedding", proj.alias("pc1")).limit(50).collect()
+    for r in rows:
+        acc = float(r["embedding"][0]) * v[0]
+        for i in range(1, 8):
+            acc = acc + float(r["embedding"][i]) * v[i]
+        assert r["pc1"] == acc  # bit-exact: same left-assoc chain
+
+
+def test_power_iteration_zero_matrix_raises():
+    from neurondb_spark.ml.pca import power_iteration
+
+    with pytest.raises(ValueError, match="neurondb"):
+        power_iteration([[0.0, 0.0], [0.0, 0.0]], n_iter=3)
+
+
+def test_media_meta_and_frames(spark):
+    """MEDIA_SCHEMA metadata rollup + frame_sample shape contract."""
+    from neurondb_spark.operators.multimodal import frame_sample
+    from neurondb_spark.registry.ops_queries import _media_table, _q_media_meta
+
+    m = _media_table(spark, SF_DIR)
+    row = m.head()
+    assert set(m.columns) == {"media_id", "kind", "content", "meta"}
+    assert isinstance(row["content"], (bytes, bytearray))
+    assert row["meta"]["width"] >= 1
+
+    stats = _q_media_meta(spark, SF_DIR).collect()
+    assert {r["kind"] for r in stats} <= {"image", "audio", "video"}
+    img = [r for r in stats if r["kind"] == "image"]
+    assert img and img[0]["total_duration_ms"] == 0  # images carry no duration
+
+    fs = frame_sample(m.limit(4), n_frames=3)
+    got = fs.select(F.size("frames").alias("nf"), F.size(F.element_at("frames", 1)).alias("npx")).collect()
+    assert all(r["nf"] == 3 and r["npx"] == 8 for r in got)
