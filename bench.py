@@ -83,6 +83,7 @@ def main() -> None:
             _consistent_index_for,
             _hnsw_dml_index_for,
             _hnsw_index_for,
+            _ivf_dml_index_for,
             _hybrid_index_for,
             _index_for,
             _ivfpq_index_for,
@@ -94,6 +95,7 @@ def main() -> None:
         _ivfpq_index_for(spark, sf_dir)
         _hnsw_index_for(spark, sf_dir)
         _hnsw_dml_index_for(spark, sf_dir)
+        _ivf_dml_index_for(spark, sf_dir)
         _index_for(spark, sf_dir)
         _tenant_index_for(spark, sf_dir)
         _temporal_index_for(spark, sf_dir)

@@ -141,6 +141,9 @@ class IVFIndex:
         clusters = self._nearest_clusters(query, nprobe)
         df = spark.read.parquet(os.path.join(self.path, "data"))
         pruned = df.where(F.col("cluster_id").isin(clusters))
+        tomb = self._tombstones(spark)
+        if tomb is not None and tomb.columns[0] in pruned.columns:
+            pruned = pruned.join(tomb, tomb.columns[0], "left_anti")
         d = distance(
             self.meta["vec_col"], _query_lit(query), self.meta["metric"],
             dim=self.meta.get("dim"), checked=False,
@@ -148,6 +151,70 @@ class IVFIndex:
         out = pruned.withColumn(dist_col, d)
         order = [F.col(dist_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
         return out.orderBy(*order).limit(k)
+
+    # --------------------------------------------------------------- DML
+
+    def insert(self, df_new: DataFrame) -> "IVFIndex":
+        """Incremental insert (ivf_am.c aminsert: assign to the nearest
+        list, append): new rows are routed with the SAME vec_route
+        expression the build uses and appended to their cluster
+        partitions. Append-only — no existing file is rewritten, and the
+        shuffle is one partitioned write of just the new rows (the
+        natural 100 TB ingest shape). Centroids are NOT refit, matching
+        the reference (lists drift until a rebuild/rebalance)."""
+        from neurondb_spark.operators.knn import vec_route
+
+        assigned = vec_route(
+            df_new, self.meta["vec_col"], self.centroids,
+            metric=self.meta["metric"], dim=self.meta.get("dim"),
+            out_col="cluster_id",
+        )
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(
+            os.path.join(self.path, "data")
+        )
+        self.meta["total_rows"] = (
+            df_new.sparkSession.read.parquet(os.path.join(self.path, "data")).count()
+        )
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump({"meta": self.meta, "centroids": self.centroids}, f)
+        return self
+
+    def delete(self, spark: SparkSession, ids: list[int], id_col: str = "vec_id") -> None:
+        """Soft delete: tombstone ids; search anti-joins them out (the
+        reference leaves dead tuples in the lists until VACUUM)."""
+        import pandas as pd
+
+        pdf = pd.DataFrame({id_col: pd.Series(list(ids), dtype="int64")})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "tombstones")
+        )
+
+    def _tombstones(self, spark: SparkSession, id_col: str = "vec_id") -> DataFrame | None:
+        p = os.path.join(self.path, "tombstones")
+        if not os.path.isdir(p):
+            return None
+        return spark.read.parquet(p).select(id_col).distinct()
+
+    def vacuum(self, spark: SparkSession, id_col: str = "vec_id") -> "IVFIndex":
+        """VACUUM analog: rewrite the lists without tombstoned rows (the
+        partitioned layout is preserved; centroids unchanged)."""
+        import shutil
+
+        from neurondb_spark.data_management import _swap_in
+
+        tomb = self._tombstones(spark, id_col)
+        if tomb is None:
+            return self
+        data = os.path.join(self.path, "data")
+        live = spark.read.parquet(data).join(tomb, id_col, "left_anti")
+        tmp = os.path.join(self.path, "data_tmp")
+        live.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+        _swap_in(spark, data, tmp)
+        shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
+        self.meta["total_rows"] = spark.read.parquet(data).count()
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump({"meta": self.meta, "centroids": self.centroids}, f)
+        return self
 
     def statistics(self, spark: SparkSession) -> dict:
         """index_statistics analog (neurondb--1.0.sql:2611-2693): rows per

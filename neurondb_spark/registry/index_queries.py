@@ -55,6 +55,57 @@ FROM embeddings e CROSS JOIN q
 ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
 
 
+_ivf_dml_cache: dict[str, "object"] = {}
+
+
+def _ivf_dml_index_for(spark: SparkSession, sf_dir: str) -> IVFIndex:
+    """Build on the even half, aminsert the odd half, tombstone
+    vec_id % 41 == 0 — IVF's DML lifecycle (append-only list inserts)."""
+    key = sf_dir.rstrip("/")
+    if key in _ivf_dml_cache:
+        return _ivf_dml_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_ivfdml{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = IVFIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings")
+        idx = IVFIndex.build(
+            emb.where(F.col("vec_id") % 2 == 0), "embedding", path,
+            nlists=NLISTS, metric="l2", dim=COMPILE_DIM,
+        )
+        idx.insert(emb.where(F.col("vec_id") % 2 == 1))
+        deleted = [
+            r["vec_id"]
+            for r in emb.where(F.col("vec_id") % 41 == 0).select("vec_id").collect()
+        ]
+        idx.delete(spark, deleted)
+    _ivf_dml_cache[key] = idx
+    return idx
+
+
+def _q_ivf_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF DML lifecycle under the hash gate (ivf_am.c aminsert + dead
+    tuples): half built, half appended to its nearest list, 1/41 soft
+    deleted. Full-probe search must return the exact live top-10 — a row
+    appended to the wrong list, lost in the append, or leaking through
+    the tombstone anti-join breaks the hash."""
+    idx = _ivf_dml_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    return idx.search(spark, q, k=10, nprobe=NLISTS, tiebreak=["vec_id"]).select(
+        "vec_id", "distance"
+    )
+
+
+def _sql_ivf_dml() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id % 41 <> 0
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
 def _q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     q = qvec(spark, sf_dir)
@@ -592,6 +643,7 @@ ORDER BY score DESC, doc.doc_id ASC LIMIT 12"""
 
 QUERIES = {
     "ivf_knn_full_probe": (_q_ivf_full, _sql_ivf_full()),
+    "ivf_insert_delete_probe": (_q_ivf_dml, _sql_ivf_dml()),
     "ivf_knn_probe": (_q_ivf_probe, None),
     "tenant_knn_search": (_q_tenant, _sql_tenant()),
     "temporal_knn_decay": (_q_temporal, _sql_temporal()),

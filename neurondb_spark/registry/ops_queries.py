@@ -183,9 +183,11 @@ _SQL_MEDIA_META = """WITH m AS (
          CASE WHEN doc_id % 3 <> 0 THEN CAST(n_chars * 3 AS INTEGER) END AS duration_ms
   FROM documents
   WHERE octet_length(CAST(text AS BLOB)) = length(text))
-SELECT kind, format, COUNT(*) AS n_media, SUM(nbytes) AS total_bytes,
+SELECT kind, format, COUNT(*) AS n_media,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
        CAST(SUM(CAST(width AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_width,
-       SUM(COALESCE(CAST(duration_ms AS BIGINT), 0)) AS total_duration_ms
+       CAST(SUM(COALESCE(CAST(duration_ms AS BIGINT), 0)) AS BIGINT)
+         AS total_duration_ms
 FROM m GROUP BY kind, format"""
 
 
