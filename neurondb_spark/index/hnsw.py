@@ -374,7 +374,11 @@ class HNSWIndex:
         old+new rows; the rewritten graph replaces the old one via a
         verified backup-keeping swap. At scale the per-task cost is one
         shard's graph + its new rows — the same executor-RAM contract as
-        the build."""
+        the build.
+
+        Caller contract: ``df_new`` ids must be distinct from already
+        indexed ids (the reference's aminsert likewise assumes unique
+        TIDs); duplicate ids would become duplicate graph nodes."""
         from neurondb_spark.data_management import _swap_in
 
         spark = df_new.sparkSession

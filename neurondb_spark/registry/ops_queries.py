@@ -374,7 +374,10 @@ def _q_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     model, _meta = eng._load(mid)
-    recs = model.recommendForAllUsers(3).where(F.col("user_id") < 20)
+    # recommendForUserSubset, not recommendForAllUsers + filter: at scale
+    # the top-k factor GEMM runs only for the requested users
+    users = ratings.select("user_id").where(F.col("user_id") < 20).distinct()
+    recs = model.recommendForUserSubset(users, 3)
     rec = F.explode("recommendations").alias("rec")
     return recs.select("user_id", rec).select(
         "user_id",
