@@ -112,3 +112,46 @@ def pca_top_component(
     cov = covariance_from_stats(stats, dim)
     v = power_iteration(cov, n_iter)
     return v, project_expr(vec_col, v)
+
+
+def pca_components(
+    df: DataFrame, vec_col: str, dim: int, n_components: int,
+    n_iter: int = 100,
+) -> dict:
+    """Full PCA fit from ONE data pass: top-``n_components`` eigenvectors
+    by power iteration + Hotelling deflation (S ← S − λ·v·vᵀ after each
+    component), eigenvalues via Rayleigh quotients, and explained-variance
+    ratios against trace(S). The data is never rescanned — everything
+    after the sufficient-statistics aggregation is O(dim²·n_iter) driver
+    arithmetic, so fitting 2 components costs the same scan as fitting 1.
+
+    Returns {components: [[...], ...], eigenvalues: [...],
+    explained_variance_ratio: [...], projections: [Column, ...]}.
+    """
+    if not 1 <= n_components <= dim:
+        raise ValueError("neurondb: n_components must be in [1, dim]")
+    stats = pca_sufficient_stats(df, vec_col, dim)
+    cov = covariance_from_stats(stats, dim)
+    trace = sum(cov[i][i] for i in range(dim))
+    comps: list[list[float]] = []
+    eigs: list[float] = []
+    work = [row[:] for row in cov]
+    for _ in range(n_components):
+        v = power_iteration(work, n_iter)
+        # Rayleigh quotient λ = vᵀSv on the ORIGINAL covariance
+        sv = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        lam = sum(v[i] * sv[i] for i in range(dim))
+        comps.append(v)
+        eigs.append(lam)
+        lam_w = sum(
+            v[i] * sum(work[i][j] * v[j] for j in range(dim)) for i in range(dim)
+        )
+        for i in range(dim):  # deflate the working matrix
+            for j in range(dim):
+                work[i][j] -= lam_w * v[i] * v[j]
+    return {
+        "components": comps,
+        "eigenvalues": eigs,
+        "explained_variance_ratio": [e / trace if trace else 0.0 for e in eigs],
+        "projections": [project_expr(vec_col, v) for v in comps],
+    }

@@ -55,6 +55,38 @@ def test_projection_column_equals_driver_dot(spark, emb):
         assert r["pc1"] == acc  # bit-exact: same left-assoc chain
 
 
+def test_multi_component_matches_numpy_subspace(spark, emb):
+    from neurondb_spark.ml.pca import pca_components
+
+    dim, k = 8, 3
+    fit = pca_components(emb, "embedding", dim, n_components=k, n_iter=300)
+    X = np.array(
+        [r[0][:dim] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(C)[::-1]
+    # eigenvalues in descending order, close to numpy's
+    got = np.array(fit["eigenvalues"])
+    assert np.all(np.diff(got) <= 1e-12)
+    assert np.allclose(got, evals[:k], rtol=1e-3)
+    # components orthonormal
+    V = np.array(fit["components"])
+    assert np.allclose(V @ V.T, np.eye(k), atol=1e-3)
+    # explained variance ratios sum below 1 and match eigenvalue shares
+    ratios = np.array(fit["explained_variance_ratio"])
+    assert 0 < ratios.sum() <= 1.0 + 1e-12
+    # trace computed from dsum-grid stats vs numpy's float trace differ at
+    # ~1e-10; the ratio semantics, not bit-parity, is what's asserted here
+    assert np.allclose(ratios, got / np.trace(C), rtol=1e-6)
+
+
+def test_pca_components_bad_k_raises(spark, emb):
+    from neurondb_spark.ml.pca import pca_components
+
+    with pytest.raises(ValueError, match="neurondb"):
+        pca_components(emb, "embedding", 8, n_components=0)
+
+
 def test_power_iteration_zero_matrix_raises():
     from neurondb_spark.ml.pca import power_iteration
 
