@@ -294,6 +294,33 @@ class HNSWIndex:
         """Shard-parallel graph build: one applyInPandas task per shard;
         each task's peak memory is its shard (rows/num_shards vectors +
         adjacency) — size num_shards so that holds on an executor."""
+        graph = HNSWIndex._graph_frame(
+            df, vec_col, id_col, num_shards, m, ef_construction, metric, seed
+        )
+        graph.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(path, "data")
+        )
+        total = df.sparkSession.read.parquet(os.path.join(path, "data")).count()
+        meta = {
+            "version": 1, "method": "hnsw", "vec_col": vec_col,
+            "id_col": id_col, "metric": metric, "dim": dim, "m": m,
+            "ef_construction": ef_construction, "num_shards": num_shards,
+            "seed": seed, "total_rows": total, "built_at": time.time(),
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return HNSWIndex(path, meta)
+
+    @staticmethod
+    def _graph_frame(
+        df: DataFrame, vec_col: str, id_col: str, num_shards: int,
+        m: int, ef_construction: int, metric: str, seed: int,
+    ) -> DataFrame:
+        """The shared shard→graph pipeline: hash-shard rows, build each
+        shard's graph in one applyInPandas task. Callers pick the target
+        directory (build → ``data`` with overwrite; vacuum → ``data_tmp``
+        + backup-keeping swap)."""
         msh = int(num_shards)
         met = metric
         mm, efc, sd = int(m), int(ef_construction), int(seed)
@@ -311,21 +338,7 @@ class HNSWIndex:
             F.col(vec_col).cast("array<double>").alias("_vec"),
             (F.pmod(F.hash(F.col(id_col)), F.lit(msh))).alias("_shard"),
         )
-        graph = base.groupBy("_shard").applyInPandas(_build, _GRAPH_SCHEMA)
-        graph.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(path, "data")
-        )
-        total = df.sparkSession.read.parquet(os.path.join(path, "data")).count()
-        meta = {
-            "version": 1, "method": "hnsw", "vec_col": vec_col,
-            "id_col": id_col, "metric": metric, "dim": dim, "m": m,
-            "ef_construction": ef_construction, "num_shards": num_shards,
-            "seed": seed, "total_rows": total, "built_at": time.time(),
-        }
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
-        return HNSWIndex(path, meta)
+        return base.groupBy("_shard").applyInPandas(_build, _GRAPH_SCHEMA)
 
     @staticmethod
     def load(path: str) -> "HNSWIndex":
@@ -346,25 +359,38 @@ class HNSWIndex:
 
         Soft-deleted rows (see :meth:`delete`) stay in the graph as
         ROUTING nodes — the classic HNSW tombstone design (the reference
-        marks dead tuples and lets VACUUM rewrite, hnsw_am.c) — so each
-        shard over-fetches by the tombstone count and results are
-        anti-joined against the tombstone table before the global top-k.
-        Call :meth:`vacuum` when tombstones accumulate."""
+        marks dead tuples and lets VACUUM rewrite, hnsw_am.c). Each
+        shard over-fetches by a CAPPED tombstone allowance (the
+        tombstones are spread over every shard, so widening every beam by
+        the global count would make search cost degrade linearly with
+        accumulated deletes); if fewer than k live candidates survive the
+        anti-join — possible only when more than the allowance of
+        tombstones landed in the true top of one shard — ONE wider retry
+        with the full tombstone count restores the exact-live-top-k
+        guarantee. Call :meth:`vacuum` when tombstones accumulate."""
         q = np.array([float(x) for x in query], dtype=np.float64)
         ef, met = int(ef_search), self.meta["metric"]
         tomb = self._tombstones(spark)
         n_tomb = tomb.count() if tomb is not None else 0
-        kk = int(k) + n_tomb  # per-shard fetch covers every tombstone
-
-        def _search(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _search_shard(pdf, q, kk, max(ef, kk), met)
-
         df = spark.read.parquet(os.path.join(self.path, "data"))
-        cands = df.groupBy("shard").applyInPandas(_search, _CAND_SCHEMA)
-        if tomb is not None:
-            cands = cands.join(tomb, "vec_id", "left_anti")
-        out = cands.withColumnRenamed("distance", dist_col)
-        return out.orderBy(F.col(dist_col).asc(), F.col("vec_id").asc()).limit(int(k))
+
+        def _run(kk: int) -> DataFrame:
+            def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+                return _search_shard(pdf, q, kk, max(ef, kk), met)
+
+            cands = df.groupBy("shard").applyInPandas(_search, _CAND_SCHEMA)
+            if tomb is not None:
+                cands = cands.join(tomb, "vec_id", "left_anti")
+            out = cands.withColumnRenamed("distance", dist_col)
+            return out.orderBy(
+                F.col(dist_col).asc(), F.col("vec_id").asc()
+            ).limit(int(k))
+
+        allowance = min(n_tomb, max(2 * int(k), 64))
+        result = _run(int(k) + allowance)
+        if allowance < n_tomb and result.count() < int(k):
+            result = _run(int(k) + n_tomb)  # rare worst case: full widen
+        return result
 
     def insert(self, df_new: DataFrame) -> "HNSWIndex":
         """Incremental insert (ml_hnsw_insert, hnsw_am.c:1546-1650): new
@@ -435,19 +461,49 @@ class HNSWIndex:
             .write.mode("overwrite").partitionBy("shard").parquet(tmp)
         )
         _swap_in(spark, data_path, tmp)
+        self._untombstone(spark, df_new.select(
+            F.col(meta["id_col"]).cast("long").alias("vec_id")
+        ))
         self.meta["total_rows"] = spark.read.parquet(data_path).count()
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(self.meta, f)
         return self
 
+    def _untombstone(self, spark: SparkSession, inserted_ids: DataFrame) -> None:
+        """Clear tombstones matching just-inserted ids, so delete-then-
+        reinsert resurrects the row instead of the surviving tombstone
+        hiding the new node (and the next vacuum erasing it for good).
+        Rewrites the (small by contract) tombstone set via the same
+        backup-keeping swap as the data files."""
+        import shutil
+
+        from neurondb_spark.data_management import _swap_in
+
+        tomb_path = os.path.join(self.path, "tombstones")
+        if not os.path.isdir(tomb_path):
+            return
+        surviving = (
+            spark.read.parquet(tomb_path)
+            .select("vec_id").distinct()
+            .join(inserted_ids, "vec_id", "left_anti")
+        )
+        if surviving.isEmpty():
+            shutil.rmtree(tomb_path, ignore_errors=True)
+            return
+        tmp = tomb_path + "_tmp"
+        surviving.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_in(spark, tomb_path, tmp)
+
     def delete(self, spark: SparkSession, ids: list[int]) -> None:
         """Soft delete: append tombstones; the graph keeps the nodes for
         routing and search filters them from results (reference: dead
-        tuples stay in the AM until VACUUM)."""
+        tuples stay in the AM until VACUUM). Re-inserting a deleted id
+        via :meth:`insert` clears its tombstone."""
         pdf = pd.DataFrame({"vec_id": pd.Series(list(ids), dtype="int64")})
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
-            os.path.join(self.path, "tombstones")
-        )
+        schema = T.StructType([T.StructField("vec_id", T.LongType())])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "tombstones"))
 
     def _tombstones(self, spark: SparkSession) -> DataFrame | None:
         p = os.path.join(self.path, "tombstones")
@@ -457,29 +513,39 @@ class HNSWIndex:
 
     def vacuum(self, spark: SparkSession) -> "HNSWIndex":
         """VACUUM analog: rebuild every shard's graph from its live rows
-        only, then clear tombstones. Same shard-parallel build as
-        :meth:`build` (dead routing nodes and their links disappear)."""
+        only, then clear tombstones. Same shard-parallel pipeline as
+        :meth:`build` (dead routing nodes and their links disappear), but
+        written to a ``data_tmp`` directory and swapped in with the
+        backup-keeping :func:`_swap_in` — a failure mid-rebuild leaves
+        the live index untouched (the old in-place overwrite could
+        destroy the only copy, and localCheckpoint is not fault-tolerant
+        against executor loss mid-write)."""
         import shutil
+
+        from neurondb_spark.data_management import _swap_in
 
         tomb = self._tombstones(spark)
         if tomb is None:
             return self
+        m = self.meta
+        data_path = os.path.join(self.path, "data")
         live = (
-            spark.read.parquet(os.path.join(self.path, "data"))
+            spark.read.parquet(data_path)
             .join(tomb, "vec_id", "left_anti")
             .select(
-                F.col("vec_id").alias(self.meta["id_col"]),
-                F.col("vector").alias(self.meta["vec_col"]),
+                F.col("vec_id").alias(m["id_col"]),
+                F.col("vector").alias(m["vec_col"]),
             )
         )
-        live = live.localCheckpoint()  # materialize before overwriting the source
-        m = self.meta
-        HNSWIndex.build(
-            live, m["vec_col"], m["id_col"], self.path, dim=m.get("dim"),
-            num_shards=m["num_shards"], m=m["m"],
-            ef_construction=m["ef_construction"], metric=m["metric"],
-            seed=m["seed"],
+        graph = HNSWIndex._graph_frame(
+            live, m["vec_col"], m["id_col"], m["num_shards"], m["m"],
+            m["ef_construction"], m["metric"], m["seed"],
         )
+        tmp = os.path.join(self.path, "data_tmp")
+        graph.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+        _swap_in(spark, data_path, tmp)
         shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
-        self.meta = HNSWIndex.load(self.path).meta
+        self.meta["total_rows"] = spark.read.parquet(data_path).count()
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
         return self

@@ -101,6 +101,41 @@ class IVFIndex:
         return IVFIndex(path, meta, centroids)
 
     @staticmethod
+    def from_assignment(
+        df_assigned: DataFrame,
+        vec_col: str,
+        path: str,
+        centroids: list[list[float]],
+        metric: str = "l2",
+        dim: int | None = None,
+        cluster_col: str = "cluster_id",
+    ) -> "IVFIndex":
+        """Build the partitioned layout from a caller-provided assignment
+        and centroid set — no KMeans fit. Used when the centroids come
+        from an external (e.g. oracle-exact fixed-Lloyd) trainer; the
+        write is the same single cluster-keyed shuffle as ``build``."""
+        df = df_assigned
+        if cluster_col != "cluster_id":
+            df = df.withColumnRenamed(cluster_col, "cluster_id")
+        df.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(path, "data")
+        )
+        total = df.sparkSession.read.parquet(os.path.join(path, "data")).count()
+        meta = {
+            "version": 1,
+            "method": "ivf",
+            "vec_col": vec_col,
+            "metric": metric,
+            "nlists": len(centroids),
+            "dim": dim,
+            "total_rows": total,
+            "built_at": time.time(),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"meta": meta, "centroids": centroids}, f)
+        return IVFIndex(path, meta, centroids)
+
+    @staticmethod
     def load(path: str) -> "IVFIndex":
         with open(os.path.join(path, "meta.json")) as f:
             d = json.load(f)
@@ -133,17 +168,35 @@ class IVFIndex:
         nprobe: int | None = None,
         dist_col: str = "distance",
         tiebreak: list[str] | None = None,
+        probe_clusters: list[int] | None = None,
     ) -> DataFrame:
-        """Probe nprobe clusters (partition-pruned scan) → exact top-k."""
-        if nprobe is None:
-            nprobe = int(spark.conf.get("spark.neurondb.ivf.nprobe", "10"))
-        nprobe = max(1, min(nprobe, self.meta["nlists"]))
-        clusters = self._nearest_clusters(query, nprobe)
+        """Probe nprobe clusters (partition-pruned scan) → exact top-k.
+        ``probe_clusters`` overrides the driver-side centroid ranking
+        with an explicit cluster list (e.g. one computed by an
+        oracle-replayable fixed-point ranking)."""
+        if probe_clusters is not None:
+            clusters = [int(c) for c in probe_clusters]
+        else:
+            if nprobe is None:
+                nprobe = int(spark.conf.get("spark.neurondb.ivf.nprobe", "10"))
+            nprobe = max(1, min(nprobe, self.meta["nlists"]))
+            clusters = self._nearest_clusters(query, nprobe)
         df = spark.read.parquet(os.path.join(self.path, "data"))
         pruned = df.where(F.col("cluster_id").isin(clusters))
         tomb = self._tombstones(spark)
-        if tomb is not None and tomb.columns[0] in pruned.columns:
-            pruned = pruned.join(tomb, tomb.columns[0], "left_anti")
+        if tomb is not None:
+            tomb_col = tomb.columns[0]
+            if tomb_col not in pruned.columns:
+                # Never silently return soft-deleted rows: if tombstones
+                # exist but can't be joined to the data, that's corruption
+                # (or a delete() with the wrong id_col) — surface it.
+                raise ValueError(
+                    f"neurondb: ivf index at {self.path!r} has tombstones "
+                    f"keyed by {tomb_col!r} but the data has no such "
+                    f"column; cannot filter soft-deleted rows "
+                    f"(data columns: {pruned.columns})"
+                )
+            pruned = pruned.join(tomb, tomb_col, "left_anti")
         d = distance(
             self.meta["vec_col"], _query_lit(query), self.meta["metric"],
             dim=self.meta.get("dim"), checked=False,
@@ -164,6 +217,23 @@ class IVFIndex:
         the reference (lists drift until a rebuild/rebalance)."""
         from neurondb_spark.operators.knn import vec_route
 
+        spark = df_new.sparkSession
+        existing = spark.read.parquet(os.path.join(self.path, "data"))
+        want = {
+            f.name: f.dataType for f in existing.schema.fields
+            if f.name != "cluster_id"
+        }
+        have = {f.name: f.dataType for f in df_new.schema.fields}
+        if have != want:
+            # Appending a differently-shaped frame writes mixed-schema
+            # parquet — later reads silently drop or null columns
+            # depending on which footer Spark samples. Refuse instead.
+            raise ValueError(
+                "neurondb: ivf insert schema mismatch — index data has "
+                f"{sorted((n, d.simpleString()) for n, d in want.items())} "
+                f"but df_new has "
+                f"{sorted((n, d.simpleString()) for n, d in have.items())}"
+            )
         assigned = vec_route(
             df_new, self.meta["vec_col"], self.centroids,
             metric=self.meta["metric"], dim=self.meta.get("dim"),
@@ -181,36 +251,72 @@ class IVFIndex:
 
     def delete(self, spark: SparkSession, ids: list[int], id_col: str = "vec_id") -> None:
         """Soft delete: tombstone ids; search anti-joins them out (the
-        reference leaves dead tuples in the lists until VACUUM)."""
+        reference leaves dead tuples in the lists until VACUUM).
+
+        The tombstone key column is persisted in meta on the first
+        delete; later deletes with a DIFFERENT id_col raise rather than
+        producing a mixed-key tombstone set search can't apply."""
         import pandas as pd
+        from pyspark.sql import types as T
 
+        recorded = self.meta.get("tombstone_id_col")
+        if recorded is not None and recorded != id_col:
+            raise ValueError(
+                f"neurondb: ivf index at {self.path!r} already has "
+                f"tombstones keyed by {recorded!r}; cannot delete by "
+                f"{id_col!r} (vacuum first, or use the recorded column)"
+            )
         pdf = pd.DataFrame({id_col: pd.Series(list(ids), dtype="int64")})
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
-            os.path.join(self.path, "tombstones")
-        )
+        schema = T.StructType([T.StructField(id_col, T.LongType())])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "tombstones"))
+        if recorded is None:
+            self.meta["tombstone_id_col"] = id_col
+            with open(os.path.join(self.path, "meta.json"), "w") as f:
+                json.dump({"meta": self.meta, "centroids": self.centroids}, f)
 
-    def _tombstones(self, spark: SparkSession, id_col: str = "vec_id") -> DataFrame | None:
+    def _tombstones(self, spark: SparkSession) -> DataFrame | None:
+        """Tombstone set keyed by the column recorded at delete time
+        (meta['tombstone_id_col']; 'vec_id' for pre-recording indexes)."""
         p = os.path.join(self.path, "tombstones")
         if not os.path.isdir(p):
             return None
-        return spark.read.parquet(p).select(id_col).distinct()
+        id_col = self.meta.get("tombstone_id_col", "vec_id")
+        tomb = spark.read.parquet(p)
+        if id_col not in tomb.columns:
+            raise ValueError(
+                f"neurondb: ivf tombstone files at {p!r} lack the "
+                f"recorded key column {id_col!r} (have {tomb.columns})"
+            )
+        return tomb.select(id_col).distinct()
 
-    def vacuum(self, spark: SparkSession, id_col: str = "vec_id") -> "IVFIndex":
+    def vacuum(self, spark: SparkSession, id_col: str | None = None) -> "IVFIndex":
         """VACUUM analog: rewrite the lists without tombstoned rows (the
-        partitioned layout is preserved; centroids unchanged)."""
+        partitioned layout is preserved; centroids unchanged). The
+        tombstone key column comes from meta (recorded at delete time);
+        an explicit ``id_col`` that disagrees raises."""
         import shutil
 
         from neurondb_spark.data_management import _swap_in
 
-        tomb = self._tombstones(spark, id_col)
+        tomb = self._tombstones(spark)
         if tomb is None:
             return self
+        recorded = self.meta.get("tombstone_id_col", "vec_id")
+        if id_col is not None and id_col != recorded:
+            raise ValueError(
+                f"neurondb: vacuum id_col={id_col!r} disagrees with the "
+                f"tombstone key recorded at delete time ({recorded!r})"
+            )
+        id_col = recorded
         data = os.path.join(self.path, "data")
         live = spark.read.parquet(data).join(tomb, id_col, "left_anti")
         tmp = os.path.join(self.path, "data_tmp")
         live.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
         _swap_in(spark, data, tmp)
         shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
+        self.meta.pop("tombstone_id_col", None)  # set fully applied
         self.meta["total_rows"] = spark.read.parquet(data).count()
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump({"meta": self.meta, "centroids": self.centroids}, f)

@@ -58,6 +58,83 @@ class PQCodebook:
             books.append([[float(x) for x in c] for c in model.clusterCenters()])
         return PQCodebook(m, k, dim, books)
 
+    @staticmethod
+    def train_lloyd_exact(
+        df: DataFrame, vec_col: str, id_col: str, dim: int,
+        m: int = 8, k: int = 16, iters: int = 2,
+    ) -> "PQCodebook":
+        """Deterministic, oracle-replayable per-subspace codebook
+        (pq_ops.c trains per-subspace kmeans; here the trainer is the
+        same fixed-Lloyd recipe as ``ml/stats.kmeans_lloyd_exact``, run
+        for all m subspaces in ONE relational flow): init code c =
+        sub-slices of the (c+1)-th lowest-id row, then ``iters`` rounds
+        of fixed-point (bsum) assignment with ties to the lower code and
+        decimal-exact (davg) means; a code left empty by an assignment
+        round carries its previous centroid forward. Every arithmetic
+        step is replayed bit-for-bit by a portable SQL CTE chain.
+
+        Scale: the exploded join shuffles n·dim·k rows per round (the
+        honest distributed Lloyd shape — subspaces add a grouping column,
+        not a pass); only the final m·k·(dim/m) codebook (KBs) collects.
+        """
+        from pyspark.sql import Window as W
+
+        from neurondb_spark.functions.aggregates import bsum, davg
+
+        if dim % m != 0:
+            raise ValueError("neurondb: dim must be divisible by m")
+        sub = dim // m
+        ex = df.select(
+            id_col, F.posexplode(vec(vec_col)).alias("_p0", "val")
+        ).select(
+            id_col,
+            (F.col("_p0") / sub).cast("int").alias("mi"),
+            (F.col("_p0") % sub + 1).cast("int").alias("spos"),
+            "val",
+        )
+        init = (
+            df.select(id_col).orderBy(id_col).limit(k)
+            .select(
+                id_col,
+                (F.row_number().over(W.orderBy(id_col)) - 1).alias("code"),
+            )
+        )
+        cent = init.join(ex, id_col).select(
+            "mi", "code", "spos", F.col("val").alias("cval")
+        )
+        for _ in range(iters):
+            d = (
+                ex.join(cent, ["mi", "spos"])
+                .groupBy(id_col, "mi", "code")
+                .agg(bsum((F.col("val") - F.col("cval"))
+                          * (F.col("val") - F.col("cval"))).alias("dist"))
+            )
+            w = W.partitionBy(id_col, "mi").orderBy(
+                F.col("dist").asc(), F.col("code").asc()
+            )
+            assign = (
+                d.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(id_col, "mi", "code")
+            )
+            means = (
+                assign.join(ex, [id_col, "mi"])
+                .groupBy("mi", "code", "spos")
+                .agg(davg("val").alias("cval"))
+            )
+            cent = (
+                cent.select("mi", "code", "spos", F.col("cval").alias("_prev"))
+                .join(means, ["mi", "code", "spos"], "left")
+                .select(
+                    "mi", "code", "spos",
+                    F.coalesce("cval", "_prev").alias("cval"),
+                )
+            )
+        books = [[[0.0] * sub for _ in range(k)] for _ in range(m)]
+        for r in cent.collect():
+            books[r["mi"]][r["code"]][r["spos"] - 1] = float(r["cval"])
+        return PQCodebook(m, k, dim, books)
+
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "pq.json"), "w") as f:

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from neurondb_spark.functions.aggregates import dsum
 
+# Above this, dim·(dim+1)/2 aggregate expressions overwhelm the analyzer/
+# codegen (mirrors UNROLL_DIM_MAX in functions/distance.py); use the MLlib
+# PCA path (ml/dimreduce.py) instead.
+SUFFICIENT_STATS_DIM_MAX = 64
+
 
 def _elem(vec_col: str, i: int) -> Column:
     """1-based element as double (float32 storage upcasts exactly)."""
@@ -39,7 +44,22 @@ def pca_sufficient_stats(df: DataFrame, vec_col: str, dim: int) -> dict:
     ``s`` are per-coordinate sums and ``p`` upper-triangle product sums,
     all on the order-independent dsum path so a SQL oracle lands on the
     identical doubles.
+
+    Guarded to dim ≤ SUFFICIENT_STATS_DIM_MAX: the pass builds
+    dim·(dim+1)/2 aggregate expressions, which is the right plan at
+    control-plane dims (dim=8 → 45 sums) but at dim=384 would be ~74k
+    aggregates and a Catalyst analyzer/codegen blow-up. Large-dim PCA
+    belongs on the MLlib RowMatrix path (``ml/dimreduce.py``) — same
+    single-scan shape, JVM-side Gramian.
     """
+    if dim > SUFFICIENT_STATS_DIM_MAX:
+        raise ValueError(
+            f"neurondb: pca_sufficient_stats supports dim <= "
+            f"{SUFFICIENT_STATS_DIM_MAX} (got {dim}): the exact pass "
+            f"builds dim*(dim+1)/2 aggregate expressions and large dims "
+            f"blow up codegen — use the MLlib PCA in "
+            f"neurondb_spark/ml/dimreduce.py for high-dimensional data"
+        )
     aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(1, dim + 1):
         aggs.append(dsum(_elem(vec_col, i)).alias(f"s{i}"))

@@ -259,12 +259,16 @@ def _explode_vec(df: DataFrame, vec_col: str, keep: list[str]) -> DataFrame:
 
 
 def kmeans_lloyd_exact(
-    df: DataFrame, vec_col: str, id_col: str, k: int = 4, iters: int = 2
-) -> DataFrame:
+    df: DataFrame, vec_col: str, id_col: str, k: int = 4, iters: int = 2,
+    return_centroids: bool = False,
+):
     """Deterministic distributed Lloyd: init = the k lowest-id vectors
     (cluster number = id rank), then ``iters`` rounds of
     assign-to-nearest (exact fixed-point L2, ties to the lower cluster)
-    + decimal-exact centroid means. Returns (id, cluster) assignments.
+    + decimal-exact centroid means. Returns (id, cluster) assignments;
+    with ``return_centroids`` also the (cluster, pos, cval) centroid
+    DataFrame the FINAL assignment was computed against (what an
+    oracle-exact IVF layout probes against).
 
     Scale: the exploded join shuffles n·d·k rows per round — the honest
     distributed form (MLlib's dense path does the same flops); centroids
@@ -285,7 +289,9 @@ def kmeans_lloyd_exact(
         .select("cluster", "pos", F.col("val").alias("cval"))
     )
     assign = None
+    cent_assign = cent  # centroid set the latest assignment used
     for _ in range(iters):
+        cent_assign = cent
         d = (
             ex.join(cent, "pos")
             .groupBy(id_col, "cluster")
@@ -303,6 +309,8 @@ def kmeans_lloyd_exact(
             .groupBy("cluster", "pos")
             .agg(davg("val").alias("cval"))
         )
+    if return_centroids:
+        return assign, cent_assign
     return assign
 
 

@@ -99,32 +99,46 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
         "vec_window_rank", "vector_avg_by_label", "vector_math_ops",
         "vector_norms",
     }),
+    # the 50 rows in CORRECTNESS_r05.json (46 hash-green + 3 rows-only +
+    # stream_job_queue ERROR — the latter stays in FORCE_RECHECK below).
+    5: frozenset({
+        "als_recommend_topk", "answer_question", "automl_deploy_ab",
+        "bernoulli_nb_lang", "compact_roundtrip",
+        "corpus_curation_pipeline", "decision_stump_gini",
+        "drift_timeseries", "feature_importance_linreg",
+        "fill_mask_text2text", "fp16_roundtrip_err",
+        "gmm_cluster_sizes", "graph_dfs_order", "halfvec_knn",
+        "hnsw_insert_delete_knn", "hybrid_search",
+        "index_tuning_report", "ivf_insert_delete_probe",
+        "kmeans_fixed_lloyd", "kmeans_silhouette", "knn_regress_label",
+        "linreg_eval_metrics", "logreg_gd_predictions",
+        "media_meta_stats", "minhash_lsh_pairs", "nb_eval_metrics",
+        "ngram_containment_pairs", "pca_top_component",
+        "pq_adc_exact_codebook", "pq_adc_topk",
+        "quantize_compare_distances", "repetition_quality_filters",
+        "ridge_closed_form", "ridge_cv_rmse", "ridge_grid_search",
+        "rls_quota_usage", "stream_exact_dedup", "stream_job_queue",
+        "stream_monitor_window", "stream_sessionize",
+        "tier_cold_report", "tpch_q3_shipping", "tpch_q6_forecast",
+        "vector_cross_product3", "vector_parse_roundtrip",
+        "vector_preprocess_ops", "vector_sum_minmax_by_label",
+        "vector_variance_stddev", "video_frame_pixels",
+        "zero_shot_classify",
+    }),
 }
 
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # ERROR in r04 for the third consecutive round (mapInPandas stage dies
-    # under full-gate python-worker churn) — round 5 adds a
-    # python-worker-free driver-side drain rung; must re-verify.
+    # ERROR in r05 for the fourth consecutive round. Root cause finally
+    # identified (r5 judge): enqueue_jobs wrote the queue parquet through a
+    # schema-less createDataFrame(pandas) — with Arrow off (the gate's
+    # session state) pandas int32 inferred to LongType, and the read
+    # through JOB_SCHEMA's IntegerType killed the vectorized reader.
+    # Round 6 pins the explicit schema (streaming/queue.py enqueue_jobs);
+    # verified locally under a vanilla no-Arrow session.
     "stream_job_queue",
-    # ERROR in r04 (driver canonicalizer can't sort the `codes` array
-    # column) — round 5 drops the array column from the output.
-    "pq_adc_topk",
-    # rewritten in round 5 (integer-nanosecond gap comparison in the
-    # stateful sessionizer — ADVICE r4):
-    "stream_sessionize",
-    # graduated from rows-only to hash-checked oracles in round 5
-    # (generate_series / SQL-fp16 oracles) — re-record in oracle mode:
-    "stream_monitor_window", "fp16_roundtrip_err",
-    # graduated in round 5: lex-min-simple-path oracle reproduces greedy
-    # DFS preorder (proved on 3000 random graphs + this instance):
-    "graph_dfs_order",
-    # rewritten in round 5: baseline-boundary literals now parse in the
-    # session timezone (the hostile-TZ gate caught the Python-local-TZ
-    # datetime conversion); values identical under UTC:
-    "drift_timeseries",
 })
 
 

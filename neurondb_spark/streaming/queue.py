@@ -228,7 +228,15 @@ def enqueue_jobs(spark: SparkSession, queue_dir: str, jobs: list[dict]) -> None:
     Built through pandas/Arrow (JVM-local data — a list-of-tuples
     createDataFrame would round-trip every write through a pickled-RDD
     python worker, ~4-6s of overhead for a 30-row control-plane write)
-    and coalesced to one file per enqueue call."""
+    and coalesced to one file per enqueue call.
+
+    The schema is pinned explicitly: with Arrow disabled (PySpark's
+    default), schema-less ``createDataFrame(pdf)`` falls back to
+    Python-object inference and pandas int32 widens to LongType, so the
+    queue parquet's physical type (INT64) would no longer match
+    ``JOB_SCHEMA``'s IntegerType and the vectorized reader throws
+    ``SchemaColumnConvertNotSupportedException`` on read. Pinning the
+    schema makes the write byte-identical in either Arrow mode."""
     import pandas as pd
 
     pdf = pd.DataFrame(
@@ -240,7 +248,10 @@ def enqueue_jobs(spark: SparkSession, queue_dir: str, jobs: list[dict]) -> None:
             "status": [j.get("status", "pending") for j in jobs],
         }
     )
-    df = spark.createDataFrame(pdf).withColumn(
+    enqueue_schema = T.StructType(
+        [f for f in JOB_SCHEMA.fields if f.name != "created_at"]
+    )
+    df = spark.createDataFrame(pdf, schema=enqueue_schema).withColumn(
         "created_at", F.current_timestamp()
     )
     df.coalesce(1).write.mode("append").parquet(queue_dir)

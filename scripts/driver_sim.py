@@ -6,6 +6,14 @@
 3. prints a CORRECTNESS-style JSON summary
 
 This is the engine's public surface exactly as the driver consumes it.
+
+``--vanilla`` (or env NEURONDB_SIM_VANILLA=1) runs the whole pass under a
+BARE ``SparkSession.builder`` — no Arrow, no engine confs, default driver
+memory. This is the environment class the real gate runs: the four-round
+`stream_job_queue` red was an Arrow-off schema-inference bug that every
+local harness missed because they all inherit get_spark's Arrow=true.
+Any conf-sensitive bug is only visible here — run this mode before
+committing registry changes.
 """
 
 from __future__ import annotations
@@ -21,6 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from neurondb_spark.session import get_spark  # noqa: E402
+
+
+def vanilla_spark():
+    """A gate-like session: NOTHING the engine's get_spark sets — PySpark
+    defaults for Arrow (off), shuffle partitions (200), driver memory."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[32]")
+        .appName("vanilla-sim")
+        .getOrCreate()
+    )
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -39,9 +59,14 @@ def value_hash(pdf) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
-    spark = get_spark("driver-sim")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = ("--vanilla" in sys.argv[1:]) or (
+        os.environ.get("NEURONDB_SIM_VANILLA") == "1"
+    )
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    only = set(args[1].split(",")) if len(args) > 1 else None
+    spark = vanilla_spark() if vanilla else get_spark("driver-sim")
+    print(f"session: {'VANILLA (no engine confs, Arrow off)' if vanilla else 'get_spark'}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

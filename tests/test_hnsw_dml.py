@@ -99,3 +99,47 @@ def test_vacuum_rewrites_without_tombstones(spark, emb, qv, dml_index):
         for r in dml_index.search(spark, qv, k=10, ef_search=int(n)).collect()
     ]
     assert got == _brute_ids(emb, qv, 10, exclude=top)
+
+
+def test_reinsert_of_deleted_id_resurrects_row(spark, emb, qv):
+    """ADVICE r5: insert() of a previously tombstoned id clears the
+    tombstone — the row is live again and survives vacuum."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_reins_"), "idx")
+    sub = emb.where(F.col("vec_id") < 40)
+    victim = _brute_ids(sub, qv, 1)[0]  # vec_id 5 itself (qv == row 5)
+    idx2 = HNSWIndex.build(sub, "embedding", "vec_id", path,
+                           num_shards=2, m=8, ef_construction=48, seed=7)
+    idx2.delete(spark, [victim])
+    got = [r["vec_id"] for r in idx2.search(spark, qv, k=5, ef_search=200).collect()]
+    assert victim not in got
+    # re-insert the deleted row: tombstone cleared, row searchable again
+    idx2.insert(sub.where(F.col("vec_id") == victim))
+    assert idx2._tombstones(spark) is None
+    got2 = [r["vec_id"] for r in idx2.search(spark, qv, k=5, ef_search=200).collect()]
+    assert got2[0] == victim
+    # and vacuum does NOT erase it
+    idx2.vacuum(spark)
+    got3 = [r["vec_id"] for r in idx2.search(spark, qv, k=5, ef_search=200).collect()]
+    assert got3[0] == victim
+
+
+def test_search_overfetch_capped_with_retry(spark, emb, qv):
+    """ADVICE r5: per-shard fetch widens by a capped allowance, with one
+    full-width retry guaranteeing the exact live top-k even when more
+    than the allowance of tombstones dominate the top."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_cap_"), "idx")
+    idx = HNSWIndex.build(
+        emb, "embedding", "vec_id", path,
+        num_shards=2, m=8, ef_construction=48, seed=7,
+    )
+    k = 3
+    # delete the entire true top so the allowance (max(2k,64)) is exceeded
+    n_del = 2 * k + 70
+    top = _brute_ids(emb, qv, n_del)
+    idx.delete(spark, top)
+    got = [r["vec_id"] for r in idx.search(spark, qv, k=k, ef_search=400).collect()]
+    assert got == _brute_ids(emb, qv, k, exclude=top)

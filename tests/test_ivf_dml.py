@@ -97,3 +97,52 @@ def test_delete_and_vacuum(spark, emb, qv, dml_index):
         ).collect()
     ]
     assert got2 == got
+
+
+def test_delete_id_col_recorded_and_enforced(spark, emb):
+    """ADVICE r5: tombstone key is persisted at delete time; a later
+    delete/vacuum with a different id_col raises instead of silently
+    producing an unapplyable tombstone set."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idcol_"), "idx")
+    idx = IVFIndex.build(emb, "embedding", path, nlists=4)
+    idx.delete(spark, [1, 2])
+    assert idx.meta["tombstone_id_col"] == "vec_id"
+    with pytest.raises(ValueError, match="already has"):
+        idx.delete(spark, [3], id_col="other_id")
+    with pytest.raises(ValueError, match="disagrees"):
+        idx.vacuum(spark, id_col="other_id")
+    # meta round-trips through load()
+    assert IVFIndex.load(path).meta["tombstone_id_col"] == "vec_id"
+    idx.vacuum(spark)
+    assert "tombstone_id_col" not in idx.meta
+
+
+def test_search_raises_when_tombstones_unapplyable(spark, emb, qv):
+    """Tombstones keyed by a column the data lacks must fail loudly, not
+    silently return soft-deleted rows."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_badtomb_"), "idx")
+    idx = IVFIndex.build(emb, "embedding", path, nlists=4)
+    idx.delete(spark, [1], id_col="doc_id")  # data has vec_id, not doc_id
+    with pytest.raises(ValueError, match="no such"):
+        idx.search(spark, qv, k=5, nprobe=4).collect()
+
+
+def test_insert_schema_mismatch_raises(spark, emb):
+    """ADVICE r5: appending a differently-shaped frame would write
+    mixed-schema parquet — insert() must refuse."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_schema_"), "idx")
+    idx = IVFIndex.build(emb.where(F.col("vec_id") < 30), "embedding", path, nlists=4)
+    bad = emb.where(F.col("vec_id") >= 30).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        idx.insert(bad)
+    bad2 = emb.where(F.col("vec_id") >= 30).withColumn(
+        "vec_id", F.col("vec_id").cast("int")
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        idx.insert(bad2)
