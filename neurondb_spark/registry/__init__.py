@@ -139,6 +139,11 @@ FORCE_RECHECK = frozenset({
     # Round 6 pins the explicit schema (streaming/queue.py enqueue_jobs);
     # verified locally under a vanilla no-Arrow session.
     "stream_job_queue",
+    # graduated from rows-only to hash-checked in round 6: the IVF
+    # partial probe now runs over a fixed-Lloyd layout with a
+    # fixed-point probe ranking, and the PQ codebook is trained by the
+    # oracle-replayable Lloyd trainer — both rewrites need a gate row.
+    "ivf_knn_probe", "pq_adc_topk",
 })
 
 

@@ -106,12 +106,151 @@ WHERE e.vec_id % 41 <> 0
 ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
 
 
-def _q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = _index_for(spark, sf_dir)
-    q = qvec(spark, sf_dir)
-    return idx.search(spark, q, k=10, nprobe=4, tiebreak=["vec_id"]).select(
-        "vec_id", "distance"
+_LLOYD_K, _LLOYD_NPROBE = 8, 3
+_ivf_lloyd_cache: dict[str, IVFIndex] = {}
+
+
+def _ivf_lloyd_index_for(spark: SparkSession, sf_dir: str) -> IVFIndex:
+    """IVF with an oracle-exact layout: centroids + assignment from the
+    fixed-Lloyd trainer (k=8, 2 rounds — the same machinery
+    `kmeans_fixed_lloyd` proved hash-exact), written through the normal
+    partitioned layout. Unlike the MLlib-trained `_index_for` index,
+    every list membership is SQL-replayable, so a PARTIAL probe is
+    deterministic and oracle-checkable."""
+    from neurondb_spark.ml.stats import kmeans_lloyd_exact
+
+    key = sf_dir.rstrip("/")
+    if key in _ivf_lloyd_cache:
+        return _ivf_lloyd_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_ivflloyd{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = IVFIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        assign, cent = kmeans_lloyd_exact(
+            emb, "embedding", "vec_id", k=_LLOYD_K, iters=2,
+            return_centroids=True,
+        )
+        centroids = [[0.0] * EMB_DIM for _ in range(_LLOYD_K)]
+        for r in cent.collect():
+            centroids[r["cluster"]][r["pos"] - 1] = float(r["cval"])
+        layout = emb.join(assign, "vec_id").select(
+            "vec_id", "embedding", F.col("cluster").alias("cluster_id")
+        )
+        idx = IVFIndex.from_assignment(
+            layout, "embedding", path, centroids, metric="l2",
+            dim=COMPILE_DIM,
+        )
+    _ivf_lloyd_cache[key] = idx
+    return idx
+
+
+def _probe_clusters_fixed(
+    spark: SparkSession, centroids: list[list[float]], q: list[float],
+    nprobe: int,
+) -> list[int]:
+    """Rank centroids by fixed-point (bsum) squared L2 to the query, ties
+    to the lower cluster — the identical expression the oracle replays
+    (a driver-side Python sum would be left-assoc IEEE, NOT the decimal
+    grid, and could diverge in the last ulp)."""
+    from neurondb_spark.functions.aggregates import bsum
+
+    crows = [
+        (ci, p + 1, float(v))
+        for ci, c in enumerate(centroids) for p, v in enumerate(c)
+    ]
+    cdf = spark.createDataFrame(crows, schema="cluster int, pos int, cval double")
+    qdf = spark.createDataFrame(
+        [(p + 1, float(v)) for p, v in enumerate(q)],
+        schema="pos int, qval double",
     )
+    ranked = (
+        cdf.join(qdf, "pos")
+        .groupBy("cluster")
+        .agg(bsum((F.col("cval") - F.col("qval"))
+                  * (F.col("cval") - F.col("qval"))).alias("pd"))
+        .orderBy(F.col("pd").asc(), F.col("cluster").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    return [r["cluster"] for r in ranked]
+
+
+def _q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-probe IVF search under the HASH gate (graduated from
+    rows-only in round 6): the index layout comes from the oracle-exact
+    fixed-Lloyd trainer, the nprobe=3 cluster choice is a fixed-point
+    centroid ranking, and the pruned scan's exact top-10 is therefore
+    fully deterministic — the oracle replays training, routing, probe
+    selection and the final top-k (ivf_am.c probe semantics)."""
+    idx = _ivf_lloyd_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    probed = _probe_clusters_fixed(spark, idx.centroids, q, _LLOYD_NPROBE)
+    return idx.search(
+        spark, q, k=10, probe_clusters=probed, tiebreak=["vec_id"]
+    ).select("vec_id", "distance")
+
+
+def _lloyd_ctes(k: int) -> str:
+    """The fixed-Lloyd CTE chain (2 rounds) over the embeddings table —
+    the same recipe `_sql_kmeans_fixed` (registry/ml_queries.py) proved
+    hash-exact, exposed as composable CTEs: defines ex, init, c0,
+    d1/a1/c1, d2/a2. a2 = assignment against c1 (what the engine's
+    kmeans_lloyd_exact returns); c1 = the centroid set a2 probed."""
+    dist = O.bsum("(ex.val - c.cval) * (ex.val - c.cval)")
+    parts = [f"""ex AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (
+  SELECT i.cluster, e.pos, e.val AS cval
+  FROM init i JOIN ex e ON e.vec_id = i.vec_id)"""]
+    prev = "c0"
+    for it in (1, 2):
+        parts.append(f"""d{it} AS (
+  SELECT ex.vec_id, c.cluster, {dist} AS dist
+  FROM ex JOIN {prev} c ON ex.pos = c.pos
+  GROUP BY ex.vec_id, c.cluster),
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d{it}) WHERE rn = 1)""")
+        if it < 2:
+            parts.append(f"""c{it} AS (
+  SELECT a.cluster, e.pos, {O.davg('e.val')} AS cval
+  FROM a{it} a JOIN ex e ON e.vec_id = a.vec_id
+  GROUP BY a.cluster, e.pos)""")
+        prev = f"c{it}"
+    return ",\n".join(parts)
+
+
+def _sql_ivf_probe() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    pd_ = O.bsum("(c.cval - qp.qval) * (c.cval - qp.qval)")
+    return f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+{_lloyd_ctes(_LLOYD_K)},
+qpos AS (
+  SELECT CAST(generate_subscripts(qe, 1) AS INTEGER) AS pos,
+         CAST(unnest(qe) AS DOUBLE) AS qval
+  FROM q),
+probe_d AS (
+  SELECT c.cluster, {pd_} AS pd
+  FROM c1 c JOIN qpos qp ON c.pos = qp.pos
+  GROUP BY c.cluster),
+probed AS (SELECT cluster FROM probe_d
+           ORDER BY pd ASC, cluster ASC LIMIT {_LLOYD_NPROBE})
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id CROSS JOIN q
+WHERE a2.cluster IN (SELECT cluster FROM probed)
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
 
 
 _tenant_cache: dict[str, "object"] = {}
@@ -326,11 +465,14 @@ _pq_cache: dict[str, tuple] = {}
 
 
 def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ + ADC top-k (pq_ops.c / quantization PQ family): 8-subspace
-    product codes trained by seeded per-subspace KMeans, asymmetric
-    distance over the code table. Approximate by construction → no SQL
-    oracle (rows-only); recall vs brute force is asserted in
-    tests/test_pq.py."""
+    """TRAINED-codebook PQ + ADC top-k under the HASH gate (graduated
+    from rows-only in round 6): the per-subspace codebook comes from the
+    oracle-replayable fixed-Lloyd trainer
+    (``PQCodebook.train_lloyd_exact`` — bsum assignments, davg means, 2
+    rounds), so the full train→quantize→LUT→ADC pipeline (pq_ops.c) is
+    deterministic and the oracle replays every step. The seeded-MLlib
+    trainer (``PQCodebook.train``) remains the production path,
+    recall-tested in tests/test_pq.py."""
     from neurondb_spark.index.pq import PQCodebook, pq_search
 
     key = sf_dir.rstrip("/")
@@ -338,14 +480,19 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _pq_cache:
         cb = _pq_cache[key][0]
     else:
-        cb = PQCodebook.train(emb, "embedding", dim=EMB_DIM, m=8, k=16, seed=42)
+        cb = PQCodebook.train_lloyd_exact(
+            emb, "embedding", "vec_id", dim=EMB_DIM, m=_PQ_M, k=_PQ_K,
+            iters=2,
+        )
         _pq_cache[key] = (cb,)
-    codes = emb.select("vec_id", cb.encode_udf()(F.col("embedding")).alias("codes"))
-    q = qvec(spark, sf_dir)
+    codes = emb.select(
+        "vec_id", cb.encode_udf_exact()(F.col("embedding")).alias("codes")
+    )
+    q = [float(x) for x in qvec(spark, sf_dir)]
     # Project away the `codes` array column: the driver canonicalizer
     # sorts every output column and dies on unhashable list cells
     # (CORRECTNESS_r04 ERROR).
-    return pq_search(codes, cb, "codes", [float(x) for x in q], k=10).select(
+    return pq_search(codes, cb, "codes", q, k=10).select(
         "vec_id", "adc_distance"
     )
 
@@ -383,31 +530,38 @@ def _q_pq_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(codes, cb, "codes", q, k=10).select("vec_id", "adc_distance")
 
 
-def _sql_pq_adc_exact() -> str:
-    def dist(mi: int, a: str, b: str) -> str:
-        terms = [
-            f"(CAST({a}[{mi * _PQ_SUB + j}] AS DOUBLE) - "
-            f"CAST({b}[{mi * _PQ_SUB + j}] AS DOUBLE))"
-            for j in range(1, _PQ_SUB + 1)
-        ]
-        return " + ".join(f"{x} * {x}" for x in terms)
+def _pq_dist_sql(mi: int, a: str, b: str) -> str:
+    """Left-assoc subspace-``mi`` squared distance between 64-wide arrays
+    (identical fold order to PQCodebook.encode_udf_exact)."""
+    terms = [
+        f"(CAST({a}[{mi * _PQ_SUB + j}] AS DOUBLE) - "
+        f"CAST({b}[{mi * _PQ_SUB + j}] AS DOUBLE))"
+        for j in range(1, _PQ_SUB + 1)
+    ]
+    return " + ".join(f"{x} * {x}" for x in terms)
 
+
+def _pq_adc_tail_sql(cw_cte: str) -> str:
+    """The encode→LUT→ADC chain over a ``cw(code, cv)`` codeword CTE,
+    where cv is a 64-wide array laid out as m concatenated sub-codewords
+    (codeword ``code`` of subspace ``mi`` at positions mi·sub+1..mi·sub+sub).
+    Struct-MIN encode = lowest distance then lowest code — the
+    encode_udf_exact tie-break."""
     dcols = ",\n    ".join(
-        f"{dist(mi, 'e.embedding', 'c.cv')} AS d{mi}" for mi in range(_PQ_M)
+        f"{_pq_dist_sql(mi, 'e.embedding', 'c.cv')} AS d{mi}"
+        for mi in range(_PQ_M)
     )
     encmin = ", ".join(
         f"(MIN({{'d': d{mi}, 'i': code}})).i AS c{mi}" for mi in range(_PQ_M)
     )
     lutcols = ",\n    ".join(
-        f"{dist(mi, 'q.qe', 'c.cv')} AS l{mi}" for mi in range(_PQ_M)
+        f"{_pq_dist_sql(mi, 'q.qe', 'c.cv')} AS l{mi}" for mi in range(_PQ_M)
     )
     adds = " + ".join(f"l{mi}.l{mi}" for mi in range(_PQ_M))
     joins = "\n".join(
         f"JOIN lut l{mi} ON l{mi}.code = enc.c{mi}" for mi in range(_PQ_M)
     )
-    return f"""{QVEC_CTE},
-cw AS (SELECT vec_id - 1 AS code, embedding AS cv
-       FROM embeddings WHERE vec_id <= {_PQ_K}),
+    return f"""{cw_cte},
 dd AS (SELECT e.vec_id, c.code,
     {dcols}
   FROM embeddings e CROSS JOIN cw c),
@@ -419,6 +573,70 @@ SELECT enc.vec_id, sqrt({adds}) AS adc_distance
 FROM enc
 {joins}
 ORDER BY adc_distance ASC, enc.vec_id ASC LIMIT 10"""
+
+
+def _sql_pq_adc_exact() -> str:
+    cw = f"""cw AS (SELECT vec_id - 1 AS code, embedding AS cv
+       FROM embeddings WHERE vec_id <= {_PQ_K})"""
+    return f"{QVEC_CTE},\n{_pq_adc_tail_sql(cw)}"
+
+
+def _pq_lloyd_ctes() -> str:
+    """The per-subspace fixed-Lloyd codebook trainer as SQL CTEs — the
+    exact replay of ``PQCodebook.train_lloyd_exact``: one relational
+    Lloyd with (mi, spos) = (subspace, position-in-subspace) grouping,
+    bsum fixed-point assignment ties-to-lower-code, davg means, empty
+    codes carrying the previous centroid. Defines ex2, pinit, pc0,
+    pd/pa/pm/pc per round; pc2 = the trained codebook."""
+    dist = O.bsum("(e.val - c.cval) * (e.val - c.cval)")
+    parts = [f"""ex2 AS MATERIALIZED (
+  SELECT vec_id,
+         CAST((generate_subscripts(embedding, 1) - 1) // {_PQ_SUB} AS INTEGER) AS mi,
+         CAST((generate_subscripts(embedding, 1) - 1) % {_PQ_SUB} + 1 AS INTEGER) AS spos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+pinit AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})),
+pc0 AS (
+  SELECT e.mi, i.code, e.spos, e.val AS cval
+  FROM pinit i JOIN ex2 e ON e.vec_id = i.vec_id)"""]
+    prev = "pc0"
+    for it in (1, 2):
+        parts.append(f"""pd{it} AS (
+  SELECT e.vec_id, e.mi, c.code, {dist} AS dist
+  FROM ex2 e JOIN {prev} c ON e.mi = c.mi AND e.spos = c.spos
+  GROUP BY e.vec_id, e.mi, c.code),
+pa{it} AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT vec_id, mi, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+                              ORDER BY dist ASC, code ASC) AS rn
+    FROM pd{it}) WHERE rn = 1),
+pm{it} AS (
+  SELECT a.mi, a.code, e.spos, {O.davg('e.val')} AS cval
+  FROM pa{it} a JOIN ex2 e ON e.vec_id = a.vec_id AND e.mi = a.mi
+  GROUP BY a.mi, a.code, e.spos),
+pc{it} AS (
+  SELECT p.mi, p.code, p.spos, COALESCE(m.cval, p.cval) AS cval
+  FROM {prev} p LEFT JOIN pm{it} m
+    ON m.mi = p.mi AND m.code = p.code AND m.spos = p.spos)""")
+        prev = f"pc{it}"
+    return ",\n".join(parts)
+
+
+def _sql_pq_adc() -> str:
+    """Replay of the trained-codebook PQ pipeline: Lloyd-train the
+    codebook (pc2), reassemble 64-wide codeword arrays (subspace-major,
+    the layout `_pq_adc_tail_sql` slices), then the proven
+    encode→LUT→ADC chain."""
+    cw = """cw AS (
+  SELECT code, list(cval ORDER BY mi, spos) AS cv
+  FROM pc2 GROUP BY code)"""
+    return (
+        f"WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),\n"
+        f"{_pq_lloyd_ctes()},\n{_pq_adc_tail_sql(cw)}"
+    )
 
 
 _hnsw_cache: dict[str, "object"] = {}
@@ -644,13 +862,13 @@ ORDER BY score DESC, doc.doc_id ASC LIMIT 12"""
 QUERIES = {
     "ivf_knn_full_probe": (_q_ivf_full, _sql_ivf_full()),
     "ivf_insert_delete_probe": (_q_ivf_dml, _sql_ivf_dml()),
-    "ivf_knn_probe": (_q_ivf_probe, None),
+    "ivf_knn_probe": (_q_ivf_probe, _sql_ivf_probe()),
     "tenant_knn_search": (_q_tenant, _sql_tenant()),
     "temporal_knn_decay": (_q_temporal, _sql_temporal()),
     "hybrid_index_search": (_q_hybrid_index, _sql_hybrid_index()),
     "consistent_snapshot_knn": (_q_consistent, _sql_consistent()),
     "rerank_candidates": (_q_rerank_candidates, _sql_rerank_candidates()),
-    "pq_adc_topk": (_q_pq_adc, None),
+    "pq_adc_topk": (_q_pq_adc, _sql_pq_adc()),
     "pq_adc_exact_codebook": (_q_pq_adc_exact, _sql_pq_adc_exact()),
     "hnsw_knn_full_ef": (_q_hnsw_full, _sql_hnsw_full()),
     "hnsw_insert_delete_knn": (_q_hnsw_dml, _sql_hnsw_dml()),

@@ -146,3 +146,35 @@ def test_insert_schema_mismatch_raises(spark, emb):
     )
     with pytest.raises(ValueError, match="schema mismatch"):
         idx.insert(bad2)
+
+
+def test_from_assignment_layout_and_probe_override(spark, emb, qv):
+    """IVFIndex.from_assignment + probe_clusters: a caller-provided
+    Lloyd-exact layout is searchable, full probe is exact, and an
+    explicit probe list returns exactly the rows routed to it."""
+    from neurondb_spark.index.ivf import IVFIndex
+    from neurondb_spark.ml.stats import kmeans_lloyd_exact
+
+    assign, cent = kmeans_lloyd_exact(
+        emb, "embedding", "vec_id", k=4, iters=2, return_centroids=True
+    )
+    dim = len(qv)
+    centroids = [[0.0] * dim for _ in range(4)]
+    for r in cent.collect():
+        centroids[r["cluster"]][r["pos"] - 1] = float(r["cval"])
+    layout = emb.join(assign, "vec_id").select(
+        "vec_id", "embedding", F.col("cluster").alias("cluster_id")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_lloyd_"), "idx")
+    idx = IVFIndex.from_assignment(layout, "embedding", path, centroids)
+    assert idx.meta["nlists"] == 4
+    got = [
+        r["vec_id"]
+        for r in idx.search(spark, qv, k=10, nprobe=4, tiebreak=["vec_id"]).collect()
+    ]
+    assert got == _brute_ids(emb, qv, 10)
+    # explicit probe list == scan restricted to those clusters
+    only = [r["vec_id"] for r in idx.search(
+        spark, qv, k=1000, probe_clusters=[0], tiebreak=["vec_id"]).collect()]
+    routed = {r["vec_id"] for r in layout.where(F.col("cluster_id") == 0).collect()}
+    assert set(only) == routed

@@ -83,3 +83,30 @@ def test_pq_encode_udf_exact_matches_expr(spark):
          emb.select("vec_id",
                     cb.encode_udf_exact()(F.col("embedding")).alias("c")).collect()}
     assert a == b
+
+
+def test_lloyd_exact_codebook_deterministic_and_usable(spark):
+    """train_lloyd_exact: bitwise-identical across runs (it feeds the
+    hash gate) and a valid codebook — m books of k sub-dim codewords
+    whose ADC search achieves sane recall vs brute force."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb1 = PQCodebook.train_lloyd_exact(emb, "embedding", "vec_id",
+                                       dim=64, m=8, k=16, iters=2)
+    cb2 = PQCodebook.train_lloyd_exact(emb, "embedding", "vec_id",
+                                       dim=64, m=8, k=16, iters=2)
+    assert cb1.codebooks == cb2.codebooks
+    assert len(cb1.codebooks) == 8
+    assert all(len(b) == 16 and all(len(c) == 8 for c in b)
+               for b in cb1.codebooks)
+    q = qvec(spark, SF_DIR)
+    codes = emb.select(
+        "vec_id", cb1.encode_udf_exact()(F.col("embedding")).alias("codes")
+    )
+    got = {r["vec_id"] for r in pq_search(codes, cb1, "codes", q, k=10).collect()}
+    brute = {
+        r["vec_id"]
+        for r in knn(emb, "embedding", q, k=10, metric="l2").collect()
+    }
+    assert len(got & brute) >= 4  # trained PQ recall over 500 rows
