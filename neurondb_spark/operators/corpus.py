@@ -1,0 +1,149 @@
+"""Corpus-level training-data operators: deterministic sampling / data
+mixing and statistical (n-gram LM) quality scoring.
+
+These extend the reference surface the way the dedup family does (the
+BASELINE north star treats large-scale pipeline ops as first-class; the
+reference's closest machinery is its sampling-capped trainers,
+NeuronDB/src/ml/neurondb_ml.c, and the text-quality helpers around
+src/ml/nlp.c). Everything here is pure Column expressions + one or two
+relational aggregations — no Python in the hot path, no RNG state:
+
+- **hash sampling**: selection = md5-derived uniform in [0,1) per row id.
+  Reproducible under any partitioning/retry (a `rand()` sample is not),
+  and a SQL oracle replays it bit-for-bit. This is how a 100 TB pipeline
+  samples: the decision is a pure function of the row, so re-runs,
+  backfills and per-shard workers all agree without coordination.
+- **stratified mixing**: given target corpus shares per stratum (the
+  "data mixture" of an LLM training run), compute per-stratum keep-rates
+  from one tiny count aggregate and apply the hash filter — one shuffle
+  (the counts), then a broadcast-joined pure map over the corpus.
+- **trigram LM scoring**: a character-trigram language model fit on the
+  corpus itself (counts → add-0.5-smoothed conditional probabilities)
+  scores each document by its mean in-model trigram probability — the
+  classic perplexity-style quality filter, kept transcendental-free
+  (probabilities are ratios of integers; the mean is decimal-exact) so
+  it sits under the value-hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neurondb_spark.functions.aggregates import davg
+from neurondb_spark.operators.dedup import _md5_long
+
+# Smoothing vocabulary: 26 letters + space over the [a-z ] normalization.
+LM_VOCAB = 27
+_HASH_DENOM = float(2**60)  # _md5_long yields 60-bit non-negative ints
+
+
+def hash_uniform(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform in [0,1): md5 of (id, seed) → 60-bit int /
+    2^60. Pure function of the row — reproducible across retries,
+    partitionings and engines (the oracle computes the same md5)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return _md5_long(F.concat(c.cast("string"), F.lit(f"#{seed}"))) / F.lit(
+        _HASH_DENOM
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed by row id."""
+    return df.where(hash_uniform(id_col, seed) < F.lit(float(fraction)))
+
+
+def stratified_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    total: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic data-mixture sample: keep-rate per stratum s is
+    min(1, targets[s]·total / count_s), applied via the hash filter.
+
+    Strata absent from ``targets`` get rate 0 (dropped) — an explicit
+    mixture spec, not a passthrough. Expected sampled sizes follow the
+    target shares except where a stratum is exhausted (rate capped at 1,
+    the standard up-capped mixture semantics).
+
+    Scale: one count aggregate over the corpus (combiner-heavy, tiny
+    result), broadcast-joined back; selection itself is a pure map —
+    no per-row shuffle, no RNG, resumable."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        schema=f"{strata_col} string, _share double",
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    rates = counts.join(tgt, strata_col, "inner").select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_share") * F.lit(float(total))) / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col, "inner")
+        .where(hash_uniform(id_col, seed) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def _norm_text(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(c), "[^a-z ]", "")
+
+
+def char_trigrams(text: Column | str) -> Column:
+    """All character trigrams of the [a-z ]-normalized text (positions
+    beyond length-2 clamp to shorter strings for texts under 3 chars —
+    identical clamping in SQL engines)."""
+    norm = _norm_text(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1)))
+    return F.transform(idx, lambda i: F.substr(norm, i, F.lit(3)))
+
+
+def trigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Fit a char-trigram LM on the corpus and score every document.
+
+    Model: P(tri) = (count(tri) + 0.5) / (count(prefix2) + 0.5·V) with
+    V=27 — add-half smoothing over the [a-z ] alphabet. Score =
+    decimal-exact mean of P over the document's trigram instances
+    (higher = more statistically typical text; the transcendental-free
+    stand-in for perplexity, exactly replayable cross-engine because
+    every P is one IEEE division of integer-derived doubles).
+
+    Scale: two count aggregations (trigram, prefix — both map-side
+    combined; model size is bounded by 27³ ≈ 20k rows) broadcast back
+    onto the exploded corpus, then one groupBy(id). The explode is
+    n_chars rows — the same order of work as tokenization."""
+    tris = df.select(
+        F.col(id_col), F.explode(char_trigrams(text_col)).alias("tri")
+    )
+    tri_counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("_tc"))
+    ctx_counts = (
+        tri_counts.groupBy(F.substring("tri", 1, 2).alias("_ctx"))
+        .agg(F.sum("_tc").alias("_cc"))
+    )
+    model = tri_counts.join(
+        ctx_counts, F.substring(tri_counts["tri"], 1, 2) == F.col("_ctx")
+    ).select(
+        "tri",
+        (
+            (F.col("_tc").cast("double") + F.lit(0.5))
+            / (F.col("_cc").cast("double") + F.lit(0.5 * LM_VOCAB))
+        ).alias("_p"),
+    )
+    return (
+        tris.join(F.broadcast(model), "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            davg("_p").alias("mean_tri_prob"),
+        )
+    )

@@ -123,7 +123,11 @@ def _ivf_lloyd_index_for(spark: SparkSession, sf_dir: str) -> IVFIndex:
     if key in _ivf_lloyd_cache:
         return _ivf_lloyd_cache[key]
     tag = key.replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"neurondb_ivflloyd{tag}")
+    # params in the cache path: a stale layout from an older parameterization
+    # must never satisfy a newer oracle
+    path = os.path.join(
+        tempfile.gettempdir(), f"neurondb_ivflloyd_k{_LLOYD_K}_{tag}"
+    )
     if os.path.exists(os.path.join(path, "meta.json")):
         idx = IVFIndex.load(path)
     else:

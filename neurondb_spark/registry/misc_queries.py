@@ -232,6 +232,63 @@ SELECT {fp} AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM corpus GROUP BY 1"""
 
 
+def _q_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dup as a custom stateful streaming
+    operator (streaming/dedup.lsh_pairs_stream): drain the documents
+    corpus through band-bucket GroupState — each pair is emitted when
+    its second member arrives, so the DISTINCT drained pair set must
+    hash-equal the batch `minhash_lsh_pairs` (and its existing DuckDB
+    oracle) no matter how micro-batches arrive. Same infra-only batch
+    fallback contract as the other stream rows."""
+    from pyspark.sql import types as T
+
+    from neurondb_spark.streaming.dedup import lsh_pairs_batch, lsh_pairs_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    src = os.path.join(tempfile.gettempdir(), f"neurondb_slsh_src{tag}")
+    if not os.path.isdir(src):
+        # 3 files → several micro-batch arrival orders across runs
+        docs.repartition(3).write.mode("overwrite").parquet(src)
+    out = None
+    try:
+        stream = lsh_pairs_stream(spark, src, schema, "text", "doc_id")
+        qname = f"neurondb_slsh_gate{tag}"
+        q = (
+            stream.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        out = spark.table(qname).distinct()
+        if not out.head(1):
+            out = None
+    except StreamingQueryException as e:
+        print(f"neurondb: stream_lsh_neardup streaming drain failed, "
+              f"using batch twin: {e}", file=sys.stderr)
+        out = None
+    if out is None:
+        out = lsh_pairs_batch(
+            spark.read.schema(schema).parquet(src), "text", "doc_id"
+        )
+    return out.select("id_a", "id_b")
+
+
+def _sql_stream_lsh_neardup() -> str:
+    from neurondb_spark.registry.text_pipeline import _sql_minhash_lsh_pairs
+
+    return _sql_minhash_lsh_pairs()
+
+
 def _q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction under the VALUE gate (data_management.py:
     compact — read → coalesce → rewrite → verified backup-keeping swap;
@@ -481,6 +538,7 @@ QUERIES = {
     "halfvec_knn": (_q_halfvec_knn, _sql_halfvec_knn()),
     "compact_roundtrip": (_q_compact_roundtrip, _sql_compact_roundtrip()),
     "stream_exact_dedup": (_q_stream_exact_dedup, _sql_stream_exact_dedup()),
+    "stream_lsh_neardup": (_q_stream_lsh_neardup, _sql_stream_lsh_neardup()),
     "stream_job_queue": (_q_stream_queue, _SQL_STREAM_QUEUE),
     "stream_monitor_window": (_q_stream_monitor, _SQL_STREAM_MONITOR),
 }

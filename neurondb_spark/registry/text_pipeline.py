@@ -173,6 +173,79 @@ FROM bandsig a JOIN bandsig b
   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id"""
 
 
+_MIX_TARGETS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+_MIX_TOTAL, _MIX_SEED = 400, 42
+
+
+def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling (operators/corpus.py
+    stratified_mix): per-language keep-rates from target corpus shares,
+    selection by md5-hash uniform — the LLM data-mixing primitive, fully
+    replayable (no RNG state). At sf0.01 the de/es strata hit the rate
+    cap (count < target), exercising the up-capped mixture branch."""
+    from neurondb_spark.operators.corpus import stratified_mix
+
+    docs = t(spark, sf_dir, "documents")
+    return stratified_mix(
+        docs, "lang", "doc_id", _MIX_TARGETS, _MIX_TOTAL, seed=_MIX_SEED
+    ).select("doc_id", "lang")
+
+
+def _sql_corpus_mix() -> str:
+    vals = ", ".join(
+        f"('{k}', {O.dlit(float(v))})" for k, v in sorted(_MIX_TARGETS.items())
+    )
+    u = (
+        f"(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || "
+        f"'#{_MIX_SEED}'), 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+    )
+    return f"""WITH tgt(lang, share) AS (VALUES {vals}),
+counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+rates AS (
+  SELECT c.lang,
+         least(1.0, (t.share * {O.dlit(float(_MIX_TOTAL))}) / CAST(c.n AS DOUBLE)) AS rate
+  FROM counts c JOIN tgt t ON c.lang = t.lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {u} < r.rate"""
+
+
+def _q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM quality scoring (operators/corpus.py
+    trigram_lm_scores): fit on the corpus, score each doc by its
+    decimal-exact mean in-model trigram probability — the
+    perplexity-style statistical quality filter, transcendental-free so
+    it sits under the hash gate."""
+    from neurondb_spark.operators.corpus import trigram_lm_scores
+
+    docs = tp(spark, sf_dir, "documents")
+    return trigram_lm_scores(docs, "text", "doc_id")
+
+
+def _sql_trigram_lm() -> str:
+    from neurondb_spark.operators.corpus import LM_VOCAB
+
+    half_v = O.dlit(0.5 * LM_VOCAB)
+    return f"""WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS nt
+  FROM documents),
+tris AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(length(nt) - 2, 1)),
+           i -> substr(nt, i, 3))) AS tri
+  FROM norm),
+tc AS (SELECT tri, COUNT(*) AS c FROM tris GROUP BY tri),
+cc AS (SELECT substr(tri, 1, 2) AS ctx, SUM(c) AS n FROM tc GROUP BY 1),
+model AS (
+  SELECT tc.tri,
+         (CAST(c AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + {half_v}) AS p
+  FROM tc JOIN cc ON substr(tc.tri, 1, 2) = cc.ctx)
+SELECT t.doc_id, COUNT(*) AS n_trigrams, {O.davg('m.p')} AS mean_tri_prob
+FROM tris t JOIN model m ON t.tri = m.tri
+GROUP BY t.doc_id"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash("text", 16).alias("simhash16"))
@@ -557,4 +630,6 @@ QUERIES = {
     "fill_mask_text2text": (_q_fill_mask_t2t, _sql_fill_mask_t2t()),
     "repetition_quality_filters": (_q_repetition_filters,
                                    _sql_repetition_filters()),
+    "corpus_mix_sample": (_q_corpus_mix, _sql_corpus_mix()),
+    "trigram_lm_quality": (_q_trigram_lm, _sql_trigram_lm()),
 }

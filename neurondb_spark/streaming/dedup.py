@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from neurondb_spark.functions.text import doc_fingerprint
 
@@ -49,4 +50,113 @@ def dedup_batch(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         df.withColumn("fingerprint", doc_fingerprint(text_col))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ------------------------------------------------- streaming near-dup LSH
+
+LSH_PAIR_SCHEMA = T.StructType([
+    T.StructField("id_a", T.LongType()),
+    T.StructField("id_b", T.LongType()),
+])
+
+_BUCKET_STATE_SCHEMA = T.StructType([
+    T.StructField("members", T.ArrayType(T.LongType())),
+])
+
+
+def _bucket_fold(key, pdfs, state):
+    """Per-(band, bsig) bucket state = sorted member ids. Each arriving
+    doc pairs with every member already in the bucket (and with
+    earlier-sorted arrivals of the same micro-batch), so a pair is
+    emitted exactly once — by whichever member arrives second. The final
+    pair SET is therefore arrival-order independent."""
+    import pandas as pd  # executor-side
+
+    members = list(state.get[0]) if state.exists else []
+    out_a, out_b = [], []
+    for pdf in pdfs:
+        for new_id in sorted(int(x) for x in pdf["_mid"]):
+            for old in members:
+                out_a.append(min(old, new_id))
+                out_b.append(max(old, new_id))
+            members.append(new_id)
+    state.update((members,))
+    yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+
+def lsh_pairs_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup candidate pairs over a document
+    stream — the streaming twin of ``operators.dedup.minhash_lsh_pairs``.
+
+    Each arriving doc is hashed to its banded signatures (pure
+    expressions, the same seeded-md5 minhashes as the batch operator);
+    the stateful operator keys on the (band, band-signature) bucket and
+    holds the bucket's member ids, emitting a pair the moment its second
+    member arrives. The DISTINCT pair set after any drain equals the
+    batch operator over the same corpus regardless of arrival order
+    (the same doc pair can meet in several bands — distinct() the sink,
+    exactly as the batch op does).
+
+    Scale: state is partitioned by bucket key across executors; bucket
+    member lists are the same size as the batch operator's bucket join
+    groups (boilerplate-heavy buckets are the known hot spot in BOTH
+    forms — cap them upstream with a stop-shingle filter). Each
+    micro-batch shuffles only its own band rows.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from neurondb_spark.operators.dedup import minhash_signature
+
+    if num_hashes % bands != 0:
+        raise ValueError("neurondb: num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    sig = minhash_signature(text_col, num_hashes, shingle_n)
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice("_sig", b * rpb + 1, rpb),
+                    lambda x: x.cast("string"),
+                ),
+                "_",
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ])
+    exploded = (
+        src.select(F.col(id_col).cast("long").alias("_mid"), sig.alias("_sig"))
+        .select("_mid", F.explode(bands_arr).alias("bb"))
+        .select("_mid", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    )
+    return exploded.groupBy("band", "bsig").applyInPandasWithState(
+        _bucket_fold,
+        outputStructType=LSH_PAIR_SCHEMA,
+        stateStructType=_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def lsh_pairs_batch(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """The batch twin — delegates to the batch LSH operator."""
+    from neurondb_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
     )

@@ -1,0 +1,104 @@
+"""Corpus-level training-data ops: deterministic sampling / mixing
+(operators/corpus.py) and streaming MinHash-LSH near-dup
+(streaming/dedup.lsh_pairs_stream)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_calibrated(spark, docs):
+    from neurondb_spark.operators.corpus import hash_sample
+
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed=1).collect()}
+    assert a == b  # pure function of the row — no RNG state
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # calibrated-ish at n=500
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed=2).collect()}
+    assert a != c  # seed changes the selection
+    # nested property: a 0.1 sample is a subset of the 0.3 sample
+    d = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1, seed=1).collect()}
+    assert d <= a
+
+
+def test_stratified_mix_caps_and_shares(spark, docs):
+    from neurondb_spark.operators.corpus import stratified_mix
+
+    targets = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+    out = stratified_mix(docs, "lang", "doc_id", targets, total=400, seed=42)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # capped strata (target exceeds stratum size) keep EVERY row
+    for lang in ("de", "es"):
+        assert per[lang] == full[lang]
+    # uncapped strata land near their target count
+    assert abs(per["en"] - 160) < 60
+    # strata not in targets are dropped entirely
+    out2 = stratified_mix(docs, "lang", "doc_id", {"en": 1.0}, total=100)
+    assert out2.where(F.col("lang") != "en").count() == 0
+
+
+def test_trigram_lm_scores_properties(spark):
+    from neurondb_spark.operators.corpus import trigram_lm_scores
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows += [(100, "zxq qzx xqz zqx qxz")]  # statistically atypical
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           trigram_lm_scores(df, "text", "doc_id").collect()}
+    assert len(out) == 21
+    for r in out.values():
+        assert 0.0 < r["mean_tri_prob"] < 1.0
+        assert r["n_trigrams"] > 0
+    # the common sentence scores higher than the gibberish doc
+    assert out[0]["mean_tri_prob"] > out[100]["mean_tri_prob"]
+    # identical docs get identical scores (pure function of corpus+text)
+    assert out[0]["mean_tri_prob"] == out[1]["mean_tri_prob"]
+
+
+def test_stream_lsh_pairs_equal_batch_any_arrival(spark, docs):
+    from neurondb_spark.streaming.dedup import lsh_pairs_batch, lsh_pairs_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text") \
+               .where(F.col("doc_id") <= 200)
+    src = os.path.join(tempfile.mkdtemp(prefix="neurondb_slsh_t_"), "docs")
+    base.repartition(4).write.mode("overwrite").parquet(src)
+    stream = lsh_pairs_stream(spark, src, schema, "text", "doc_id")
+    q = (
+        stream.writeStream.format("memory").queryName("slsh_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.table("slsh_t").distinct().collect()}
+    want = {(r["id_a"], r["id_b"])
+            for r in lsh_pairs_batch(
+                spark.read.schema(schema).parquet(src), "text", "doc_id"
+            ).collect()}
+    assert got == want
