@@ -139,7 +139,16 @@ class IVFIndex:
     def load(path: str) -> "IVFIndex":
         with open(os.path.join(path, "meta.json")) as f:
             d = json.load(f)
-        return IVFIndex(path, d["meta"], d["centroids"])
+        meta, centroids = d["meta"], d["centroids"]
+        # A rebalance commits its centroid list INSIDE the swapped data
+        # directory (one atomic rename = layout + routing together);
+        # when present it supersedes the meta.json copy.
+        cfile = os.path.join(path, "data", "_centroids.json")
+        if os.path.exists(cfile):
+            with open(cfile) as f:
+                centroids = json.load(f)
+            meta["nlists"] = len(centroids)
+        return IVFIndex(path, meta, centroids)
 
     # ------------------------------------------------------------ search
 
@@ -317,6 +326,103 @@ class IVFIndex:
         _swap_in(spark, data, tmp)
         shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
         self.meta.pop("tombstone_id_col", None)  # set fully applied
+        self.meta["total_rows"] = spark.read.parquet(data).count()
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump({"meta": self.meta, "centroids": self.centroids}, f)
+        return self
+
+    def rebalance(
+        self,
+        spark: SparkSession,
+        max_list_size: int,
+        id_col: str = "vec_id",
+        lloyd_iters: int = 2,
+    ) -> "IVFIndex":
+        """rebalance_index analog (src/util/data_management.c:38-686,
+        and ivf_am.c's 'lists drift until a rebuild' caveat): split every
+        list larger than ``max_list_size`` into two sub-lists with the
+        deterministic fixed-Lloyd trainer (k=2 on the list's own rows);
+        sub-centroid A replaces the parent centroid, sub-centroid B is
+        appended, so nearest-centroid probe routing keeps working over
+        the updated centroid list. Recall is unchanged at full probe
+        (same rows, finer partitions) and IMPROVES per-probe-cost for
+        partial probes (smaller lists ≈ tighter regions).
+
+        Atomic commit: the new layout AND the new centroid list are
+        written into ``data_tmp`` (centroids as ``_centroids.json`` —
+        underscore-prefixed, so parquet readers ignore it) and swapped
+        in with ONE backup-keeping rename; a crash before the swap
+        leaves the index untouched, after it the loaded index is fully
+        consistent (load() prefers the in-layout centroid file).
+        meta.json is rewritten after as a cache.
+
+        Scale: splits run per oversized list over partition-pruned
+        scans; untouched lists are rewritten by the swap but not
+        re-routed (rows stream through). On object storage, back the
+        rename with a table format (see README)."""
+        from neurondb_spark.ml.stats import kmeans_lloyd_exact
+
+        data = os.path.join(self.path, "data")
+        df = spark.read.parquet(data)
+        if id_col not in df.columns:
+            raise ValueError(
+                f"neurondb: rebalance needs id column {id_col!r} in the "
+                f"index data (have {df.columns})"
+            )
+        sizes = {
+            r["cluster_id"]: r["n"]
+            for r in df.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        oversized = sorted(
+            cid for cid, n in sizes.items() if n > max_list_size
+        )
+        if not oversized:
+            return self
+        new_centroids = [list(c) for c in self.centroids]
+        relabeled = []
+        split_ids: list[int] = []
+        vec_col = self.meta["vec_col"]
+        for cid in oversized:
+            sub = df.where(F.col("cluster_id") == cid)
+            assign, cent = kmeans_lloyd_exact(
+                sub, vec_col, id_col, k=2, iters=lloyd_iters,
+                return_centroids=True,
+            )
+            dim = len(new_centroids[cid])
+            cents = [[0.0] * dim, [0.0] * dim]
+            seen = set()
+            for r in cent.collect():
+                cents[r["cluster"]][r["pos"] - 1] = float(r["cval"])
+                seen.add(int(r["cluster"]))
+            if seen != {0, 1}:  # degenerate list (all rows identical):
+                continue        # splitting can't help — leave it alone
+            split_ids.append(int(cid))
+            new_id = len(new_centroids)
+            new_centroids[cid] = cents[0]
+            new_centroids.append(cents[1])
+            relabeled.append(
+                sub.drop("cluster_id").join(assign, id_col).withColumn(
+                    "cluster_id",
+                    F.when(F.col("cluster") == 0, F.lit(int(cid)))
+                    .otherwise(F.lit(int(new_id))),
+                ).drop("cluster")
+            )
+        if not split_ids:
+            return self
+        untouched = df.where(~F.col("cluster_id").isin(split_ids))
+        out = untouched
+        for part in relabeled:
+            out = out.unionByName(part.select(*untouched.columns))
+        tmp = os.path.join(self.path, "data_tmp")
+        out.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+        with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+            json.dump(new_centroids, f)
+        from neurondb_spark.data_management import _swap_in
+
+        _swap_in(spark, data, tmp)
+        self.centroids = new_centroids
+        self.meta["nlists"] = len(new_centroids)
         self.meta["total_rows"] = spark.read.parquet(data).count()
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump({"meta": self.meta, "centroids": self.centroids}, f)

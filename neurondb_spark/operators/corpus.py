@@ -94,6 +94,84 @@ def stratified_mix(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_df: DataFrame,
+    bench_text_col: str,
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``ngram_n``-gram with a benchmark/eval set (the standard
+    eval-contamination filter for LLM training corpora — long n-gram
+    collision ≈ verbatim inclusion).
+
+    Returns (id, n_contaminated_ngrams, contaminated) for EVERY corpus
+    row — n_contaminated_ngrams = distinct benchmark n-grams the doc
+    contains.
+
+    Scale: the benchmark shingle set is small by definition (eval sets
+    are thousands of docs, not billions) → broadcast; the corpus side is
+    one explode + semi-style join + groupBy(id) — no corpus self-join
+    anywhere. Shingles reuse the dedup family's word-n-gram machinery.
+    """
+    from neurondb_spark.operators.dedup import shingles
+
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, ngram_n)).alias("_sh")
+    ).distinct()
+    bench_sh = (
+        bench_df.select(F.explode(shingles(bench_text_col, ngram_n)).alias("_sh"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
+# treat identically: explicit classes, no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (pure regexp expressions)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` (chained regexp_replace —
+    category order is fixed dict order, identical in the SQL replay)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def _norm_text(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(F.lower(c), "[^a-z ]", "")

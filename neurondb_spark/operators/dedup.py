@@ -73,6 +73,44 @@ def minhash_signature(text, num_hashes: int = 8, shingle_n: int = 3) -> Column:
     return F.array(*sig)
 
 
+def banded_signature_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bsig) band-bucket rows — the shared LSH keying used by
+    the batch pair join, the streaming incremental drain, and the
+    stateful streaming operator. The input is spread to
+    defaultParallelism first: signature hashing is the CPU-heavy stage
+    and single-file corpora would otherwise serialize it on one core."""
+    if num_hashes % bands != 0:
+        raise ValueError("neurondb: num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    sig = minhash_signature(text_col, num_hashes, shingle_n)
+    base = df.select(F.col(id_col), sig.alias("_sig"))
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice("_sig", b * rpb + 1, rpb), lambda x: x.cast("string")
+                    ),
+                    "_",
+                ).alias("bsig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return base.select(id_col, F.explode(bands_arr).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -98,28 +136,8 @@ def minhash_lsh_pairs(
     single-file corpora arrive as one partition, which would serialize
     the hashing on one core.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("neurondb: num_hashes must be divisible by bands")
-    rpb = num_hashes // bands
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    sig = minhash_signature(text_col, num_hashes, shingle_n)
-    base = df.select(F.col(id_col), sig.alias("_sig"))
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice("_sig", b * rpb + 1, rpb), lambda x: x.cast("string")
-                    ),
-                    "_",
-                ).alias("bsig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    exploded = base.select(id_col, F.explode(bands_arr).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    exploded = banded_signature_rows(
+        df, text_col, id_col, num_hashes, bands, shingle_n
     ).localCheckpoint(eager=True)
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -196,6 +196,50 @@ def _q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "distance")
 
 
+_ivf_reb_cache: dict[str, IVFIndex] = {}
+
+
+def _ivf_rebalanced_for(spark: SparkSession, sf_dir: str) -> IVFIndex:
+    """A deliberately skewed 2-list layout (cluster = vec_id % 2, so both
+    lists hold half the corpus), then REBALANCED: every oversized list is
+    split by the fixed-Lloyd trainer, sub-centroids replace/extend the
+    routing list, and the new layout + centroids commit in one swap."""
+    key = sf_dir.rstrip("/")
+    if key in _ivf_reb_cache:
+        return _ivf_reb_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_ivfreb_m150_{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = IVFIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        layout = emb.withColumn(
+            "cluster_id", (F.col("vec_id") % 2).cast("int")
+        )
+        centroids = [qvec(spark, sf_dir, 1), qvec(spark, sf_dir, 2)]
+        idx = IVFIndex.from_assignment(
+            layout, "embedding", path, centroids, metric="l2",
+            dim=COMPILE_DIM,
+        )
+        idx.rebalance(spark, max_list_size=150)
+    _ivf_reb_cache[key] = idx
+    return idx
+
+
+def _q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list rebalancing under the hash gate (rebalance_index,
+    src/util/data_management.c:38-686): a skewed layout is split into
+    sub-lists, and the FULL-probe top-10 over the rebalanced index must
+    still equal brute force — any row lost, duplicated, or mis-routed by
+    the split/swap breaks the hash. Partial-probe behavior and the
+    atomic centroid commit are pytest-covered (tests/test_ivf_dml.py)."""
+    idx = _ivf_rebalanced_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    return idx.search(
+        spark, q, k=10, nprobe=idx.meta["nlists"], tiebreak=["vec_id"]
+    ).select("vec_id", "distance")
+
+
 def _lloyd_ctes(k: int) -> str:
     """The fixed-Lloyd CTE chain (2 rounds) over the embeddings table —
     the same recipe `_sql_kmeans_fixed` (registry/ml_queries.py) proved
@@ -866,6 +910,7 @@ ORDER BY score DESC, doc.doc_id ASC LIMIT 12"""
 QUERIES = {
     "ivf_knn_full_probe": (_q_ivf_full, _sql_ivf_full()),
     "ivf_insert_delete_probe": (_q_ivf_dml, _sql_ivf_dml()),
+    "ivf_rebalance_probe": (_q_ivf_rebalance, _sql_ivf_full()),
     "ivf_knn_probe": (_q_ivf_probe, _sql_ivf_probe()),
     "tenant_knn_search": (_q_tenant, _sql_tenant()),
     "temporal_knn_decay": (_q_temporal, _sql_temporal()),

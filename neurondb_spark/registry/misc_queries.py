@@ -233,16 +233,20 @@ FROM corpus GROUP BY 1"""
 
 
 def _q_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash-LSH near-dup as a custom stateful streaming
-    operator (streaming/dedup.lsh_pairs_stream): drain the documents
-    corpus through band-bucket GroupState — each pair is emitted when
-    its second member arrives, so the DISTINCT drained pair set must
-    hash-equal the batch `minhash_lsh_pairs` (and its existing DuckDB
-    oracle) no matter how micro-batches arrive. Same infra-only batch
-    fallback contract as the other stream rows."""
+    """Incremental MinHash-LSH near-dup via the foreachBatch drain
+    (streaming/dedup.lsh_pairs_drain): each micro-batch's band rows JVM-
+    join against the persistent membership table (new×old) plus a
+    within-batch self-join (new×new) — the incrementally-refreshed
+    signature-table shape. The DISTINCT drained pair set must hash-equal
+    the batch `minhash_lsh_pairs` (and its existing DuckDB oracle) no
+    matter how micro-batches arrive. The GroupState variant
+    (lsh_pairs_stream) carries the same semantics and is
+    equality-checked in tests/test_corpus_ops.py; it pays a per-bucket
+    python round-trip, so the drain is the gate/bench path. Same
+    infra-only batch fallback contract as the other stream rows."""
     from pyspark.sql import types as T
 
-    from neurondb_spark.streaming.dedup import lsh_pairs_batch, lsh_pairs_stream
+    from neurondb_spark.streaming.dedup import lsh_pairs_batch, lsh_pairs_drain
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -258,18 +262,12 @@ def _q_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartition(3).write.mode("overwrite").parquet(src)
     out = None
     try:
-        stream = lsh_pairs_stream(spark, src, schema, "text", "doc_id")
-        qname = f"neurondb_slsh_gate{tag}"
-        q = (
-            stream.writeStream.format("memory").queryName(qname)
-            .outputMode("append").trigger(availableNow=True).start()
+        out = lsh_pairs_drain(
+            spark, src, schema, "text", "doc_id",
+            work_dir=os.path.join(
+                tempfile.gettempdir(), f"neurondb_slsh_work{tag}"
+            ),
         )
-        try:
-            q.awaitTermination()
-        finally:
-            if q.isActive:
-                q.stop()
-        out = spark.table(qname).distinct()
         if not out.head(1):
             out = None
     except StreamingQueryException as e:

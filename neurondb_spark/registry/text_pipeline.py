@@ -246,6 +246,102 @@ FROM tris t JOIN model m ON t.tri = m.tri
 GROUP BY t.doc_id"""
 
 
+_DECON_N = 8  # 8-gram collision ≈ verbatim benchmark inclusion
+_DECON_BENCH_MAX = 20
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.decontaminate): flag
+    corpus docs sharing any word 8-gram with the 'benchmark' slice
+    (doc_id ≤ 20 stands in for an eval set) — the standard
+    eval-contamination filter; benchmark shingles broadcast, corpus side
+    is one explode + join + groupBy."""
+    from neurondb_spark.operators.corpus import decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") <= _DECON_BENCH_MAX)
+    return decontaminate(
+        docs, "text", "doc_id", bench, "text", ngram_n=_DECON_N
+    )
+
+
+def _sql_decontaminate() -> str:
+    toks = sql_tokenize("text")
+    sh = (
+        f"list_transform(generate_series(1, greatest(len(tk) - {_DECON_N - 1}, 1)), "
+        f"i -> array_to_string(tk[i:i+{_DECON_N - 1}], ' '))"
+    )
+    return f"""WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest({sh}) AS s FROM toks),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id <= {_DECON_BENCH_MAX}),
+hits AS (SELECT d.doc_id, COUNT(*) AS n
+         FROM dsh d JOIN bsh ON d.s = bsh.s GROUP BY d.doc_id)
+SELECT t.doc_id,
+       COALESCE(h.n, 0) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
+
+
+def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/corpus.pii_counts /
+    redact_pii): plant synthetic emails/phones/IPs in 1-in-7 docs (the
+    raw corpus has none), count matches per category, and hash the
+    redacted text — pure regexp expressions kept to the Java-regex ∩ RE2
+    subset so the oracle replays them."""
+    from neurondb_spark.operators.corpus import pii_counts, redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "_t2",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 (555) 010-"),
+                F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 255).cast("string"), F.lit(".1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    cnts = pii_counts("_t2")
+    return aug.select(
+        "doc_id",
+        cnts["email"].alias("n_email"),
+        cnts["phone"].alias("n_phone"),
+        cnts["ipv4"].alias("n_ipv4"),
+        F.md5(redact_pii("_t2")).alias("redacted_md5"),
+    )
+
+
+def _sql_pii_stats() -> str:
+    from neurondb_spark.operators.corpus import PII_PATTERNS
+
+    t2 = (
+        "(CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-' || "
+        "lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' from 10.0.' || "
+        "CAST(doc_id % 255 AS VARCHAR) || '.1' ELSE text END)"
+    )
+    red = "t2"
+    for pat in PII_PATTERNS.values():
+        esc = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '[PII]', 'g')"
+    cnt = {
+        name: f"len(regexp_extract_all(t2, '{pat}'))"
+        for name, pat in PII_PATTERNS.items()
+    }
+    return f"""WITH aug AS (SELECT doc_id, {t2} AS t2 FROM documents)
+SELECT doc_id,
+       CAST({cnt['email']} AS INTEGER) AS n_email,
+       CAST({cnt['phone']} AS INTEGER) AS n_phone,
+       CAST({cnt['ipv4']} AS INTEGER) AS n_ipv4,
+       md5({red}) AS redacted_md5
+FROM aug"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash("text", 16).alias("simhash16"))
@@ -632,4 +728,6 @@ QUERIES = {
                                    _sql_repetition_filters()),
     "corpus_mix_sample": (_q_corpus_mix, _sql_corpus_mix()),
     "trigram_lm_quality": (_q_trigram_lm, _sql_trigram_lm()),
+    "benchmark_decontaminate": (_q_decontaminate, _sql_decontaminate()),
+    "pii_redaction_stats": (_q_pii_stats, _sql_pii_stats()),
 }

@@ -66,23 +66,28 @@ _BUCKET_STATE_SCHEMA = T.StructType([
 
 
 def _bucket_fold(key, pdfs, state):
-    """Per-(band, bsig) bucket state = sorted member ids. Each arriving
-    doc pairs with every member already in the bucket (and with
+    """Per-(band, bsig) bucket state = member ids. Each arriving doc
+    pairs with every member already in the bucket (and with
     earlier-sorted arrivals of the same micro-batch), so a pair is
     emitted exactly once — by whichever member arrives second. The final
-    pair SET is therefore arrival-order independent."""
+    pair SET is therefore arrival-order independent. Singleton buckets
+    (the overwhelming majority) yield NOTHING — constructing 10k+ empty
+    pandas frames was the dominant cost of this operator."""
     import pandas as pd  # executor-side
 
     members = list(state.get[0]) if state.exists else []
     out_a, out_b = [], []
+    new_ids: list[int] = []
     for pdf in pdfs:
-        for new_id in sorted(int(x) for x in pdf["_mid"]):
-            for old in members:
-                out_a.append(min(old, new_id))
-                out_b.append(max(old, new_id))
-            members.append(new_id)
+        new_ids.extend(int(x) for x in pdf["_mid"].tolist())
+    for new_id in sorted(new_ids):
+        for old in members:
+            out_a.append(min(old, new_id))
+            out_b.append(max(old, new_id))
+        members.append(new_id)
     state.update((members,))
-    yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    if out_a:
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
 
 def lsh_pairs_stream(
@@ -111,34 +116,21 @@ def lsh_pairs_stream(
     member lists are the same size as the batch operator's bucket join
     groups (boilerplate-heavy buckets are the known hot spot in BOTH
     forms — cap them upstream with a stop-shingle filter). Each
-    micro-batch shuffles only its own band rows.
+    micro-batch shuffles only its own band rows. NOTE the per-group
+    python-worker overhead: bucket count ≈ docs × bands, nearly all
+    singletons, and each group pays an Arrow round-trip — for run-once /
+    high-throughput drains prefer :func:`lsh_pairs_drain`, which does
+    the same incremental work as JVM joins against a persistent
+    membership table.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from neurondb_spark.operators.dedup import minhash_signature
+    from neurondb_spark.operators.dedup import banded_signature_rows
 
-    if num_hashes % bands != 0:
-        raise ValueError("neurondb: num_hashes must be divisible by bands")
-    rpb = num_hashes // bands
     src = spark.readStream.schema(schema).parquet(src_dir)
-    sig = minhash_signature(text_col, num_hashes, shingle_n)
-    bands_arr = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.array_join(
-                F.transform(
-                    F.slice("_sig", b * rpb + 1, rpb),
-                    lambda x: x.cast("string"),
-                ),
-                "_",
-            ).alias("bsig"),
-        )
-        for b in range(bands)
-    ])
-    exploded = (
-        src.select(F.col(id_col).cast("long").alias("_mid"), sig.alias("_sig"))
-        .select("_mid", F.explode(bands_arr).alias("bb"))
-        .select("_mid", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    exploded = banded_signature_rows(
+        src.select(F.col(id_col).cast("long").alias("_mid"), text_col),
+        text_col, "_mid", num_hashes, bands, shingle_n,
     )
     return exploded.groupBy("band", "bsig").applyInPandasWithState(
         _bucket_fold,
@@ -147,6 +139,92 @@ def lsh_pairs_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def lsh_pairs_drain(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    text_col: str,
+    id_col: str,
+    work_dir: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup via foreachBatch JVM joins — the
+    scale path (same semantics as :func:`lsh_pairs_stream`, none of its
+    per-bucket python overhead).
+
+    Each micro-batch: hash the new docs to band rows, join them against
+    the PERSISTENT membership table (new×old pairs), self-join within
+    the batch (new×new), then append the new rows to the membership
+    table. Both writes go to ``batch_id=<id>`` directories with
+    overwrite, so a replayed micro-batch rewrites its own files —
+    exactly-once without a state store. The distinct drained pair set
+    equals the batch operator under any arrival order.
+
+    At 100 TB: the membership table is a bucketed warehouse table
+    (band, bsig)-partitioned so the new×old join co-locates; hot
+    boilerplate buckets fall to AQE skew handling; this is the standard
+    "incrementally refreshed signature table" the batch operator's
+    docstring promises.
+    """
+    import os
+
+    from neurondb_spark.operators.dedup import banded_signature_rows
+
+    members_dir = os.path.join(work_dir, "members")
+    pairs_dir = os.path.join(work_dir, "pairs")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        new = banded_signature_rows(
+            batch_df.select(F.col(id_col).cast("long").alias("_mid"), text_col),
+            text_col, "_mid", num_hashes, bands, shingle_n,
+        ).localCheckpoint(eager=True)  # hash once, not once per use below
+        nn = (
+            new.alias("a").join(
+                new.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bsig") == F.col("b.bsig"))
+                & (F.col("a._mid") < F.col("b._mid")),
+            )
+            .select(F.col("a._mid").alias("id_a"), F.col("b._mid").alias("id_b"))
+        )
+        pairs = nn
+        if os.path.isdir(members_dir):
+            old = spark.read.parquet(members_dir)
+            no = (
+                new.join(old, ["band", "bsig"])
+                .where(F.col("_mid") != F.col("member_id"))
+                .select(
+                    F.least("_mid", "member_id").alias("id_a"),
+                    F.greatest("_mid", "member_id").alias("id_b"),
+                )
+            )
+            pairs = pairs.unionByName(no)
+        pairs.distinct().write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={batch_id}")
+        )
+        new.withColumnRenamed("_mid", "member_id").write.mode("overwrite").parquet(
+            os.path.join(members_dir, f"batch_id={batch_id}")
+        )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    if not os.path.isdir(pairs_dir):
+        return spark.createDataFrame([], LSH_PAIR_SCHEMA)
+    return spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()
 
 
 def lsh_pairs_batch(

@@ -102,3 +102,89 @@ def test_stream_lsh_pairs_equal_batch_any_arrival(spark, docs):
                 spark.read.schema(schema).parquet(src), "text", "doc_id"
             ).collect()}
     assert got == want
+
+
+def test_decontaminate_flags_verbatim_inclusion(spark):
+    from neurondb_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark question about spark shuffles and joins")],
+        "bid long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix text the secret benchmark question about spark "
+                 "shuffles and joins suffix text"),   # verbatim inclusion
+            (11, "completely unrelated document about cooking pasta at home "
+                 "with fresh tomatoes and basil leaves"),
+            (12, "the secret benchmark question is mentioned only partially"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(corpus, "text", "doc_id", bench, "text",
+                         ngram_n=8).collect()}
+    assert out[10]["contaminated"] and out[10]["n_contaminated_ngrams"] >= 1
+    assert not out[11]["contaminated"] and out[11]["n_contaminated_ngrams"] == 0
+    assert not out[12]["contaminated"]  # shares < 8 consecutive words
+
+
+def test_pii_counts_and_redaction(spark):
+    from neurondb_spark.operators.corpus import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@sub.example.org or +1 (555) 123-4567"),
+            (2, "server at 192.168.0.17 responded"),
+            (3, "nothing sensitive here, just 3.14 and the number 42"),
+        ],
+        "doc_id long, text string",
+    )
+    cnts = pii_counts("text")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", cnts["email"].alias("e"), cnts["phone"].alias("p"),
+        cnts["ipv4"].alias("i"), redact_pii("text").alias("red"),
+    ).collect()}
+    assert (out[1]["e"], out[1]["p"]) == (1, 1)
+    assert out[2]["i"] == 1
+    assert (out[3]["e"], out[3]["p"], out[3]["i"]) == (0, 0, 0)
+    assert "jane" not in out[1]["red"] and "[PII]" in out[1]["red"]
+    assert "192.168" not in out[2]["red"]
+    assert out[3]["red"] == "nothing sensitive here, just 3.14 and the number 42"
+
+
+def test_lsh_drain_equals_stateful_and_batch(spark, docs):
+    """The foreachBatch incremental drain, the GroupState operator and
+    the batch operator must produce the same distinct pair set."""
+    from neurondb_spark.streaming.dedup import lsh_pairs_batch, lsh_pairs_drain
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text") \
+               .where(F.col("doc_id") <= 200)
+    root = tempfile.mkdtemp(prefix="neurondb_slshd_t_")
+    src = os.path.join(root, "docs")
+    base.repartition(4).write.mode("overwrite").parquet(src)
+    got = {(r["id_a"], r["id_b"]) for r in lsh_pairs_drain(
+        spark, src, schema, "text", "doc_id",
+        work_dir=os.path.join(root, "work"),
+    ).collect()}
+    want = {(r["id_a"], r["id_b"]) for r in lsh_pairs_batch(
+        spark.read.schema(schema).parquet(src), "text", "doc_id"
+    ).collect()}
+    assert got == want
+    # incremental: NEW files after the first drain only add new pairs
+    extra = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text") \
+                .where(F.col("doc_id") <= 1_000_050)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    got2 = {(r["id_a"], r["id_b"]) for r in lsh_pairs_drain(
+        spark, src, schema, "text", "doc_id",
+        work_dir=os.path.join(root, "work"),
+    ).collect()}
+    want2 = {(r["id_a"], r["id_b"]) for r in lsh_pairs_batch(
+        spark.read.schema(schema).parquet(src), "text", "doc_id"
+    ).collect()}
+    assert got2 == want2
+    assert got2 > got  # the planted near-dups (exact text copies) pair up

@@ -178,3 +178,45 @@ def test_from_assignment_layout_and_probe_override(spark, emb, qv):
         spark, qv, k=1000, probe_clusters=[0], tiebreak=["vec_id"]).collect()]
     routed = {r["vec_id"] for r in layout.where(F.col("cluster_id") == 0).collect()}
     assert set(only) == routed
+
+
+def test_rebalance_splits_oversized_lists(spark, emb, qv):
+    """rebalance(): oversized lists split into sub-lists, routing
+    centroids update atomically with the layout, full-probe stays exact,
+    and the centroid commit survives a reload."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_reb_"), "idx")
+    layout = emb.withColumn("cluster_id", (F.col("vec_id") % 2).cast("int"))
+    c0 = [float(x) for x in emb.where(F.col("vec_id") == 1).head()["embedding"]]
+    c1 = [float(x) for x in emb.where(F.col("vec_id") == 2).head()["embedding"]]
+    idx = IVFIndex.from_assignment(layout, "embedding", path, [c0, c1])
+    n = emb.count()
+    before = idx.statistics(spark)
+    assert before["max_list_size"] > n // 3
+
+    idx.rebalance(spark, max_list_size=n // 3)
+    after = idx.statistics(spark)
+    assert after["populated_lists"] > before["populated_lists"]
+    assert after["max_list_size"] < before["max_list_size"]
+    assert after["total_rows"] == n  # no row lost or duplicated
+    assert idx.meta["nlists"] == len(idx.centroids) == after["populated_lists"]
+
+    # full probe over the rebalanced layout is still exact
+    got = [
+        r["vec_id"]
+        for r in idx.search(
+            spark, qv, k=10, nprobe=idx.meta["nlists"], tiebreak=["vec_id"]
+        ).collect()
+    ]
+    assert got == _brute_ids(emb, qv, 10)
+
+    # the centroid list committed inside the data dir wins on reload
+    re = IVFIndex.load(path)
+    assert re.centroids == idx.centroids
+    assert re.meta["nlists"] == idx.meta["nlists"]
+
+    # idempotence: nothing left oversized -> no-op
+    sizes = after["max_list_size"]
+    idx.rebalance(spark, max_list_size=max(sizes, n // 3))
+    assert idx.statistics(spark)["populated_lists"] == after["populated_lists"]
