@@ -94,6 +94,84 @@ def stratified_mix(
     )
 
 
+def token_budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    text_col: str,
+    targets: dict[str, float],
+    token_budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Data mixing by TOKEN budget rather than document count — the form
+    an LLM training run actually specifies ("x billion tokens of web, y
+    of code"): keep-rate per stratum s is
+    min(1, targets[s]·token_budget / tokens_s), selection by the same
+    hash filter as :func:`stratified_mix`. Sampling is per-document, so
+    expected sampled token mass per stratum meets the target (documents
+    are exchangeable within a stratum under a hash-uniform filter).
+
+    Scale: one token-count aggregate (map-side combined sums of a pure
+    expression) broadcast back; selection is a pure map."""
+    from neurondb_spark.functions.text import token_count
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        schema=f"{strata_col} string, _share double",
+    )
+    toks = df.groupBy(strata_col).agg(
+        F.sum(token_count(text_col).cast("long")).alias("_tok")
+    )
+    rates = toks.join(tgt, strata_col, "inner").select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_share") * F.lit(float(token_budget)))
+            / F.col("_tok").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col, "inner")
+        .where(hash_uniform(id_col, seed) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def neardup_resolve(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """End-to-end near-duplicate RESOLUTION: candidate pairs (from any of
+    the dedup family's pair operators) → connected components → keep the
+    lowest id of each duplicate cluster, drop the rest. This is the
+    decision table a dedup pipeline actually applies — pair detection
+    alone leaves "which copy survives" unanswered (and pairs are not
+    transitive: A~B, B~C must collapse to ONE survivor even if A~C was
+    never emitted).
+
+    Returns (id, cluster_rep, keep) for EVERY input row: singletons are
+    their own rep and kept.
+
+    Scale: components of a near-dup graph are small and numerous —
+    min-label propagation converges in O(max component diameter)
+    join+min rounds (operators/graph.connected_components), each one
+    shuffle keyed by node."""
+    from neurondb_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_rep"),
+            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     text_col: str,
