@@ -125,25 +125,41 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
         "vector_variance_stddev", "video_frame_pixels",
         "zero_shot_classify",
     }),
+    # the 50 rows in CORRECTNESS_r06.json — all 50 hash-green (first
+    # perfect round; includes the stream_job_queue fix and both
+    # rows-only graduations ivf_knn_probe / pq_adc_topk).
+    6: frozenset({
+        "ann_batch_topk", "benchmark_decontaminate", "binary_metrics4",
+        "bm25_topk", "chunk_documents", "corpus_mix_sample",
+        "davies_bouldin", "detokenize_roundtrip", "embedding_neardup_pairs",
+        "fingerprint_dedup", "ivf_knn_full_probe", "ivf_knn_probe",
+        "ivf_rebalance_probe", "knn_braycurtis", "knn_canberra",
+        "knn_dice_sign", "knn_jaccard_sign", "knn_mahalanobis",
+        "knn_minkowski3", "lang_detect_counts", "linreg_closed_form",
+        "minhash_signatures", "ngram_jaccard_pairs", "pii_redaction_stats",
+        "pq_adc_topk", "recommend_content_based", "rerank_ensemble_borda",
+        "rerank_ensemble_weighted", "rollup_lineitem", "rrf_fusion",
+        "semi_anti_join", "set_ops_users", "similarity_histogram",
+        "simhash_neardup_pairs", "simhash_signatures", "sparse_vector_dot",
+        "stream_job_queue", "stream_lsh_neardup", "tenant_knn_search",
+        "text_stats", "trigram_lm_quality", "ts_ar1_forecast",
+        "ts_moving_stats", "ts_rolling_anomalies", "ts_seasonal_decompose",
+        "vec_join_threshold", "vec_route_counts", "vector_arith_ops",
+        "vector_casts", "zscore_outliers",
+    }),
 }
 
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # ERROR in r05 for the fourth consecutive round. Root cause finally
-    # identified (r5 judge): enqueue_jobs wrote the queue parquet through a
-    # schema-less createDataFrame(pandas) — with Arrow off (the gate's
-    # session state) pandas int32 inferred to LongType, and the read
-    # through JOB_SCHEMA's IntegerType killed the vectorized reader.
-    # Round 6 pins the explicit schema (streaming/queue.py enqueue_jobs);
-    # verified locally under a vanilla no-Arrow session.
-    "stream_job_queue",
-    # graduated from rows-only to hash-checked in round 6: the IVF
-    # partial probe now runs over a fixed-Lloyd layout with a
-    # fixed-point probe ranking, and the PQ codebook is trained by the
-    # oracle-replayable Lloyd trainer — both rewrites need a gate row.
-    "ivf_knn_probe", "pq_adc_topk",
+    # Round 7 rewrites: the three streaming gate rows grew a strict-mode
+    # (no batch-twin fallback) path per the r6 verdict, the HNSW search/
+    # insert DML paths changed (per-shard exactness retry, duplicate-node
+    # rejection, cached tombstone count), and IVF rebalance became
+    # partition-scoped. Re-verify each under the driver gate.
+    "stream_exact_dedup", "stream_lsh_neardup", "stream_sessionize",
+    "hnsw_insert_delete_knn", "ivf_rebalance_probe",
 })
 
 

@@ -271,10 +271,21 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # can wedge the streaming drain. Operator-level bugs (a broken
         # sessionize_stream) raise outside this catch and fail the gate —
         # the batch twin must not mask them (ADVICE r4).
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise  # sims verify the STREAMING path; no silent batch twin
         print(f"neurondb: stream_sessionize streaming drain failed, "
               f"using batch twin: {e}", file=sys.stderr)
         out = None
     if out is None:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise RuntimeError(
+                "neurondb: stream_sessionize streaming sink was empty "
+                "under NEURONDB_STRICT_STREAM=1 (wedged stream?)"
+            )
         out = sessionize_batch(ev)
     return out.select("user_id", "n_sessions", "max_session_events")
 

@@ -2,9 +2,12 @@
 
 ``ivf_knn_full_probe`` probes all lists → EXACT, oracle-checked against
 brute force (proves the partitioned layout + pruning machinery loses
-nothing). ``ivf_knn_probe`` uses nprobe=4/16 → approximate by design, so
-no SQL oracle exists (driver records rows-only; recall is asserted in
-tests/test_index.py instead)."""
+nothing). ``ivf_knn_probe`` (nprobe=4/16 partial probe) is ALSO under
+the hash gate since round 6: it runs over an oracle-replayable
+fixed-Lloyd layout with a fixed-point centroid ranking, and its DuckDB
+oracle replays training, routing, probe selection AND the pruned top-10
+as one SQL CTE chain (see ``_sql_ivf_probe`` below). Recall-vs-nprobe
+behavior is additionally asserted in tests/test_index.py."""
 
 from __future__ import annotations
 

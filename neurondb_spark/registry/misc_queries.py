@@ -213,10 +213,21 @@ def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not out.head(1):
             out = None
     except StreamingQueryException as e:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise  # sims verify the STREAMING path; no silent batch twin
         print(f"neurondb: stream_exact_dedup streaming drain failed, "
               f"using batch twin: {e}", file=sys.stderr)
         out = None
     if out is None:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise RuntimeError(
+                "neurondb: stream_exact_dedup streaming sink was empty "
+                "under NEURONDB_STRICT_STREAM=1 (wedged stream?)"
+            )
         out = dedup_batch(spark.read.schema(schema).parquet(src), "text", "doc_id")
     return out.select("fingerprint", "doc_id", "dup_count")
 
@@ -271,10 +282,21 @@ def _q_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not out.head(1):
             out = None
     except StreamingQueryException as e:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise  # sims verify the STREAMING path; no silent batch twin
         print(f"neurondb: stream_lsh_neardup streaming drain failed, "
               f"using batch twin: {e}", file=sys.stderr)
         out = None
     if out is None:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise RuntimeError(
+                "neurondb: stream_lsh_neardup streaming drain was empty "
+                "under NEURONDB_STRICT_STREAM=1 (wedged stream?)"
+            )
         out = lsh_pairs_batch(
             spark.read.schema(schema).parquet(src), "text", "doc_id"
         )
@@ -465,10 +487,21 @@ def _q_stream_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     except StreamingQueryException as e:
         # Infra-only fallback (see _q_stream_sessionize): operator bugs in
         # monitor_stream raise outside this catch and fail the gate.
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise  # sims verify the STREAMING path; no silent batch twin
         print(f"neurondb: stream_monitor streaming drain failed, "
               f"using batch twin: {e}", file=sys.stderr)
         agg = None
     if agg is None:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise RuntimeError(
+                "neurondb: stream_monitor streaming sink was empty "
+                "under NEURONDB_STRICT_STREAM=1 (wedged stream?)"
+            )
         df = spark.read.schema(schema).parquet(evdir)
         agg = (
             df.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))

@@ -178,6 +178,19 @@ def lsh_pairs_drain(
     pairs_dir = os.path.join(work_dir, "pairs")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        # Replay hygiene (r6 ADVICE): a crash mid-write leaves torn
+        # parquet under THIS batch's own batch_id=<id> dirs, and the
+        # membership read below globs every batch dir — including the
+        # torn one — which would wedge the replay. Pre-delete this
+        # batch's dirs so a failed previous attempt can never be read;
+        # mode("overwrite") then rewrites them, keeping exactly-once.
+        for d in (
+            os.path.join(pairs_dir, f"batch_id={batch_id}"),
+            os.path.join(members_dir, f"batch_id={batch_id}"),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
         new = banded_signature_rows(
             batch_df.select(F.col(id_col).cast("long").alias("_mid"), text_col),
             text_col, "_mid", num_hashes, bands, shingle_n,
@@ -192,7 +205,13 @@ def lsh_pairs_drain(
             .select(F.col("a._mid").alias("id_a"), F.col("b._mid").alias("id_b"))
         )
         pairs = nn
-        if os.path.isdir(members_dir):
+        # (isdir alone is not enough: after the pre-delete above, a
+        # first-batch replay can leave members_dir present but empty —
+        # reading it would fail on schema inference.)
+        have_members = os.path.isdir(members_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(members_dir)
+        )
+        if have_members:
             old = spark.read.parquet(members_dir)
             no = (
                 new.join(old, ["band", "bsig"])

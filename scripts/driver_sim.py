@@ -59,6 +59,11 @@ def value_hash(pdf) -> str:
 
 
 def main() -> None:
+    # Gate-integrity (round-6 verdict #1): in the sims, a streaming gate
+    # row must prove its STREAMING path — the batch-twin fallback becomes
+    # a hard raise. The real driver gate (which imports __spark_entry__
+    # directly) keeps the infra-only fallback for flaky-load resilience.
+    os.environ.setdefault("NEURONDB_STRICT_STREAM", "1")
     args = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = ("--vanilla" in sys.argv[1:]) or (
         os.environ.get("NEURONDB_SIM_VANILLA") == "1"

@@ -10,6 +10,10 @@
 # value bugs, vanilla catches conf-sensitivity (the stream_job_queue class).
 set -e
 cd "$(dirname "$0")/.."
+# Streaming gate rows must pass via their STREAMING path in the sims —
+# no silent batch-twin fallback (round-6 verdict item 1).
+NEURONDB_STRICT_STREAM=1
+export NEURONDB_STRICT_STREAM
 SF=${SPARK_GRAFT_SF_DIR_SMALL:-/root/testdata/sf0.01}
 if [ -n "$1" ]; then
   python scripts/driver_sim.py "$SF" "$1"

@@ -143,3 +143,114 @@ def test_search_overfetch_capped_with_retry(spark, emb, qv):
     idx.delete(spark, top)
     got = [r["vec_id"] for r in idx.search(spark, qv, k=k, ef_search=400).collect()]
     assert got == _brute_ids(emb, qv, k, exclude=top)
+
+
+def _shard_of(spark, emb, num_shards):
+    """vec_id -> shard exactly as the build computes it (Spark hash)."""
+    return {
+        r["vec_id"]: r["s"]
+        for r in emb.select(
+            "vec_id", F.pmod(F.hash(F.col("vec_id")), F.lit(num_shards)).alias("s")
+        ).collect()
+    }
+
+
+def test_one_shard_over_cap_tombstones_still_exact(spark, emb, qv):
+    """r6 ADVICE (high): tombstones CONCENTRATED in one shard beyond the
+    allowance must not silently drop live rows from the true top-k. The
+    old global `result.count() < k` retry never fired when the other
+    shard still supplied >= k live rows; the per-shard survivor check
+    retries exactly the starved shard."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_skew_"), "idx")
+    idx = HNSWIndex.build(
+        emb, "embedding", "vec_id", path,
+        num_shards=2, m=8, ef_construction=48, seed=7,
+    )
+    k = 3
+    cap = max(2 * k, 64)
+    shards = _shard_of(spark, emb, 2)
+    # tombstone the (cap + 6) nearest ids OF ONE SHARD ONLY — that
+    # shard's top-(k+cap) fetch is then all-dead while the other shard
+    # has zero tombstones and happily supplies k live rows.
+    ranked = _brute_ids(emb, qv, 400)
+    victim_shard = shards[ranked[0]]
+    dead = [v for v in ranked if shards[v] == victim_shard][: cap + 6]
+    assert len(dead) == cap + 6
+    idx.delete(spark, dead)
+    assert idx.meta["tomb_by_shard"] == {str(victim_shard): cap + 6}
+    got = [r["vec_id"] for r in idx.search(spark, qv, k=k, ef_search=500).collect()]
+    assert got == _brute_ids(emb, qv, k, exclude=dead)
+
+
+def test_reinsert_different_vector_replaces_node(spark, emb, qv):
+    """r6 ADVICE (medium): delete-then-reinsert must NOT leave two graph
+    nodes with the same vec_id — the reinserted vector wins, the stale
+    one is gone, and the id appears at most once in any top-k."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_upsert_"), "idx")
+    sub = emb.where(F.col("vec_id") < 40)
+    idx = HNSWIndex.build(sub, "embedding", "vec_id", path,
+                          num_shards=2, m=8, ef_construction=48, seed=7)
+    victim = _brute_ids(sub, qv, 1)[0]
+    idx.delete(spark, [victim])
+    # reinsert the id with a FAR-AWAY vector (original + 1000 on dim 0)
+    moved = sub.where(F.col("vec_id") == victim).select(
+        "vec_id",
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(1000.0)),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+    )
+    idx.insert(moved)
+    data = spark.read.parquet(os.path.join(path, "data"))
+    dupes = data.groupBy("vec_id").count().where(F.col("count") > 1)
+    assert dupes.isEmpty(), "duplicate graph nodes for one vec_id"
+    assert idx.meta["total_rows"] == 40
+    # the stored vector is the MOVED one, not the stale original
+    vrow = data.where(F.col("vec_id") == victim).head()
+    assert vrow["vector"][0] > 900.0
+    # the stale near vector is NOT resurrected: the old code kept the
+    # tombstoned near node alive, so victim came back at rank 0
+    got = [r["vec_id"] for r in idx.search(spark, qv, k=5, ef_search=200).collect()]
+    assert victim not in got
+    # and the rebuilt index is EXACTLY a fresh build of the final row
+    # set (the documented upsert semantics — determinism preserved)
+    final = sub.where(F.col("vec_id") != victim).unionByName(moved)
+    path2 = os.path.join(tempfile.mkdtemp(prefix="hnsw_upsert2_"), "idx")
+    HNSWIndex.build(final, "embedding", "vec_id", path2,
+                    num_shards=2, m=8, ef_construction=48, seed=7)
+    cols = ["shard", "node", "vec_id", "level", "is_entry", "adj"]
+    a = {tuple(r) for r in data.select(*cols).collect()}
+    b = {tuple(r) for r in spark.read.parquet(
+        os.path.join(path2, "data")).select(*cols).collect()}
+    assert a == b
+
+
+def test_search_runs_no_spark_job_with_cached_tomb_counts(spark, emb, qv):
+    """r6 verdict #3: with the per-shard tombstone counts cached in meta,
+    CONSTRUCTING a search must trigger zero Spark jobs (the old code ran
+    tomb.count() + result.count() per query)."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_nojob_"), "idx")
+    idx = HNSWIndex.build(
+        emb.where(F.col("vec_id") < 200), "embedding", "vec_id", path,
+        num_shards=2, m=8, ef_construction=48, seed=7,
+    )
+    idx.delete(spark, [1, 2, 3])  # refreshes the cache on the DML path
+    assert "tomb_by_shard" in idx.meta
+    sc = spark.sparkContext
+    sc.setJobGroup("hnsw_nojob_probe", "search construction must be lazy")
+    try:
+        df = idx.search(spark, qv, k=5, ef_search=64)
+        jobs = sc.statusTracker().getJobIdsForGroup("hnsw_nojob_probe")
+        assert list(jobs) == [], f"search construction ran Spark jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    got = [r["vec_id"] for r in df.collect()]
+    assert got == _brute_ids(
+        emb.where(F.col("vec_id") < 200), qv, 5, exclude=[1, 2, 3]
+    )
