@@ -211,7 +211,9 @@ def _ivf_rebalanced_for(spark: SparkSession, sf_dir: str) -> IVFIndex:
     if key in _ivf_reb_cache:
         return _ivf_reb_cache[key]
     tag = key.replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"neurondb_ivfreb_m150_{tag}")
+    # v2: partition-scoped journaled rebalance (r7) — new tag so a stale
+    # full-rewrite-era layout never satisfies this round's checks.
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_ivfreb2_m150_{tag}")
     if os.path.exists(os.path.join(path, "meta.json")):
         idx = IVFIndex.load(path)
     else:

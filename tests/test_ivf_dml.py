@@ -220,3 +220,79 @@ def test_rebalance_splits_oversized_lists(spark, emb, qv):
     sizes = after["max_list_size"]
     idx.rebalance(spark, max_list_size=max(sizes, n // 3))
     assert idx.statistics(spark)["populated_lists"] == after["populated_lists"]
+
+
+def test_rebalance_is_partition_scoped(spark, emb):
+    """r6 verdict #2: splitting one oversized list must NOT rewrite the
+    untouched lists — their cluster_id= directories stay byte-identical
+    (same file names and sizes) across the rebalance."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_rebp_"), "idx")
+    # one fat list (0) + three small ones
+    layout = emb.withColumn(
+        "cluster_id",
+        F.when(F.col("vec_id") < 300, F.lit(0))
+        .otherwise(1 + F.pmod(F.col("vec_id"), F.lit(3))).cast("int"),
+    )
+    cents = [
+        [float(x) for x in emb.where(F.col("vec_id") == i).head()["embedding"]]
+        for i in (1, 2, 3, 4)
+    ]
+    idx = IVFIndex.from_assignment(layout, "embedding", path, cents)
+
+    def _listing(cid):
+        d = os.path.join(path, "data", f"cluster_id={cid}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if not f.startswith(".")
+        )
+
+    before = {cid: _listing(cid) for cid in (1, 2, 3)}
+    n0 = idx.statistics(spark)["total_rows"]
+    idx.rebalance(spark, max_list_size=250)  # splits ONLY list 0
+    assert idx.meta["nlists"] == 5
+    after = {cid: _listing(cid) for cid in (1, 2, 3)}
+    assert before == after, "untouched list dirs were rewritten"
+    assert idx.statistics(spark)["total_rows"] == n0
+    assert not os.path.exists(os.path.join(path, "rebalance_commit.json"))
+    assert not os.path.exists(os.path.join(path, "data_tmp"))
+
+
+def test_rebalance_crash_after_journal_rolls_forward_on_load(spark, emb, qv, monkeypatch):
+    """The journal rename is the commit point: a crash right after it
+    (before any directory move) is repaired by load()'s idempotent
+    roll-forward — the reloaded index is fully consistent."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_rebc_"), "idx")
+    layout = emb.withColumn("cluster_id", (F.col("vec_id") % 2).cast("int"))
+    c0 = [float(x) for x in emb.where(F.col("vec_id") == 1).head()["embedding"]]
+    c1 = [float(x) for x in emb.where(F.col("vec_id") == 2).head()["embedding"]]
+    idx = IVFIndex.from_assignment(layout, "embedding", path, [c0, c1])
+    n = emb.count()
+
+    real = IVFIndex._apply_rebalance_commit
+
+    def crash(p):
+        if os.path.exists(os.path.join(p, "rebalance_commit.json")):
+            raise RuntimeError("simulated crash at commit point")
+        return real(p)
+
+    monkeypatch.setattr(IVFIndex, "_apply_rebalance_commit", staticmethod(crash))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.rebalance(spark, max_list_size=n // 3)
+    assert os.path.exists(os.path.join(path, "rebalance_commit.json"))
+    monkeypatch.setattr(IVFIndex, "_apply_rebalance_commit", staticmethod(real))
+
+    re = IVFIndex.load(path)  # roll-forward happens here
+    assert not os.path.exists(os.path.join(path, "rebalance_commit.json"))
+    assert not os.path.exists(os.path.join(path, "data_tmp"))
+    assert re.meta["nlists"] == len(re.centroids) > 2
+    got = [
+        r["vec_id"]
+        for r in re.search(
+            spark, qv, k=10, nprobe=re.meta["nlists"], tiebreak=["vec_id"]
+        ).collect()
+    ]
+    assert got == _brute_ids(emb, qv, 10)
