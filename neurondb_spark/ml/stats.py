@@ -316,13 +316,15 @@ def kmeans_lloyd_exact(
 
 def logreg_gd_exact(
     df: DataFrame, vec_col: str, y_col: str, id_col: str,
-    iters: int = 2, lr: float = 1.0,
+    iters: int = 2, lr: float = 1.0, return_score: bool = False,
 ) -> DataFrame:
     """Fixed-iteration batch gradient descent for logistic regression,
     cross-engine exact: zero init, mean gradient, and the rational
     'fast sigmoid' sigma(z) = 0.5 + 0.5*z/(1+|z|) — pure IEEE arithmetic,
     no libm exp() whose final-ulp differs between engines. Returns
-    (id, prediction) with prediction = [x.beta > 0].
+    (id, prediction) with prediction = [x.beta > 0]; with
+    ``return_score`` also the rational-sigmoid probability ``score``
+    (the quality-classifier output a pipeline thresholds).
 
     Scale: each iteration is one groupBy(pos) gradient reduction (64
     groups, map-side combined) plus one groupBy(id) dot product — the
@@ -363,6 +365,8 @@ def logreg_gd_exact(
         .groupBy(id_col)
         .agg(bsum(F.col("val") * F.col("b")).alias("z"))
     )
-    return z_final.select(
-        id_col, F.when(F.col("z") > 0, 1).otherwise(0).alias("prediction")
-    )
+    pred = F.when(F.col("z") > 0, 1).otherwise(0).alias("prediction")
+    if return_score:
+        score = (0.5 + 0.5 * F.col("z") / (1.0 + F.abs(F.col("z")))).alias("score")
+        return z_final.select(id_col, score, pred)
+    return z_final.select(id_col, pred)

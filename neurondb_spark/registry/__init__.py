@@ -160,6 +160,9 @@ FORCE_RECHECK = frozenset({
     # partition-scoped. Re-verify each under the driver gate.
     "stream_exact_dedup", "stream_lsh_neardup", "stream_sessionize",
     "hnsw_insert_delete_knn", "ivf_rebalance_probe",
+    # round 7 rewrite: the curation pipeline gained the trained
+    # quality-classifier stage (new avg_quality_prob column).
+    "corpus_curation_pipeline",
 })
 
 

@@ -268,9 +268,12 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation (north-star composition of the
     text-analysis + dedup family): language-ID → quality-score filter →
     exact fingerprint dedup (keep the lowest doc_id per fingerprint, one
-    combiner-heavy groupBy — no window) → per-language corpus stats with
-    a decimal-exact quality mean. Every stage is an oracle-proven
-    operator; this row proves they compose without drift."""
+    combiner-heavy groupBy — no window) → TRAINED quality-classifier
+    filter (r7: the fixed-GD logistic curated-vs-crawl model from
+    quality_classifier_scores, applied as a keep/drop stage with its
+    probability averaged into the stats) → per-language corpus stats
+    with decimal-exact means. Every stage is an oracle-proven operator;
+    this row proves they compose without drift."""
     from neurondb_spark.functions.aggregates import davg
     from neurondb_spark.functions.text import (
         detect_language,
@@ -278,6 +281,7 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
         token_count,
     )
+    from neurondb_spark.registry.text_pipeline import _q_quality_classifier
 
     docs = t(spark, sf_dir, "documents")
     scored = docs.select(
@@ -292,10 +296,17 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("doc_id", "lang_pred", "n_tok", "q")).alias("s"))
         .select("s.*")
     )
+    qc = _q_quality_classifier(spark, sf_dir)
+    kept = kept.join(
+        qc.where(F.col("prediction") == 1)
+        .select("doc_id", "quality_prob"),
+        "doc_id",
+    )
     return kept.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
         davg("q").alias("avg_quality"),
+        davg("quality_prob").alias("avg_quality_prob"),
     )
 
 
@@ -325,7 +336,10 @@ def _sql_curation_pipeline() -> str:
         f"(least({stop} / greatest({n_tok} * 0.05, 1.0), 1.0)) + "
         f"(CASE WHEN {n_tok} = 0.0 THEN 0.0 ELSE {uniq} / {n_tok} END)) / 4.0"
     )
-    return f"""WITH scored AS (
+    from neurondb_spark.registry.text_pipeline import _sql_qc_ctes
+
+    return f"""WITH {_sql_qc_ctes()},
+scored AS (
   SELECT doc_id,
          (CASE WHEN ({best}) > 0 THEN {lang_expr} ELSE 'unknown' END) AS lang_pred,
          {q} AS q,
@@ -334,13 +348,19 @@ def _sql_curation_pipeline() -> str:
   FROM documents),
 filt AS (SELECT * FROM scored WHERE q >= 0.5),
 kept AS (
-  SELECT fp, lang_pred, n_tok, q FROM (
+  SELECT doc_id, fp, lang_pred, n_tok, q FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-    FROM filt) WHERE rn = 1)
+    FROM filt) WHERE rn = 1),
+qckept AS (
+  SELECT k.lang_pred, k.n_tok, k.q,
+         0.5 + 0.5 * z2.z / (1.0 + abs(z2.z)) AS quality_prob
+  FROM kept k JOIN z2 ON k.doc_id = z2.doc_id
+  WHERE z2.z > 0)
 SELECT lang_pred, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       {O.davg('q')} AS avg_quality
-FROM kept GROUP BY lang_pred"""
+       {O.davg('q')} AS avg_quality,
+       {O.davg('quality_prob')} AS avg_quality_prob
+FROM qckept GROUP BY lang_pred"""
 
 
 QUERIES = {

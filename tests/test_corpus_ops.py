@@ -188,3 +188,20 @@ def test_lsh_drain_equals_stateful_and_batch(spark, docs):
     ).collect()}
     assert got2 == want2
     assert got2 > got  # the planted near-dups (exact text copies) pair up
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """The fixed-GD quality classifier (registry gate row) must actually
+    LEARN: on the mixed corpus (odd doc_ids vowel-stripped = 'crawl',
+    label 0) its predictions should recover the planted split."""
+    from neurondb_spark.registry.text_pipeline import _q_quality_classifier
+
+    rows = _q_quality_classifier(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    acc = sum(
+        1 for r in rows if r["prediction"] == (1 - r["doc_id"] % 2)
+    ) / len(rows)
+    assert acc >= 0.95, f"classifier failed to separate: acc={acc}"
+    probs = [r["quality_prob"] for r in rows]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    assert max(probs) - min(probs) > 0.2  # non-degenerate spread
