@@ -370,3 +370,69 @@ def logreg_gd_exact(
         score = (0.5 + 0.5 * F.col("z") / (1.0 + F.abs(F.col("z")))).alias("score")
         return z_final.select(id_col, score, pred)
     return z_final.select(id_col, pred)
+
+
+def als_exact(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    lam: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-alternation rank-2 ALS, cross-engine exact (the oracle-
+    gated twin of the MLlib `collaborative_filter` path, the same
+    relationship kmeans_fixed_lloyd has to MLlib KMeans; reference
+    src/ml/ml_recommender.c ALS): deterministic item-factor init
+    q_i = [1, (md5(item) mod 1000)/1000], then THREE closed-form ridge
+    solves (users → items → users). Rank 2 keeps every normal equation a
+    2x2 system with an explicit inverse — pure IEEE +,*,/ on bsum
+    (2^40 fixed-point, order-independent) aggregates, so a SQL oracle
+    replays the whole trainer bit-for-bit.
+
+    Returns (user_factors[user, p1, p2], item_factors[item, q1, q2]).
+
+    Scale: each solve is ONE groupBy over the ratings joined with the
+    (broadcastable) opposite-side factors — the standard data-parallel
+    ALS shape; factors never visit the driver."""
+    from neurondb_spark.functions.aggregates import bsum
+    from neurondb_spark.operators.dedup import _md5_long
+
+    lam = float(lam)
+    q = ratings.select(item_col).distinct().select(
+        item_col,
+        F.lit(1.0).alias("q1"),
+        ((_md5_long(F.col(item_col).cast("string")) % 1000) / 1000.0)
+        .alias("q2"),
+    )
+
+    def _solve(side_col, other, oc, f1, f2):
+        j = ratings.join(other, oc).select(
+            F.col(side_col).alias("_k"),
+            F.col(f1).alias("_f1"), F.col(f2).alias("_f2"),
+            F.col(rating_col).cast("double").alias("_r"),
+        )
+        a = j.groupBy("_k").agg(
+            bsum(F.col("_f1") * F.col("_f1")).alias("a11"),
+            bsum(F.col("_f1") * F.col("_f2")).alias("a12"),
+            bsum(F.col("_f2") * F.col("_f2")).alias("a22"),
+            bsum(F.col("_f1") * F.col("_r")).alias("b1"),
+            bsum(F.col("_f2") * F.col("_r")).alias("b2"),
+        )
+        det = (
+            (F.col("a11") + F.lit(lam)) * (F.col("a22") + F.lit(lam))
+            - F.col("a12") * F.col("a12")
+        )
+        return a.select(
+            F.col("_k").alias(side_col),
+            (((F.col("a22") + F.lit(lam)) * F.col("b1")
+              - F.col("a12") * F.col("b2")) / det).alias("p1"),
+            (((F.col("a11") + F.lit(lam)) * F.col("b2")
+              - F.col("a12") * F.col("b1")) / det).alias("p2"),
+        )
+
+    p = _solve(user_col, q, item_col, "q1", "q2")                 # users(1)
+    q = _solve(item_col, p, user_col, "p1", "p2").select(         # items(1)
+        item_col, F.col("p1").alias("q1"), F.col("p2").alias("q2")
+    )
+    p = _solve(user_col, q, item_col, "q1", "q2")                 # users(2)
+    return p, q

@@ -386,8 +386,89 @@ def _q_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_als_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-alternation ALS under the hash gate (r6 verdict
+    stretch #8 — the kmeans_fixed_lloyd playbook applied to ALS):
+    rank-2 factorization of the implicit (user, event_type) count
+    matrix with deterministic item init and three closed-form 2x2
+    ridge solves (ml/stats.als_exact), then top-3 recommendations per
+    user < 20 with (score DESC, item ASC) deterministic ranking. The
+    DuckDB oracle replays init + all three alternations + the ranking;
+    `als_recommend_topk` remains the rows-only MLlib production
+    path."""
+    from pyspark.sql.window import Window
+
+    from neurondb_spark.ml.stats import als_exact
+
+    ev = events(spark, sf_dir)
+    ratings = ev.groupBy(
+        "user_id", F.col("event_type").alias("item")
+    ).agg(F.count(F.lit(1)).cast("double").alias("rating"))
+    p, q = als_exact(ratings, "user_id", "item", "rating", lam=0.1)
+    sc = (
+        p.where(F.col("user_id") < 20)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "user_id", "item",
+            (F.col("p1") * F.col("q1") + F.col("p2") * F.col("q2"))
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("item").asc()
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item", "score")
+    )
+
+
+def _sql_als_exact() -> str:
+    lam = O.dlit(0.1)
+
+    def solve(tag, src, fac, key, f1, f2):
+        det = f"((a11 + {lam}) * (a22 + {lam}) - a12 * a12)"
+        return f"""{tag}a AS (
+  SELECT r.{key} AS k,
+         {O.bsum(f'q.{f1} * q.{f1}')} AS a11,
+         {O.bsum(f'q.{f1} * q.{f2}')} AS a12,
+         {O.bsum(f'q.{f2} * q.{f2}')} AS a22,
+         {O.bsum(f'q.{f1} * r.rating')} AS b1,
+         {O.bsum(f'q.{f2} * r.rating')} AS b2
+  FROM ratings r JOIN {fac} q ON r.{src} = q.{src}
+  GROUP BY r.{key}),
+{tag} AS (
+  SELECT k AS {key},
+         ((a22 + {lam}) * b1 - a12 * b2) / {det} AS p1,
+         ((a11 + {lam}) * b2 - a12 * b1) / {det} AS p2
+  FROM {tag}a)"""
+
+    return f"""WITH ratings AS (
+  SELECT user_id, event_type AS item, CAST(COUNT(*) AS DOUBLE) AS rating
+  FROM events GROUP BY user_id, event_type),
+q0 AS (
+  SELECT DISTINCT item, CAST(1.0 AS DOUBLE) AS q1,
+         CAST((CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) % 1000)
+              AS DOUBLE) / 1000.0 AS q2
+  FROM ratings),
+{solve('u1', 'item', 'q0', 'user_id', 'q1', 'q2')},
+i1x AS (SELECT user_id, p1 AS q1, p2 AS q2 FROM u1),
+{solve('i1', 'user_id', 'i1x', 'item', 'q1', 'q2')},
+i1f AS (SELECT item, p1 AS q1, p2 AS q2 FROM i1),
+{solve('u2', 'item', 'i1f', 'user_id', 'q1', 'q2')},
+sc AS (
+  SELECT p.user_id, i.item, p.p1 * i.q1 + p.p2 * i.q2 AS score
+  FROM u2 p CROSS JOIN i1f i WHERE p.user_id < 20)
+SELECT user_id, item, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY score DESC, item) AS rn
+  FROM sc) WHERE rn <= 3"""
+
+
 QUERIES = {
     "rls_quota_usage": (_q_rls_quota, _SQL_RLS_QUOTA),
+    "als_fixed_alternations": (_q_als_exact, _sql_als_exact()),
     "tier_cold_report": (_q_tier_cold, _sql_tier_cold()),
     "media_meta_stats": (_q_media_meta, _SQL_MEDIA_META),
     "video_frame_pixels": (_q_frame_pixels, _sql_frame_pixels()),

@@ -68,3 +68,37 @@ def test_logreg_gd_learns_planted_signal(spark):
     df = spark.createDataFrame(rows, "id long, v array<double>, y double")
     out = logreg_gd_exact(df, "v", "y", "id", iters=2, lr=1.0).collect()
     assert all(r["prediction"] == r["id"] % 2 for r in out)
+
+
+def test_als_exact_reconstructs_better_than_mean(spark):
+    """Fixed-alternation rank-2 ALS (ml/stats.als_exact): after three
+    ridge solves, p·q must reconstruct the ratings with lower SSE than
+    the global-mean baseline, and be fully deterministic."""
+    from neurondb_spark.ml.stats import als_exact
+
+    rows = [
+        (u, it, float(1 + ((u * 3 + hash_) % 5)))
+        for u in range(30)
+        for hash_, it in enumerate(["a", "b", "c", "d"])
+        if (u + hash_) % 3  # sparse-ish
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item string, rating double")
+    p, q = als_exact(df, "user_id", "item", "rating", lam=0.1)
+    rec = (
+        df.join(p, "user_id").join(q, "item")
+        .select(
+            "user_id", "item", "rating",
+            (F.col("p1") * F.col("q1") + F.col("p2") * F.col("q2"))
+            .alias("pred"),
+        )
+    )
+    mean = df.agg(F.avg("rating")).head()[0]
+    sse_model, sse_mean = rec.agg(
+        F.sum((F.col("rating") - F.col("pred")) ** 2),
+        F.sum((F.col("rating") - F.lit(mean)) ** 2),
+    ).head()
+    assert sse_model < sse_mean
+    # determinism: a second run is bit-identical
+    p2, q2 = als_exact(df, "user_id", "item", "rating", lam=0.1)
+    assert sorted(map(tuple, p.collect())) == sorted(map(tuple, p2.collect()))
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, q2.collect()))
