@@ -95,6 +95,11 @@ class IVFIndex:
             "dim": dim,
             "total_rows": total,
             "built_at": time.time(),
+            # cached layout schema: search reads with an explicit schema,
+            # skipping the per-query parquet footer/inference job
+            "data_schema": df.sparkSession.read.parquet(
+                os.path.join(path, "data")
+            ).schema.json(),
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"meta": meta, "centroids": centroids}, f)
@@ -130,6 +135,9 @@ class IVFIndex:
             "dim": dim,
             "total_rows": total,
             "built_at": time.time(),
+            "data_schema": df.sparkSession.read.parquet(
+                os.path.join(path, "data")
+            ).schema.json(),
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"meta": meta, "centroids": centroids}, f)
@@ -154,6 +162,18 @@ class IVFIndex:
         return IVFIndex(path, meta, centroids)
 
     # ------------------------------------------------------------ search
+
+    def _read_data(self, spark: SparkSession) -> DataFrame:
+        """Read the partitioned layout with the schema cached at build
+        time when available — the search hot path then launches zero
+        inference jobs (same discipline as HNSW search)."""
+        from pyspark.sql import types as T
+
+        p = os.path.join(self.path, "data")
+        sj = self.meta.get("data_schema")
+        if sj:
+            return spark.read.schema(T.StructType.fromJson(json.loads(sj))).parquet(p)
+        return spark.read.parquet(p)
 
     def _nearest_clusters(self, query: list[float], nprobe: int) -> list[int]:
         """Driver-side centroid ranking (centroids are tiny)."""
@@ -193,7 +213,7 @@ class IVFIndex:
                 nprobe = int(spark.conf.get("spark.neurondb.ivf.nprobe", "10"))
             nprobe = max(1, min(nprobe, self.meta["nlists"]))
             clusters = self._nearest_clusters(query, nprobe)
-        df = spark.read.parquet(os.path.join(self.path, "data"))
+        df = self._read_data(spark)
         pruned = df.where(F.col("cluster_id").isin(clusters))
         tomb = self._tombstones(spark)
         if tomb is not None:

@@ -89,6 +89,11 @@ class IVFPQIndex:
             "id_col": id_col, "metric": metric, "dim": dim,
             "nlists": nlists, "m": m, "k": k, "seed": seed,
             "total_rows": total, "built_at": time.time(),
+            # cached layout schema — search reads with it (no per-query
+            # footer/inference job), same discipline as IVF/HNSW
+            "data_schema": df.sparkSession.read.parquet(
+                os.path.join(path, "data")
+            ).schema.json(),
         }
         os.makedirs(path, exist_ok=True)
         cb.save(path)
@@ -115,7 +120,7 @@ class IVFPQIndex:
         m = self.meta
         helper = IVFIndex(self.path, m, self.centroids)
         clusters = helper._nearest_clusters(query, max(1, min(nprobe, m["nlists"])))
-        df = spark.read.parquet(os.path.join(self.path, "data"))
+        df = helper._read_data(spark)
         pruned = df.where(F.col("cluster_id").isin(clusters))
         cands = pq_search(
             pruned, self.codebook, "pq_codes", [float(x) for x in query],

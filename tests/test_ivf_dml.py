@@ -296,3 +296,24 @@ def test_rebalance_crash_after_journal_rolls_forward_on_load(spark, emb, qv, mon
         ).collect()
     ]
     assert got == _brute_ids(emb, qv, 10)
+
+
+def test_ivf_search_construction_runs_no_spark_job(spark, emb, qv):
+    """With the layout schema cached in meta (r7), constructing an IVF
+    search launches zero Spark jobs — no parquet inference, no counts."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_nojob_"), "idx")
+    idx = IVFIndex.build(
+        emb.select("vec_id", "embedding"), "embedding", path, nlists=8,
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf_nojob_probe", "search construction must be lazy")
+    try:
+        df = idx.search(spark, qv, k=5, nprobe=8)
+        jobs = sc.statusTracker().getJobIdsForGroup("ivf_nojob_probe")
+        assert list(jobs) == [], f"search construction ran Spark jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    got = [r["vec_id"] for r in df.collect()]
+    assert got == _brute_ids(emb, qv, 5)
