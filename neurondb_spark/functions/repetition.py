@@ -62,13 +62,54 @@ def repetition_filters(
 ) -> DataFrame:
     """Gopher-style repetition filter verdicts per document: top-bigram
     fraction, top-trigram fraction, duplicate-token fraction, and the
-    keep decision (ALL thresholds strictly respected)."""
-    t = F.col(text_col)
-    out = df.select(
-        F.col(id_col),
-        top_ngram_frac(t, 2).alias("top2_frac"),
-        top_ngram_frac(t, 3).alias("top3_frac"),
-        dup_token_frac(t).alias("dup_tok_frac"),
+    keep decision (ALL thresholds strictly respected).
+
+    Shape (r7 rework): explode + groupBy aggregations, NOT the per-row
+    higher-order-function primitives above. The HOF form is
+    O(grams x distinct_grams) per document and materializes a filtered
+    array per distinct gram — 25s at sf0.1 (and unbounded for a long
+    document), hidden until round 7 because bench's count() let Catalyst
+    prune the frac columns. The aggregation form is linear in total
+    grams (the same order as tokenization), shuffles on (doc, gram) with
+    map-side combine, and produces BIT-IDENTICAL values: max(count) /
+    sum(count) is the same exact-integer division, and the degenerate
+    empty-doc cases coalesce to the same 1.0. The Column primitives
+    remain for per-row composition on short fields."""
+    base = df.select(F.col(id_col).alias("_rid"), F.col(text_col).alias("_t"))
+
+    def _top(n: int, out: str) -> DataFrame:
+        g = base.select(
+            "_rid", F.explode(word_ngrams(F.col("_t"), n)).alias("_g")
+        )
+        c = g.groupBy("_rid", "_g").agg(F.count(F.lit(1)).alias("_c"))
+        return c.groupBy("_rid").agg(
+            (F.max("_c").cast("double") / F.sum("_c").cast("double"))
+            .alias(out)
+        )
+
+    toks = base.select(
+        "_rid", F.explode(tokenize(F.col("_t"))).alias("_tok")
+    )
+    dup = toks.groupBy("_rid").agg(
+        (
+            1.0
+            - F.count_distinct(F.col("_tok")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_tok_frac")
+    )
+    out = (
+        base.select("_rid")
+        .join(_top(2, "top2_frac"), "_rid", "left")
+        .join(_top(3, "top3_frac"), "_rid", "left")
+        .join(dup, "_rid", "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            F.coalesce("top2_frac", F.lit(1.0)).alias("top2_frac"),
+            F.coalesce("top3_frac", F.lit(1.0)).alias("top3_frac"),
+            # empty docs have zero token rows -> 1.0 (maximally
+            # repetitive), matching dup_token_frac's WHEN nt==0 branch
+            F.coalesce("dup_tok_frac", F.lit(1.0)).alias("dup_tok_frac"),
+        )
     )
     keep = (
         (F.col("top2_frac") < F.lit(float(max_top2)))

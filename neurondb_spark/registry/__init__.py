@@ -163,6 +163,10 @@ FORCE_RECHECK = frozenset({
     # round 7 rewrite: the curation pipeline gained the trained
     # quality-classifier stage (new avg_quality_prob column).
     "corpus_curation_pipeline",
+    # round 7 rewrite: repetition_filters moved from per-row
+    # higher-order-function fracs to the linear explode+groupBy shape
+    # (bit-identical values; re-verify under the gate anyway).
+    "repetition_quality_filters",
 })
 
 

@@ -794,7 +794,12 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.col("text"), "[aeiou]", ""),
         ).otherwise(F.col("text")).alias("text"),
         (1.0 - (F.col("doc_id") % 2)).cast("double").alias("y"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize the mixed text once: substituting the CASE/regexp
+    # expression into every nested lambda of the n-gram features pushes
+    # the generated code past the 64 KB codegen limit (interpreted mode,
+    # 25s at sf0.1); against the plain materialized column the same
+    # features cost ~0.3s.
     from neurondb_spark.functions.aggregates import davg
 
     tri = trigram_lm_scores(docs, "text", "doc_id").select(
@@ -816,6 +821,12 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(rep, "doc_id").join(tri, "doc_id")
         .select("doc_id", "y", "f_len", "f_alpha", "top2_frac",
                 "top3_frac", "dup_tok_frac", "mean_tri_prob")
+        # materialize: the GD loop references the feature frame ~6 times
+        # across iterations, and without truncating the lineage every
+        # reference re-executes the trigram-LM explode + feature build
+        # (110s at sf0.1 vs ~4s with the one-time materialization; the
+        # frame is one slim row per doc)
+        .localCheckpoint(eager=True)
     )
     # Standardize the features (decimal-exact corpus means/variances,
     # IEEE-exact sqrt — identical in both engines): batch GD from zero
@@ -844,7 +855,7 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array(F.lit(1.0), *[_std(c) for c in names]).alias("f"),
         F.col("y"),
-    )
+    ).localCheckpoint(eager=True)  # same: one slim row per doc
     out = logreg_gd_exact(
         feats, "f", "y", "doc_id", iters=2, lr=1.0, return_score=True
     )

@@ -1,6 +1,7 @@
 """IVF index DML lifecycle: append-insert, tombstone delete, vacuum
 (index/ivf.py; reference ivf_am.c aminsert + dead-tuple VACUUM)."""
 
+import json
 import os
 import sys
 import tempfile
@@ -317,3 +318,80 @@ def test_ivf_search_construction_runs_no_spark_job(spark, emb, qv):
         sc.setLocalProperty("spark.jobGroup.id", None)
     got = [r["vec_id"] for r in df.collect()]
     assert got == _brute_ids(emb, qv, 5)
+
+
+def test_rebalance_crash_mid_move_rolls_forward(spark, emb, qv, monkeypatch):
+    """Crash AFTER the journal and after only PART of the directory
+    moves: the roll-forward's existence checks must finish the commit
+    from any intermediate state."""
+    import shutil
+
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_rebm_"), "idx")
+    layout = emb.withColumn("cluster_id", (F.col("vec_id") % 2).cast("int"))
+    c0 = [float(x) for x in emb.where(F.col("vec_id") == 1).head()["embedding"]]
+    c1 = [float(x) for x in emb.where(F.col("vec_id") == 2).head()["embedding"]]
+    idx = IVFIndex.from_assignment(layout, "embedding", path, [c0, c1])
+    n = emb.count()
+
+    real = IVFIndex._apply_rebalance_commit
+
+    def crash(p):
+        if os.path.exists(os.path.join(p, "rebalance_commit.json")):
+            raise RuntimeError("simulated crash")
+        return real(p)
+
+    monkeypatch.setattr(IVFIndex, "_apply_rebalance_commit", staticmethod(crash))
+    with pytest.raises(RuntimeError):
+        idx.rebalance(spark, max_list_size=n // 3)
+    monkeypatch.setattr(IVFIndex, "_apply_rebalance_commit", staticmethod(real))
+
+    # hand-apply PART of the commit: stage parent 0 away and move its
+    # replacement in, leaving the new-id dir and centroids unapplied —
+    # exactly the state a crash between renames leaves behind
+    with open(os.path.join(path, "rebalance_commit.json")) as f:
+        splits = json.load(f)["splits"]
+    cid, _new_id = splits[0]
+    trash = os.path.join(path, "rebalance_trash")
+    os.makedirs(trash, exist_ok=True)
+    os.rename(os.path.join(path, "data", f"cluster_id={cid}"),
+              os.path.join(trash, f"cluster_id={cid}"))
+    os.rename(os.path.join(path, "data_tmp", f"cluster_id={cid}"),
+              os.path.join(path, "data", f"cluster_id={cid}"))
+
+    re = IVFIndex.load(path)  # finishes the remaining moves
+    assert not os.path.exists(os.path.join(path, "rebalance_commit.json"))
+    assert re.meta["nlists"] == len(re.centroids) > 2
+    got = [
+        r["vec_id"]
+        for r in re.search(
+            spark, qv, k=10, nprobe=re.meta["nlists"], tiebreak=["vec_id"]
+        ).collect()
+    ]
+    assert got == _brute_ids(emb, qv, 10)
+    # no rows lost or duplicated anywhere
+    assert spark.read.parquet(os.path.join(path, "data")).count() == n
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_rebalance_splits_multiple_lists_at_once(spark, emb, qv):
+    """Two oversized lists in one rebalance: both split, both new
+    centroids appended, full probe exact."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_reb2_"), "idx")
+    layout = emb.withColumn("cluster_id", (F.col("vec_id") % 2).cast("int"))
+    c0 = [float(x) for x in emb.where(F.col("vec_id") == 1).head()["embedding"]]
+    c1 = [float(x) for x in emb.where(F.col("vec_id") == 2).head()["embedding"]]
+    idx = IVFIndex.from_assignment(layout, "embedding", path, [c0, c1])
+    n = emb.count()
+    idx.rebalance(spark, max_list_size=n // 4)  # both halves oversized
+    assert idx.meta["nlists"] >= 4
+    got = [
+        r["vec_id"]
+        for r in idx.search(
+            spark, qv, k=10, nprobe=idx.meta["nlists"], tiebreak=["vec_id"]
+        ).collect()
+    ]
+    assert got == _brute_ids(emb, qv, 10)
