@@ -306,6 +306,108 @@ WHERE a2.cluster IN (SELECT cluster FROM probed)
 ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
 
 
+_BATCH_KNN_Q, _BATCH_KNN_K = 5, 3
+
+
+def _q_ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN as a query-routed cluster JOIN — the shape that scales
+    a million concurrent queries where per-query partition pruning
+    cannot: route EVERY query to its nprobe nearest lists in one plan
+    (explode queries → join the tiny centroid table → fixed-point
+    ranked top-nprobe per query, no driver round-trip), then join
+    (qid, cluster_id) against the partitioned layout so all queries
+    share ONE pruned scan, and take per-query exact top-k inside the
+    probed candidates. Complements `ann_batch_topk` (the brute-force
+    kNN-join baseline) the way `ivf_knn_probe` complements `knn_l2`.
+    The fixed-Lloyd layout + bsum routing make the whole thing
+    oracle-replayable: training, per-query probe selection, and every
+    pruned top-k are hash-checked. 100 TB: probes is |Q|·nprobe rows
+    (broadcast), the scan reads only the union of probed lists, and the
+    per-query top-k is a window over ≤ |Q|·(corpus·nprobe/nlists)
+    candidates — no all-pairs term."""
+    from pyspark.sql.window import Window
+
+    from neurondb_spark.functions.aggregates import bsum
+    from neurondb_spark.functions.distance import l2_distance
+
+    idx = _ivf_lloyd_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= _BATCH_KNN_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    crows = [
+        (ci, p + 1, float(v))
+        for ci, c in enumerate(idx.centroids) for p, v in enumerate(c)
+    ]
+    cdf = spark.createDataFrame(
+        crows, schema="cluster int, pos int, cval double"
+    )
+    qpos = queries.select(
+        "qid",
+        F.posexplode(F.col("qvec").cast("array<double>")).alias("_p0", "qval"),
+    ).select("qid", (F.col("_p0") + 1).cast("int").alias("pos"), "qval")
+    pd_ = (
+        qpos.join(F.broadcast(cdf), "pos")
+        .groupBy("qid", "cluster")
+        .agg(bsum((F.col("cval") - F.col("qval"))
+                  * (F.col("cval") - F.col("qval"))).alias("pd"))
+    )
+    wprobe = Window.partitionBy("qid").orderBy(
+        F.col("pd").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        pd_.withColumn("_rn", F.row_number().over(wprobe))
+        .where(F.col("_rn") <= _LLOYD_NPROBE)
+        .select("qid", F.col("cluster").alias("cluster_id"))
+    )
+    cands = (
+        idx._read_data(spark)
+        .join(F.broadcast(probes), "cluster_id")
+        .join(F.broadcast(queries), "qid")
+    )
+    d = l2_distance("embedding", "qvec", dim=COMPILE_DIM, checked=False)
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.withColumn("distance", d)
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _BATCH_KNN_K)
+        .select("qid", "vec_id", "distance", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _sql_ivf_batch_knn() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    pd_ = O.bsum("(c.cval - qp.qval) * (c.cval - qp.qval)")
+    return f"""WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id <= {_BATCH_KNN_Q}),
+{_lloyd_ctes(_LLOYD_K)},
+qpos AS (
+  SELECT qid, CAST(generate_subscripts(qe, 1) AS INTEGER) AS pos,
+         CAST(unnest(qe) AS DOUBLE) AS qval
+  FROM qs),
+probe_d AS (
+  SELECT qp.qid, c.cluster, {pd_} AS pd
+  FROM c1 c JOIN qpos qp ON c.pos = qp.pos
+  GROUP BY qp.qid, c.cluster),
+probes AS (
+  SELECT qid, cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY pd ASC, cluster ASC) AS rn
+    FROM probe_d) WHERE rn <= {_LLOYD_NPROBE})
+SELECT qid, vec_id, distance, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT p.qid, e.vec_id, {d} AS distance,
+         ROW_NUMBER() OVER (PARTITION BY p.qid
+                            ORDER BY {d} ASC, e.vec_id ASC) AS rn
+  FROM probes p
+  JOIN a2 ON a2.cluster = p.cluster
+  JOIN embeddings e ON e.vec_id = a2.vec_id
+  JOIN qs q ON q.qid = p.qid)
+WHERE rn <= {_BATCH_KNN_K}"""
+
+
 _tenant_cache: dict[str, "object"] = {}
 
 
@@ -917,6 +1019,7 @@ QUERIES = {
     "ivf_insert_delete_probe": (_q_ivf_dml, _sql_ivf_dml()),
     "ivf_rebalance_probe": (_q_ivf_rebalance, _sql_ivf_full()),
     "ivf_knn_probe": (_q_ivf_probe, _sql_ivf_probe()),
+    "ivf_batch_knn": (_q_ivf_batch_knn, _sql_ivf_batch_knn()),
     "tenant_knn_search": (_q_tenant, _sql_tenant()),
     "temporal_knn_decay": (_q_temporal, _sql_temporal()),
     "hybrid_index_search": (_q_hybrid_index, _sql_hybrid_index()),

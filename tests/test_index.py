@@ -77,3 +77,34 @@ def test_lsh_partial_probe_recall(spark):
         want = knn(emb, "embedding", q, k=10, metric="cosine", dim=DIM, tiebreak=["vec_id"])
         want_ids = {r["vec_id"] for r in want.collect()}
         assert len(got_ids & want_ids) / 10 >= 0.3
+
+
+def test_ivf_batch_knn_matches_per_query_probe(spark):
+    """The batch query-routed cluster join must return, for every qid,
+    exactly what the single-query fixed-point probe path returns."""
+    from neurondb_spark.registry.index_queries import (
+        _BATCH_KNN_K,
+        _LLOYD_NPROBE,
+        _ivf_lloyd_index_for,
+        _probe_clusters_fixed,
+        _q_ivf_batch_knn,
+    )
+
+    batch = {}
+    for r in _q_ivf_batch_knn(spark, SF_DIR).collect():
+        batch.setdefault(r["qid"], []).append((r["rn"], r["vec_id"]))
+    assert set(batch) == {0, 1, 2, 3, 4, 5}  # vec_id <= 5, ids start at 0
+    idx = _ivf_lloyd_index_for(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for qid in sorted(batch):
+        q = [float(x) for x in
+             emb.where(F.col("vec_id") == qid).head()["embedding"]]
+        probed = _probe_clusters_fixed(spark, idx.centroids, q, _LLOYD_NPROBE)
+        single = [
+            r["vec_id"]
+            for r in idx.search(
+                spark, q, k=_BATCH_KNN_K, probe_clusters=probed,
+                tiebreak=["vec_id"],
+            ).collect()
+        ]
+        assert [v for _, v in sorted(batch[qid])] == single, qid
