@@ -259,6 +259,13 @@ _CAND_SCHEMA = T.StructType([
     T.StructField("distance", T.DoubleType()),
 ])
 
+_BCAND_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("qid", T.LongType()),
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("distance", T.DoubleType()),
+])
+
 
 def _search_shard(pdf: pd.DataFrame, query: np.ndarray, k: int,
                   ef_search: int, metric: str) -> pd.DataFrame:
@@ -430,6 +437,106 @@ class HNSWIndex:
         return out.orderBy(
             F.col(dist_col).asc(), F.col("vec_id").asc()
         ).limit(k)
+
+    def search_batch(
+        self,
+        spark: SparkSession,
+        queries,
+        k: int = 10,
+        ef_search: int = 64,
+        dist_col: str = "distance",
+    ) -> DataFrame:
+        """Batch search: ONE applyInPandas pass answers EVERY query
+        against each shard's graph, amortizing the per-task dominant
+        cost (adjacency reconstruction) across the whole batch instead
+        of paying it per query — the shape that serves a large offline
+        query set at scale. ``queries`` is a list of (qid, vector) pairs
+        or a small DataFrame with (qid, vector) columns; the batch is
+        broadcast into every shard task (bounded by contract — it is
+        the small side). Tombstone handling matches :meth:`search`:
+        per-shard cached-count over-fetch, capped, with a targeted
+        retry of shards starved below k live candidates for ANY query.
+        Returns (qid, vec_id, dist_col) with per-query exact-within-
+        graph top-k, (distance, vec_id) deterministic order."""
+        from pyspark.sql.window import Window
+
+        if isinstance(queries, DataFrame):
+            qrows = [(int(r[0]), r[1]) for r in queries.collect()]
+        else:
+            qrows = [(int(a), v) for a, v in queries]
+        qs = [
+            (qid, np.array([float(x) for x in vec], dtype=np.float64))
+            for qid, vec in qrows
+        ]
+        k = int(k)
+        ef, met = int(ef_search), self.meta["metric"]
+        tomb = self._tombstones(spark)
+        by_shard: dict[int, int] = {}
+        if tomb is not None:
+            cached = self.meta.get("tomb_by_shard")
+            if cached is None:
+                self._refresh_tomb_meta(spark)
+                cached = self.meta.get("tomb_by_shard") or {}
+            by_shard = {int(s): int(n) for s, n in cached.items()}
+        df = spark.read.schema(_GRAPH_SCHEMA).parquet(
+            os.path.join(self.path, "data")
+        )
+        cap = max(2 * k, 64)
+
+        def _run(kk_by_shard: dict[int, int]) -> DataFrame:
+            def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+                g = _graph_from_rows(pdf, met)
+                shard = int(pdf["shard"].iloc[0])
+                kk = kk_by_shard.get(shard, k)
+                out = {"shard": [], "qid": [], "vec_id": [], "distance": []}
+                for qid, q in qs:  # ONE graph rebuild for all queries
+                    ep = [g.entry]
+                    for lay in range(int(g.levels[g.entry]), 0, -1):
+                        ep = [g._search_layer(q, ep, 1, lay)[0][1]]
+                    found = g._search_layer(q, ep, max(ef, kk), 0)[:kk]
+                    for d_, i in found:
+                        out["shard"].append(shard)
+                        out["qid"].append(qid)
+                        out["vec_id"].append(int(g.ids[i]))
+                        out["distance"].append(float(d_))
+                return pd.DataFrame({
+                    "shard": np.array(out["shard"], dtype=np.int32),
+                    "qid": np.array(out["qid"], dtype=np.int64),
+                    "vec_id": np.array(out["vec_id"], dtype=np.int64),
+                    "distance": np.array(out["distance"], dtype=np.float64),
+                })
+
+            cands = df.groupBy("shard").applyInPandas(_search, _BCAND_SCHEMA)
+            if tomb is not None:
+                cands = cands.join(tomb, "vec_id", "left_anti")
+            return cands
+
+        kk0 = {s: k + min(n, cap) for s, n in by_shard.items()}
+        cands = _run(kk0)
+        over_cap = sorted(s for s, n in by_shard.items() if n > cap)
+        if over_cap:
+            cands = cands.localCheckpoint(eager=True)
+            live = {
+                (r["shard"], r["qid"]): r["n"]
+                for r in cands.groupBy("shard", "qid")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            deficient = sorted({
+                s for s in over_cap
+                for qid, _ in qs if live.get((s, qid), 0) < k
+            })
+            if deficient:
+                kk1 = dict(kk0)
+                kk1.update({s: k + by_shard[s] for s in deficient})
+                cands = _run(kk1)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("distance").asc(), F.col("vec_id").asc()
+        )
+        return (
+            cands.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("qid", "vec_id", F.col("distance").alias(dist_col))
+        )
 
     def insert(self, df_new: DataFrame) -> "HNSWIndex":
         """Incremental insert (ml_hnsw_insert, hnsw_am.c:1546-1650): new

@@ -850,6 +850,60 @@ FROM embeddings e CROSS JOIN q
 ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
 
 
+def _q_hnsw_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sharded-HNSW search (HNSWIndex.search_batch): one
+    applyInPandas pass answers every query against each shard's graph —
+    adjacency reconstruction, the per-task dominant cost, is paid once
+    per shard for the WHOLE batch. At exhaustive ef the per-query beam
+    visits every reachable node, so each query's result is exact top-k
+    and the brute-force-per-query oracle checks the batch plumbing
+    end-to-end (merge, per-query ranking, dedup across shards).
+    Survivor distances are recomputed with the engine's exact
+    expression (`_q_hnsw_full`'s parity pattern — numpy's pairwise sums
+    aren't bit-identical to the oracle's fold; the graph determines the
+    candidate SET)."""
+    from pyspark.sql.window import Window
+
+    from neurondb_spark.functions.distance import l2_distance
+
+    idx = _hnsw_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= _BATCH_KNN_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    n = idx.meta["total_rows"]
+    hits = idx.search_batch(
+        spark, queries, k=_BATCH_KNN_K, ef_search=int(n)
+    ).select("qid", "vec_id")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.join(hits, "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid", "vec_id",
+            l2_distance("embedding", "qvec", dim=COMPILE_DIM, checked=False)
+            .alias("distance"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select("qid", "vec_id", "distance", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _sql_hnsw_batch_knn() -> str:
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id <= {_BATCH_KNN_Q})
+SELECT qid, vec_id, distance, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT q.qid, e.vec_id, {d} AS distance,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY {d} ASC, e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN qs q)
+WHERE rn <= {_BATCH_KNN_K}"""
+
+
 _hnsw_dml_cache: dict[str, "object"] = {}
 
 
@@ -1020,6 +1074,7 @@ QUERIES = {
     "ivf_rebalance_probe": (_q_ivf_rebalance, _sql_ivf_full()),
     "ivf_knn_probe": (_q_ivf_probe, _sql_ivf_probe()),
     "ivf_batch_knn": (_q_ivf_batch_knn, _sql_ivf_batch_knn()),
+    "hnsw_batch_knn": (_q_hnsw_batch_knn, _sql_hnsw_batch_knn()),
     "tenant_knn_search": (_q_tenant, _sql_tenant()),
     "temporal_knn_decay": (_q_temporal, _sql_temporal()),
     "hybrid_index_search": (_q_hybrid_index, _sql_hybrid_index()),

@@ -120,3 +120,38 @@ def test_engine_routing(spark, emb):
     # by lying about size, then check results against brute force
     out = eng.knn(emb, "embedding", q, k=5, index="h1")
     assert out.count() == 5  # catalog rows < threshold → exact path, fine
+
+
+def test_search_batch_matches_single_searches(spark):
+    """search_batch must return per query exactly what search() returns,
+    including under tombstones (same per-shard over-fetch machinery)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from neurondb_spark.index.hnsw import HNSWIndex
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_batch_"), "idx")
+    idx = HNSWIndex.build(emb, "embedding", "vec_id", path,
+                          num_shards=2, m=8, ef_construction=48, seed=7)
+    idx.delete(spark, [3, 7, 11])
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(2, 5, 9)).collect()
+    ]
+    got = {}
+    for r in idx.search_batch(spark, qrows, k=5, ef_search=128).collect():
+        got.setdefault(r["qid"], []).append((r["distance"], r["vec_id"]))
+    assert set(got) == {2, 5, 9}
+    for qid, vec in qrows:
+        single = [
+            (r["distance"], r["vec_id"])
+            for r in idx.search(spark, vec, k=5, ef_search=128).collect()
+        ]
+        assert sorted(got[qid]) == single, qid
+        assert not {3, 7, 11} & {v for _, v in got[qid]}
