@@ -617,3 +617,43 @@ def substring_dup_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    window: int = 20,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document exact-substring PAIRS: (id_a, id_b, n_shared)
+    where n_shared counts the distinct winnowing fingerprint hashes the
+    two documents have in common — every shared count >= 1 certifies a
+    shared substring of length >= k (and the winnowing guarantee makes
+    any shared span >= window+k-1 certain to appear). The decision
+    table suffix-array dedup produces, as a bucketed join.
+
+    ``max_df`` is the stop-hash cap (the `ngram_jaccard_pairs`
+    discipline, operators/dedup.py:141): fingerprints present in more
+    than max_df documents are boilerplate and are dropped BEFORE the
+    bucket self-join, bounding every bucket — the candidate volume is
+    Σ df(h)² over surviving hashes, never a corpus self-join."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    fh = fps.select(F.col(id_col), "fp_hash").distinct()
+    if max_df is not None:
+        kept = (
+            fh.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= int(max_df))
+            .select("fp_hash")
+        )
+        fh = fh.join(kept, "fp_hash", "left_semi")
+    a = fh.select("fp_hash", F.col(id_col).alias("id_a"))
+    b = fh.select("fp_hash", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -725,9 +725,12 @@ def _q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_stats(docs, "text", "doc_id", k=8, window=10)
 
 
-def _sql_substring_dup() -> str:
+def _sql_winnow_ctes() -> str:
+    """The winnowing-fingerprint oracle as reusable CTEs ending at
+    ``fps (doc_id, fp_pos, fp_hash)`` — shared by the stats and pairs
+    gate rows (k=8, window=10)."""
     h = "CAST(('0x' || substr(md5(substr(text, CAST(p AS INT), 8)), 1, 15)) AS BIGINT)"
-    return f"""WITH pos AS (
+    return f"""pos AS (
   SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text,
          GREATEST(length(d.text) - 7, 1) AS np,
          unnest(generate_series(1, GREATEST(length(d.text) - 7, 1))) AS p
@@ -750,7 +753,11 @@ def _sql_substring_dup() -> str:
   GROUP BY s.doc_id, s.w, s.minh
 ), fps AS (
   SELECT DISTINCT doc_id, fp_pos, minh AS fp_hash FROM sel0
-), shared AS (
+)"""
+
+
+def _sql_substring_dup() -> str:
+    return f"""WITH {_sql_winnow_ctes()}, shared AS (
   SELECT fp_hash FROM fps GROUP BY fp_hash
   HAVING COUNT(DISTINCT doc_id) >= 2
 ), dup AS (
@@ -764,6 +771,37 @@ SELECT t.doc_id, CAST(t.n_fp AS BIGINT) AS n_fp,
        CAST(COALESCE(d.n_dup_fp, 0) AS DOUBLE) / CAST(t.n_fp AS DOUBLE)
          AS dup_ratio
 FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id"""
+
+
+_SSP_MAX_DF = 20
+
+
+def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate PAIRS (operators/dedup.
+    substring_dup_pairs): documents sharing >= 1 winnowing fingerprint,
+    with the shared-hash count — the pair decision table of
+    suffix-array dedup, as a max_df-bounded bucket join (hashes in more
+    than 20 docs are boilerplate, dropped before pairing)."""
+    from neurondb_spark.operators.dedup import substring_dup_pairs
+
+    docs = tp(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return substring_dup_pairs(
+        docs, "text", "doc_id", k=8, window=10, max_df=_SSP_MAX_DF
+    )
+
+
+def _sql_substring_pairs() -> str:
+    return f"""WITH {_sql_winnow_ctes()},
+fh AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+kept AS (SELECT fp_hash FROM fh GROUP BY fp_hash
+         HAVING COUNT(*) <= {_SSP_MAX_DF})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fh a JOIN fh b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+WHERE a.fp_hash IN (SELECT fp_hash FROM kept)
+GROUP BY a.doc_id, b.doc_id"""
 
 
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,6 +1024,7 @@ FROM z2"""
 QUERIES = {
     "text_stats": (_q_text_stats, _sql_text_stats()),
     "substring_dup_stats": (_q_substring_dup, _sql_substring_dup()),
+    "substring_dup_pairs": (_q_substring_pairs, _sql_substring_pairs()),
     "quality_classifier_scores": (_q_quality_classifier,
                                   _sql_quality_classifier()),
     "nlp_sentiment_classify": (_q_nlp_classify, _sql_nlp_classify()),

@@ -82,3 +82,32 @@ def test_substring_dup_stats_flags_cross_doc_spans(spark):
     for doc_id, (n_fp, n_dup, ratio) in stats.items():
         assert 0 <= n_dup <= n_fp
         assert ratio == pytest.approx(n_dup / n_fp)
+
+
+def test_substring_dup_pairs_and_max_df_cap(spark):
+    from neurondb_spark.operators.dedup import substring_dup_pairs
+
+    df = spark.createDataFrame(CORPUS, SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_dup_pairs(df, "text", "doc_id", k=5, window=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1  # the planted shared span
+    assert all(3 not in p and 4 not in p for p in pairs)
+    # a boilerplate hash present in >max_df docs is dropped before pairing
+    # tails are runs of distinct letters so no two boiler docs share any
+    # k>=5 substring OUTSIDE the boilerplate itself
+    boiler = [
+        (i, f"{'abcdef'[i - 10] * 6} SHARED BOILERPLATE STRING {'uvwxyz'[i - 10] * 6}")
+        for i in range(10, 16)
+    ]
+    df2 = spark.createDataFrame(CORPUS + boiler, SCHEMA)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in substring_dup_pairs(
+            df2, "text", "doc_id", k=5, window=4, max_df=3
+        ).collect()
+    }
+    boiler_pairs = {p for p in capped if p[0] >= 10 and p[1] >= 10}
+    assert not boiler_pairs, "boilerplate bucket should be capped away"
+    assert (1, 2) in capped  # low-df pairs survive the cap
