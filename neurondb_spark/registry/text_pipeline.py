@@ -775,6 +775,13 @@ FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id"""
 
 _SSP_MAX_DF = 20
 
+# Trained-model cache (the CREATE INDEX / train-once discipline the
+# index caches follow): the classifier's scored frame per sf_dir, so
+# the curation pipeline's classifier stage reuses the training run
+# instead of re-fitting. localCheckpointed — survives catalog
+# clearCache; per-process sessions (sims/bench/pytest) make it safe.
+_qc_cache: dict[str, DataFrame] = {}
+
 
 def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate PAIRS (operators/dedup.
@@ -825,6 +832,9 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neurondb_spark.ml.stats import logreg_gd_exact
     from neurondb_spark.operators.corpus import trigram_lm_scores
 
+    key = sf_dir.rstrip("/")
+    if key in _qc_cache:
+        return _qc_cache[key]
     docs = tp(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(
@@ -896,10 +906,11 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # same: one slim row per doc
     out = logreg_gd_exact(
         feats, "f", "y", "doc_id", iters=2, lr=1.0, return_score=True
-    )
-    return out.select(
+    ).select(
         "doc_id", F.col("score").alias("quality_prob"), "prediction"
-    )
+    ).localCheckpoint(eager=True)
+    _qc_cache[key] = out
+    return out
 
 
 def _sql_qc_ctes() -> str:
