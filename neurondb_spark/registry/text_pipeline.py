@@ -248,6 +248,93 @@ FROM tris t JOIN model m ON t.tri = m.tri
 GROUP BY t.doc_id"""
 
 
+_TBM_BUDGET = 25_000  # tokens
+
+
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (operators/corpus.token_budget_mix —
+    the form a training run actually specifies: "x tokens of web, y of
+    code"): per-language keep-rate = min(1, share·budget / stratum
+    tokens), selection by the same md5-uniform filter as
+    corpus_mix_sample; output = the selected docs plus their token
+    counts so the oracle checks both membership AND the token
+    accounting. One map-side-combined token aggregate broadcast back;
+    selection is a pure map."""
+    from neurondb_spark.functions.text import token_count
+    from neurondb_spark.operators.corpus import token_budget_mix
+
+    docs = t(spark, sf_dir, "documents")
+    out = token_budget_mix(
+        docs, "lang", "doc_id", "text", _MIX_TARGETS, _TBM_BUDGET,
+        seed=_MIX_SEED,
+    )
+    return out.select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+
+
+def _sql_token_budget_mix() -> str:
+    toks = sql_tokenize("text")
+    vals = ", ".join(
+        f"('{k}', {O.dlit(float(v))})" for k, v in sorted(_MIX_TARGETS.items())
+    )
+    u = (
+        f"(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || "
+        f"'#{_MIX_SEED}'), 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+    )
+    return f"""WITH tgt(lang, share) AS (VALUES {vals}),
+tk AS (SELECT lang, SUM(CAST(len({toks}) AS BIGINT)) AS tok
+       FROM documents GROUP BY lang),
+rates AS (
+  SELECT tk.lang,
+         least(1.0, (t.share * {O.dlit(float(_TBM_BUDGET))})
+               / CAST(tok AS DOUBLE)) AS rate
+  FROM tk JOIN tgt t ON t.lang = tk.lang)
+SELECT d.doc_id, d.lang, CAST(len({toks}) AS INTEGER) AS n_tokens
+FROM documents d JOIN rates r ON r.lang = d.lang
+WHERE {u} < r.rate"""
+
+
+def _q_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate RESOLUTION under the hash gate (graduated from
+    pytest-only per the r6 coverage table): MinHash-LSH candidate pairs
+    (the oracle-proven minhash_lsh_pairs edges) → connected components →
+    min-id survivor per duplicate cluster, keep/drop for EVERY doc —
+    the decision table a dedup pipeline applies (pairs are not
+    transitive; A~B, B~C must collapse to one survivor). The oracle
+    replays the pairs then closes them with a recursive transitive
+    closure + GROUP BY MIN (the graph_connected_components recipe)."""
+    from neurondb_spark.operators.corpus import neardup_resolve
+    from neurondb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+    out = neardup_resolve(docs, "doc_id", pairs)
+    return out.select(
+        "doc_id",
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def _sql_neardup_resolve() -> str:
+    return f"""WITH RECURSIVE pairs AS ({_sql_minhash_lsh_pairs()}),
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node),
+comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_rep,
+       CAST((COALESCE(c.comp, d.doc_id) = d.doc_id) AS INT) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+
+
 _DECON_N = 8  # 8-gram collision ≈ verbatim benchmark inclusion
 _DECON_BENCH_MAX = 20
 
@@ -1055,6 +1142,8 @@ QUERIES = {
     "repetition_quality_filters": (_q_repetition_filters,
                                    _sql_repetition_filters()),
     "corpus_mix_sample": (_q_corpus_mix, _sql_corpus_mix()),
+    "token_budget_mix": (_q_token_budget_mix, _sql_token_budget_mix()),
+    "neardup_resolve_survivors": (_q_neardup_resolve, _sql_neardup_resolve()),
     "trigram_lm_quality": (_q_trigram_lm, _sql_trigram_lm()),
     "benchmark_decontaminate": (_q_decontaminate, _sql_decontaminate()),
     "pii_redaction_stats": (_q_pii_stats, _sql_pii_stats()),
