@@ -177,6 +177,45 @@ class NeuronSparkEngine:
             return exact_knn(df, vec_col, query, k=k, metric=metric, dim=dim,
                              tiebreak=tiebreak or [])
 
+    def knn_batch(
+        self, df: DataFrame, vec_col: str, queries, k: int = 10,
+        metric: str = "l2", dim: int | None = None, index: str | None = None,
+        tiebreak: list[str] | None = None, **probe_params,
+    ) -> DataFrame:
+        """Batch form of :meth:`knn` — top-k for every (qid, vector) of a
+        small query batch in ONE plan per route: IVF joins the batch's
+        probe pairs against the partitioned layout (all queries share
+        one pruned scan), HNSW answers the whole batch in one graph pass
+        per shard, and the exact route is the broadcast kNN join. The
+        LSH index has no batch path — call :meth:`knn` per query."""
+        with self.metrics.time("knn_batch"):
+            decision = self._route(index, None)
+            if decision["route"] == "ivf":
+                from neurondb_spark.index.ivf import IVFIndex
+
+                idx = IVFIndex.load(decision["meta"]["path"])
+                return idx.search_batch(
+                    self.spark, queries, k=k,
+                    nprobe=probe_params.get("nprobe"), tiebreak=tiebreak,
+                )
+            if decision["route"] == "hnsw":
+                from neurondb_spark.index.hnsw import HNSWIndex
+
+                idx = HNSWIndex.load(decision["meta"]["path"])
+                return idx.search_batch(
+                    self.spark, queries, k=k,
+                    ef_search=probe_params.get("ef_search", 64),
+                )
+            if decision["route"] == "lsh":
+                raise ValueError(
+                    "neurondb: the lsh index has no batch search path; "
+                    "call knn() per query or use an ivf/hnsw index"
+                )
+            from neurondb_spark.operators.knn import knn_batch as exact_batch
+
+            return exact_batch(df, vec_col, queries, k=k, metric=metric,
+                               dim=dim, tiebreak=tiebreak)
+
     # ------------------------------------------------------------ search
 
     def hybrid_search(self, df, vec_col, text_col, query_vec, query_text, **kw):

@@ -237,6 +237,77 @@ class IVFIndex:
         order = [F.col(dist_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
         return out.orderBy(*order).limit(k)
 
+    def search_batch(
+        self,
+        spark: SparkSession,
+        queries,
+        k: int = 10,
+        nprobe: int | None = None,
+        dist_col: str = "distance",
+        tiebreak: list[str] | None = None,
+    ) -> DataFrame:
+        """Batch probe: route EVERY query to its nprobe nearest lists
+        and join the (qid, cluster_id) probe pairs against the
+        partitioned layout, so the whole batch shares ONE pruned scan —
+        the query-routed cluster-join shape that serves many concurrent
+        queries where per-query partition pruning cannot (the
+        registry's `ivf_batch_knn` is the oracle-checked twin of this
+        plan). ``queries`` is a list of (qid, vector) pairs or a small
+        DataFrame with (qid, vector) columns — the batch side is small
+        by contract and is broadcast. Returns per-query exact top-k
+        within the probed lists: (qid, vec_id..., dist_col)."""
+        from pyspark.sql import types as T
+        from pyspark.sql.window import Window
+
+        if isinstance(queries, DataFrame):
+            qrows = [(int(r[0]), r[1]) for r in queries.collect()]
+        else:
+            qrows = [(int(a), v) for a, v in queries]
+        qs = [(qid, [float(x) for x in vec]) for qid, vec in qrows]
+        if nprobe is None:
+            nprobe = int(spark.conf.get("spark.neurondb.ivf.nprobe", "10"))
+        nprobe = max(1, min(int(nprobe), self.meta["nlists"]))
+        probes = [
+            (qid, int(c))
+            for qid, q in qs for c in self._nearest_clusters(q, nprobe)
+        ]
+        pschema = T.StructType([
+            T.StructField("qid", T.LongType()),
+            T.StructField("cluster_id", T.IntegerType()),
+        ])
+        qschema = T.StructType([
+            T.StructField("qid", T.LongType()),
+            T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+        ])
+        pdf = spark.createDataFrame(probes, schema=pschema)
+        qdf = spark.createDataFrame(qs, schema=qschema)
+        df = self._read_data(spark)
+        cands = df.join(F.broadcast(pdf), "cluster_id").join(
+            F.broadcast(qdf), "qid"
+        )
+        tomb = self._tombstones(spark)
+        if tomb is not None:
+            tomb_col = tomb.columns[0]
+            if tomb_col not in df.columns:
+                raise ValueError(
+                    f"neurondb: ivf index at {self.path!r} has tombstones "
+                    f"keyed by {tomb_col!r} but the data has no such column"
+                )
+            cands = cands.join(tomb, tomb_col, "left_anti")
+        d = distance(
+            self.meta["vec_col"], F.col("_qvec"), self.meta["metric"],
+            dim=self.meta.get("dim"), checked=False,
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col(dist_col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]
+        )
+        out = cands.withColumn(dist_col, d).drop("_qvec")
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(k))
+            .drop("_rn")
+        )
+
     # --------------------------------------------------------------- DML
 
     def insert(self, df_new: DataFrame) -> "IVFIndex":

@@ -221,3 +221,50 @@ def vec_route(
         ]
     )
     return df.withColumn(out_col, F.array_min(pairs)["i"])
+
+
+def knn_batch(
+    df: DataFrame,
+    vec_col: str,
+    queries,
+    k: int = 10,
+    metric: str = "l2",
+    dim: int | None = None,
+    dist_col: str = "distance",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact batch kNN: top-k for EVERY query of a small batch in ONE
+    plan — broadcast the query set, compute distances in the scan, and
+    take per-query top-k with a window (the brute-force kNN-join shape;
+    `ann_batch_topk` is the oracle-checked registry twin). ``queries``
+    is a list of (qid, vector) pairs or a small DataFrame with
+    (qid, vector) columns. At scale this is the right baseline when the
+    batch is small relative to the corpus: one full scan amortized over
+    all queries, no shuffle except the window's per-qid ordering."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    if isinstance(queries, DataFrame):
+        qrows = [(int(r[0]), r[1]) for r in queries.collect()]
+    else:
+        qrows = [(int(a), v) for a, v in queries]
+    qschema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+    ])
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in qrows], schema=qschema
+    )
+    d = distance(vec_col, F.col("_qvec"), metric, dim=dim, checked=False)
+    w = Window.partitionBy("qid").orderBy(
+        F.col(dist_col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]
+    )
+    return (
+        df.crossJoin(F.broadcast(qdf))
+        .withColumn(dist_col, d)
+        .drop("_qvec")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

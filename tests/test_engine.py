@@ -83,3 +83,71 @@ def test_engine_knn_indexed_path_runs_no_count_job(spark):
         eng.knn(emb, "embedding", F.col("embedding"), k=3, index="emb_lsh")
     with pytest.raises(ValueError, match="query dim"):
         eng.knn(emb, "embedding", [0.0, 1.0], k=3, index="emb_lsh")
+
+
+def test_engine_knn_batch_all_routes(spark):
+    """knn_batch routes: exact broadcast join, IVF shared pruned scan,
+    HNSW one-pass-per-shard — each must agree with per-query knn()."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from tests.conftest import SF_DIR
+
+    import neurondb_spark.engine as E
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="eng_batch_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # the sf0.01 corpus sits under the scan-beats-probe threshold; force
+    # the indexed routes so the batch probe paths actually exercise
+    orig_thresh = E.EXACT_SCAN_THRESHOLD
+    E.EXACT_SCAN_THRESHOLD = 0
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(1, 4)).collect()
+    ]
+
+    def by_qid(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], []).append(r["vec_id"])
+        return out
+
+    exact = by_qid(eng.knn_batch(emb, "embedding", qrows, k=5,
+                                 tiebreak=["vec_id"]))
+    for qid, vec in qrows:
+        single = [r["vec_id"] for r in
+                  eng.knn(emb, "embedding", vec, k=5,
+                          tiebreak=["vec_id"]).collect()]
+        assert exact[qid] == single, ("exact", qid)
+
+    eng.create_index("b_ivf", emb, "embedding", method="ivf", nlists=8)
+    got = by_qid(eng.knn_batch(emb, "embedding", qrows, k=5, index="b_ivf",
+                               nprobe=8, tiebreak=["vec_id"]))
+    for qid, vec in qrows:
+        single = [r["vec_id"] for r in
+                  eng.knn(emb, "embedding", vec, k=5, index="b_ivf",
+                          nprobe=8, tiebreak=["vec_id"]).collect()]
+        assert got[qid] == single, ("ivf", qid)
+
+    eng.create_index("b_hnsw", emb, "embedding", method="hnsw",
+                     id_col="vec_id", num_shards=2, m=8,
+                     ef_construction=48)
+    got = by_qid(eng.knn_batch(emb, "embedding", qrows, k=5, index="b_hnsw",
+                               ef_search=128))
+    for qid, vec in qrows:
+        single = [r["vec_id"] for r in
+                  eng.knn(emb, "embedding", vec, k=5, index="b_hnsw",
+                          ef_search=128).collect()]
+        assert got[qid] == single, ("hnsw", qid)
+
+    try:
+        eng.create_index("b_lsh", emb, "embedding", method="lsh", dim=64)
+        with pytest.raises(ValueError, match="no batch search path"):
+            eng.knn_batch(emb, "embedding", qrows, k=5, index="b_lsh")
+    finally:
+        E.EXACT_SCAN_THRESHOLD = orig_thresh
