@@ -1,6 +1,8 @@
 """Final breadth queries: centroid routing, batch ANN top-k (kNN join
-shape), tokenize/detokenize round-trip, fp16 round-trip (rows-only),
-streaming job-queue drain (rows-only)."""
+shape), tokenize/detokenize round-trip, fp16 round-trip, streaming
+job-queue drain, streaming exact-dedup and LSH near-dup — ALL under
+the hash gate (the fp16 and job-queue rows graduated from rows-only
+in rounds 5-6)."""
 
 from __future__ import annotations
 

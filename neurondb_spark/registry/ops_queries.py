@@ -4,8 +4,9 @@ queries (SURVEY §2.5/§2.8/§2.11/§2.12).
 Makes the last pytest-only families driver-visible: RLS + quota
 enforcement (ops.py), hot/cold tiering with int8-quantized cold storage
 (data_management.py), typed media metadata + video frame sampling
-(operators/multimodal.py), distributed PCA (ml/pca.py), and rows-only
-rows for MLlib GMM and ALS.
+(operators/multimodal.py), distributed PCA (ml/pca.py), rows-only rows
+for MLlib GMM and ALS, and (r7) the hash-gated exact fixed-alternation
+ALS twin `als_fixed_alternations`.
 """
 
 from __future__ import annotations
