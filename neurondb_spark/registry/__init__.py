@@ -147,26 +147,47 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
         "vec_join_threshold", "vec_route_counts", "vector_arith_ops",
         "vector_casts", "zscore_outliers",
     }),
+    # the 50 rows in CORRECTNESS_r07.json — 46 hash-green + 4 rows-only by
+    # design (ml_logreg/ml_kmeans MLlib, tsne, opq). Round 8 shipped no code
+    # and the driver re-checked the identical set (CORRECTNESS_r08.json ==
+    # r07's name set), so the same frozenset is recorded under both keys.
+    7: frozenset({
+        "als_fixed_alternations", "centroid_drift",
+        "community_label_propagation", "corpus_curation_pipeline",
+        "distribution_divergence", "graph_bfs", "graph_knn",
+        "graph_pagerank", "hash_embed", "hnsw_batch_knn",
+        "hnsw_insert_delete_knn", "int8_quantize_analysis", "ivf_batch_knn",
+        "ivf_rebalance_probe", "js_divergence_hist", "knn_chebyshev",
+        "knn_classify_vote", "knn_cosine", "knn_hamming", "knn_ip", "knn_l1",
+        "knn_l2", "knn_squared_l2", "label_f1_at_k", "label_recall_at_k",
+        "lof_outliers", "ltr_rerank", "ml_kmeans_clusters",
+        "ml_logreg_predictions", "mmr_rerank", "neardup_resolve_survivors",
+        "opq_rotated_variance", "quality_classifier_scores", "rag_query",
+        "repetition_quality_filters", "rerank_lexical", "sparse_metrics_knn",
+        "sparse_search_tf", "stream_exact_dedup", "stream_lsh_neardup",
+        "stream_sessionize", "substring_dup_pairs", "substring_dup_stats",
+        "token_budget_mix", "tpch_q1", "ts_arima_forecast",
+        "tsne_label_centroids", "vector_avg_by_label", "vector_masked_ops",
+        "vector_norms",
+    }),
 }
+# Round 8 = identical driver check of the round-7 set (zero-commit round).
+CHECKED_BY_ROUND[8] = CHECKED_BY_ROUND[7]
 
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # Round 7 rewrites: the three streaming gate rows grew a strict-mode
-    # (no batch-twin fallback) path per the r6 verdict, the HNSW search/
-    # insert DML paths changed (per-shard exactness retry, duplicate-node
-    # rejection, cached tombstone count), and IVF rebalance became
-    # partition-scoped. Re-verify each under the driver gate.
-    "stream_exact_dedup", "stream_lsh_neardup", "stream_sessionize",
-    "hnsw_insert_delete_knn", "ivf_rebalance_probe",
-    # round 7 rewrite: the curation pipeline gained the trained
-    # quality-classifier stage (new avg_quality_prob column).
-    "corpus_curation_pipeline",
-    # round 7 rewrite: repetition_filters moved from per-row
-    # higher-order-function fracs to the linear explode+groupBy shape
-    # (bit-identical values; re-verify under the gate anyway).
-    "repetition_quality_filters",
+    # Round-7 omissions the r8 verdict flagged: stream_monitor_window got
+    # the same strict-stream rewrite as the three listed streaming rows,
+    # and hnsw_knn_full_ef / ivfpq_knn_exact_limit consume the materially
+    # rewritten HNSW search path — none were listed at the time.
+    "stream_monitor_window", "hnsw_knn_full_ef", "ivfpq_knn_exact_limit",
+    # Round-9 rewrites: HNSW search gained tombstone-cache revalidation +
+    # atomic meta writes (migration moved to load()), and IVF rebalance
+    # commit/cleanup ordering changed. Re-verify every consumer of those
+    # paths under the driver gate.
+    "hnsw_insert_delete_knn", "hnsw_batch_knn", "ivf_rebalance_probe",
 })
 
 
