@@ -23,6 +23,24 @@ from pyspark.sql import functions as F
 from neurondb_spark.functions.quantization import int8_scale, vector_to_int8
 
 
+def atomic_write_json(path: str, obj) -> None:
+    """Crash-safe small-file write: serialize to ``path + ".tmp"``, fsync,
+    then ``os.replace`` — a reader never observes a truncated or
+    interleaved file, and a crash mid-write leaves the old content intact
+    (the reference gets this from WAL-logged page writes; on a local FS
+    the rename is the commit point, same protocol as the rebalance
+    journal, index/ivf.py). Every index meta.json write goes through
+    here."""
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def _swap_in(spark: SparkSession, path: str, tmp: str) -> str:
     """Replace ``path`` with the fully-written ``tmp`` directory, keeping a
     ``.old`` backup until the new data is verified readable.

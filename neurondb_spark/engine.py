@@ -8,14 +8,18 @@ config namespace, metrics, and the operator modules.
 It also implements the SURVEY §4 "cost-based ANN routing" as an API-level
 rule: ``knn()`` consults the catalog for an index on the table and rewrites
 the query into the probe plan (IVF partition-pruned scan / LSH bucket
-probe) when one exists and the table is large enough; otherwise exact
-TakeOrderedAndProject. ``explain_route`` shows the decision — the honest
-row-count rule replacing the reference's string-matching heuristic
-(auto_route_query, src/planner/planner.c:49-91).
+probe) when one exists and the estimated probe cost — nprobe/ef_search
+factored in — undercuts the exact scan; otherwise exact
+TakeOrderedAndProject. ``explain_route`` shows the decision — an honest
+per-AM cost model (hnsw_am.c:735-783 / ivf_am.c costestimate) replacing
+the reference's string-matching heuristic (auto_route_query,
+src/planner/planner.c:49-91).
 """
 
 from __future__ import annotations
 
+import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,7 +29,40 @@ from neurondb_spark.catalog import Catalog
 from neurondb_spark.ops import Metrics
 from neurondb_spark.session import get_conf, get_spark, set_conf
 
-EXACT_SCAN_THRESHOLD = 100_000  # below this, exact scan beats any index
+# Routing floor: below this many rows, one exact TakeOrderedAndProject
+# scan beats any probe's fixed setup (index open + task scheduling), so
+# the cost comparison is skipped entirely.
+EXACT_SCAN_THRESHOLD = 100_000
+
+
+def _probe_cost(method: str, imeta: dict, rows: int, k: int,
+                probe_params: dict | None) -> float:
+    """Estimated probe cost in DISTANCE EVALUATIONS, the unit in which
+    the exact scan costs exactly ``rows`` (dim scales both sides equally
+    and cancels). Mirrors the reference's per-AM costestimate shape
+    (hnsw_am.c:735-783 ~ ef·log(N)·M; ivf_am.c ~ nlists + N·nprobe/nlists)
+    with the caller's actual nprobe/ef_search factored in — a full probe
+    (nprobe = nlists, or an ef that walks the whole graph) honestly costs
+    MORE than the scan and routes exact (SURVEY §4)."""
+    pp = probe_params or {}
+    if method == "ivf":
+        nlists = max(int(imeta.get("nlists", 100)), 1)
+        nprobe = max(1, min(int(pp.get("nprobe") or 10), nlists))
+        return nlists + rows * nprobe / nlists
+    if method == "hnsw":
+        shards = max(int(imeta.get("num_shards", 4)), 1)
+        m = max(int(imeta.get("m", 16)), 2)
+        ef = max(int(pp.get("ef_search") or 64), int(k))
+        per_shard = max(rows / shards, 2.0)
+        # every shard runs its own beam: ef frontier × M neighbor
+        # expansions × greedy-descent depth ~ log(shard size)
+        return shards * ef * m * math.log2(per_shard)
+    if method == "lsh":
+        nbits = max(int(imeta.get("nbits", 16)), 1)
+        radius = max(int(pp.get("probe_hamming") or 1), 0)
+        buckets = sum(math.comb(nbits, r) for r in range(min(radius, nbits) + 1))
+        return rows * min(buckets / (2 ** nbits), 1.0) + 2 ** nbits
+    return math.inf
 
 
 class NeuronSparkEngine:
@@ -89,13 +126,40 @@ class NeuronSparkEngine:
         )
         return idx
 
-    def _route(self, index_name: str | None, n_rows: int | None) -> dict:
-        """The routing rule: exact below threshold or without an index."""
+    def _index_build_meta(self, meta: dict) -> dict:
+        """The index's OWN meta.json (nlists / num_shards / m / nbits —
+        the build parameters the cost model needs, which the catalog row
+        doesn't carry). One small local-file read, no Spark job; missing
+        or unreadable meta degrades to the cost model's defaults."""
+        try:
+            with open(os.path.join(meta["path"], "meta.json")) as f:
+                d = json.load(f)
+            return d.get("meta", d)  # ivf nests under "meta"
+        except (OSError, ValueError, KeyError):
+            return {}
+
+    def _route(self, index_name: str | None, n_rows: int | None,
+               k: int = 10, probe_params: dict | None = None) -> dict:
+        """SURVEY §4 cost-based routing (auto_route_query analog done
+        honestly, planner.c:49-91): exact without an index or below the
+        row floor, otherwise whichever of {exact scan, indexed probe}
+        the cost model prices cheaper — with the caller's nprobe /
+        ef_search / probe_hamming factored in, so a full probe routes
+        exact instead of pretending to be an index win. The
+        ``route.mode`` setting (auto | index | exact — PG's
+        enable_seqscan / enable_indexscan analog) overrides the model
+        for benchmarking and tests."""
+        mode = self.get_config("route.mode", "auto")
+        if mode == "exact":
+            return {"route": "exact", "reason": "route.mode=exact"}
         if index_name is None:
             return {"route": "exact", "reason": "no index registered"}
         meta = self.catalog.get("indexes", index_name)
         if meta is None:
             return {"route": "exact", "reason": f"unknown index {index_name!r}"}
+        if mode == "index":
+            return {"route": meta["method"],
+                    "reason": "route.mode=index", "meta": meta}
         rows = n_rows if n_rows is not None else meta.get("rows")
         if rows is None:
             # catalogs written before row counts were recorded: backfill
@@ -111,10 +175,27 @@ class NeuronSparkEngine:
                 "route": "exact",
                 "reason": f"{rows} rows < {EXACT_SCAN_THRESHOLD}: scan beats probe",
             }
-        return {"route": meta["method"], "reason": "indexed probe", "meta": meta}
+        cost = _probe_cost(
+            meta["method"], self._index_build_meta(meta), int(rows or 0),
+            k, probe_params,
+        )
+        if rows and cost >= rows:
+            return {
+                "route": "exact",
+                "reason": (
+                    f"probe cost ~{cost:.0f} >= exact scan {rows} "
+                    f"distance evals (full or near-full probe)"
+                ),
+            }
+        return {
+            "route": meta["method"],
+            "reason": f"indexed probe: ~{cost:.0f} vs exact {rows} distance evals",
+            "meta": meta,
+        }
 
-    def explain_route(self, index_name: str | None = None, n_rows: int | None = None) -> dict:
-        return self._route(index_name, n_rows)
+    def explain_route(self, index_name: str | None = None, n_rows: int | None = None,
+                      k: int = 10, **probe_params) -> dict:
+        return self._route(index_name, n_rows, k=k, probe_params=probe_params)
 
     def knn(
         self, df: DataFrame, vec_col: str, query, k: int = 10,
@@ -138,7 +219,7 @@ class NeuronSparkEngine:
         exact path (per-row queries can't use a prebuilt probe).
         """
         with self.metrics.time("knn"):
-            decision = self._route(index, None)
+            decision = self._route(index, None, k=k, probe_params=probe_params)
             if decision["route"] in ("ivf", "lsh", "hnsw"):
                 from pyspark.sql import Column
 
@@ -162,7 +243,7 @@ class NeuronSparkEngine:
             if decision["route"] == "hnsw":
                 from neurondb_spark.index.hnsw import HNSWIndex
 
-                idx = HNSWIndex.load(decision["meta"]["path"])
+                idx = HNSWIndex.load(decision["meta"]["path"], self.spark)
                 return idx.search(self.spark, qvec, k=k,
                                   ef_search=probe_params.get("ef_search", 64))
             if decision["route"] == "lsh":
@@ -189,7 +270,7 @@ class NeuronSparkEngine:
         per shard, and the exact route is the broadcast kNN join. The
         LSH index has no batch path — call :meth:`knn` per query."""
         with self.metrics.time("knn_batch"):
-            decision = self._route(index, None)
+            decision = self._route(index, None, k=k, probe_params=probe_params)
             if decision["route"] == "ivf":
                 from neurondb_spark.index.ivf import IVFIndex
 
@@ -201,7 +282,7 @@ class NeuronSparkEngine:
             if decision["route"] == "hnsw":
                 from neurondb_spark.index.hnsw import HNSWIndex
 
-                idx = HNSWIndex.load(decision["meta"]["path"])
+                idx = HNSWIndex.load(decision["meta"]["path"], self.spark)
                 return idx.search_batch(
                     self.spark, queries, k=k,
                     ef_search=probe_params.get("ef_search", 64),

@@ -806,7 +806,7 @@ def _hnsw_index_for(spark: SparkSession, sf_dir: str):
     tag = key.replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"neurondb_hnsw{tag}")
     if os.path.exists(os.path.join(path, "meta.json")):
-        idx = HNSWIndex.load(path)
+        idx = HNSWIndex.load(path, spark)
     else:
         emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         idx = HNSWIndex.build(emb, "embedding", "vec_id", path, dim=EMB_DIM,
@@ -918,7 +918,7 @@ def _hnsw_dml_index_for(spark: SparkSession, sf_dir: str):
     tag = key.replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"neurondb_hnswdml{tag}")
     if os.path.exists(os.path.join(path, "meta.json")):
-        idx = HNSWIndex.load(path)
+        idx = HNSWIndex.load(path, spark)
     else:
         emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         idx = HNSWIndex.build(

@@ -30,9 +30,15 @@ def test_engine_workflow(spark):
     route_small = eng.explain_route("emb_ivf", n_rows=emb.count())
     assert route_small["route"] == "exact" and "scan beats probe" in route_small["reason"]
 
-    # a big (claimed) table routes through the index
-    route_big = eng.explain_route("emb_ivf", n_rows=10_000_000)
+    # a big (claimed) table routes through the index when the probe is
+    # selective (nprobe << nlists)...
+    route_big = eng.explain_route("emb_ivf", n_rows=10_000_000, nprobe=2)
     assert route_big["route"] == "ivf"
+    # ...but a full probe (nprobe >= nlists) honestly costs more than the
+    # scan, so the cost model routes it exact (SURVEY §4)
+    route_full = eng.explain_route("emb_ivf", n_rows=10_000_000, nprobe=8)
+    assert route_full["route"] == "exact"
+    assert "probe cost" in route_full["reason"]
 
     # ML through the facade
     df = emb.withColumn("y", (F.col("label") < 5).cast("double"))
@@ -96,16 +102,10 @@ def test_engine_knn_batch_all_routes(spark):
     from neurondb_spark.engine import NeuronSparkEngine
     from tests.conftest import SF_DIR
 
-    import neurondb_spark.engine as E
-
     eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="eng_batch_"))
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    # the sf0.01 corpus sits under the scan-beats-probe threshold; force
-    # the indexed routes so the batch probe paths actually exercise
-    orig_thresh = E.EXACT_SCAN_THRESHOLD
-    E.EXACT_SCAN_THRESHOLD = 0
     qrows = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.where(F.col("vec_id").isin(1, 4)).collect()
@@ -125,29 +125,73 @@ def test_engine_knn_batch_all_routes(spark):
                           tiebreak=["vec_id"]).collect()]
         assert exact[qid] == single, ("exact", qid)
 
-    eng.create_index("b_ivf", emb, "embedding", method="ivf", nlists=8)
-    got = by_qid(eng.knn_batch(emb, "embedding", qrows, k=5, index="b_ivf",
-                               nprobe=8, tiebreak=["vec_id"]))
-    for qid, vec in qrows:
-        single = [r["vec_id"] for r in
-                  eng.knn(emb, "embedding", vec, k=5, index="b_ivf",
-                          nprobe=8, tiebreak=["vec_id"]).collect()]
-        assert got[qid] == single, ("ivf", qid)
-
-    eng.create_index("b_hnsw", emb, "embedding", method="hnsw",
-                     id_col="vec_id", num_shards=2, m=8,
-                     ef_construction=48)
-    got = by_qid(eng.knn_batch(emb, "embedding", qrows, k=5, index="b_hnsw",
-                               ef_search=128))
-    for qid, vec in qrows:
-        single = [r["vec_id"] for r in
-                  eng.knn(emb, "embedding", vec, k=5, index="b_hnsw",
-                          ef_search=128).collect()]
-        assert got[qid] == single, ("hnsw", qid)
-
+    # the sf0.01 corpus sits under the scan-beats-probe floor, and a
+    # full probe fails the cost rule too — pin route.mode=index (the
+    # enable_seqscan=off analog) for the probe-path checks. The spark
+    # conf is session-shared, so the WHOLE body is under try/finally
+    # (r8 verdict: a partial finally leaked the forced route into every
+    # later test on mid-test assertion failure).
+    eng.set_config("route.mode", "index")
     try:
+        eng.create_index("b_ivf", emb, "embedding", method="ivf", nlists=8)
+        got = by_qid(eng.knn_batch(emb, "embedding", qrows, k=5, index="b_ivf",
+                                   nprobe=8, tiebreak=["vec_id"]))
+        for qid, vec in qrows:
+            single = [r["vec_id"] for r in
+                      eng.knn(emb, "embedding", vec, k=5, index="b_ivf",
+                              nprobe=8, tiebreak=["vec_id"]).collect()]
+            assert got[qid] == single, ("ivf", qid)
+
+        eng.create_index("b_hnsw", emb, "embedding", method="hnsw",
+                         id_col="vec_id", num_shards=2, m=8,
+                         ef_construction=48)
+        got = by_qid(eng.knn_batch(emb, "embedding", qrows, k=5,
+                                   index="b_hnsw", ef_search=128))
+        for qid, vec in qrows:
+            single = [r["vec_id"] for r in
+                      eng.knn(emb, "embedding", vec, k=5, index="b_hnsw",
+                              ef_search=128).collect()]
+            assert got[qid] == single, ("hnsw", qid)
+
         eng.create_index("b_lsh", emb, "embedding", method="lsh", dim=64)
         with pytest.raises(ValueError, match="no batch search path"):
             eng.knn_batch(emb, "embedding", qrows, k=5, index="b_lsh")
     finally:
-        E.EXACT_SCAN_THRESHOLD = orig_thresh
+        eng.set_config("route.mode", "auto")
+
+
+def test_routing_cost_model_two_sizes(spark):
+    """r8 verdict #7: routing is the SURVEY §4 cost rule in distance
+    evaluations — build params and the caller's nprobe/ef_search factored
+    in — checked at two synthetic table sizes, plus the route.mode
+    overrides (enable_seqscan/enable_indexscan analogs)."""
+    from neurondb_spark.engine import NeuronSparkEngine
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="eng_cost_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    eng.create_index("c_ivf", emb, "embedding", method="ivf", nlists=8)
+    # size 1 — under the floor: exact no matter how selective the probe
+    assert eng.explain_route("c_ivf", n_rows=50_000, nprobe=1)["route"] == "exact"
+    # size 2 — big table: selective probe wins, full probe loses
+    assert eng.explain_route("c_ivf", n_rows=5_000_000, nprobe=1)["route"] == "ivf"
+    assert eng.explain_route("c_ivf", n_rows=5_000_000, nprobe=8)["route"] == "exact"
+
+    eng.create_index("c_hnsw", emb, "embedding", method="hnsw",
+                     id_col="vec_id", num_shards=2, m=8, ef_construction=48)
+    assert eng.explain_route("c_hnsw", n_rows=5_000_000,
+                             ef_search=64)["route"] == "hnsw"
+    # an ef that implies more beam work than the whole scan routes exact
+    assert eng.explain_route("c_hnsw", n_rows=150_000,
+                             ef_search=100_000)["route"] == "exact"
+
+    eng.set_config("route.mode", "exact")
+    try:
+        assert eng.explain_route("c_ivf", n_rows=5_000_000,
+                                 nprobe=1)["route"] == "exact"
+        eng.set_config("route.mode", "index")
+        assert eng.explain_route("c_ivf", n_rows=100,
+                                 nprobe=8)["route"] == "ivf"
+    finally:
+        eng.set_config("route.mode", "auto")

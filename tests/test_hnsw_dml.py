@@ -254,3 +254,115 @@ def test_search_runs_no_spark_job_with_cached_tomb_counts(spark, emb, qv):
     assert got == _brute_ids(
         emb.where(F.col("vec_id") < 200), qv, 5, exclude=[1, 2, 3]
     )
+
+
+def test_cross_handle_delete_visible_to_other_handle(spark, emb, qv):
+    """r8 verdict #2: a delete issued through ANOTHER handle after this
+    one loaded must not silently drop live rows from top-k. Handle B's
+    cached per-shard tombstone counts are stale; the listdir-signature
+    validation must pick up A's persisted refresh (no Spark job) and
+    over-fetch correctly."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    sub = emb.where(F.col("vec_id") < 300)
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_xh_"), "idx")
+    a = HNSWIndex.build(
+        sub, "embedding", "vec_id", path, num_shards=2, m=8,
+        ef_construction=48, seed=7,
+    )
+    a.delete(spark, [7])          # B will snapshot THIS count (1)
+    b = HNSWIndex.load(path)
+    assert b.meta["n_tombstones"] == 1
+    near = _brute_ids(sub, qv, 25, exclude=[7])
+    a.delete(spark, near[:20])    # A tombstones the 20 nearest
+    dead = set(near[:20]) | {7}
+    n = b.meta["total_rows"]
+    got = [
+        r["vec_id"]
+        for r in b.search(spark, qv, k=5, ef_search=int(n)).collect()
+    ]
+    assert got == _brute_ids(sub, qv, 5, exclude=dead)
+
+    # Harder case: an external writer died between appending tombstone
+    # files and refreshing meta — the counts on DISK are also behind the
+    # directory, so the signature mismatch must trigger a recompute, not
+    # trust the stale persisted counts.
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    extra = _brute_ids(sub, qv, 35, exclude=dead)[:10]
+    pdf = pd.DataFrame({"vec_id": pd.Series(extra, dtype="int64")})
+    spark.createDataFrame(
+        pdf, schema=T.StructType([T.StructField("vec_id", T.LongType())])
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+    dead |= set(extra)
+    got = [
+        r["vec_id"]
+        for r in b.search(spark, qv, k=5, ef_search=int(n)).collect()
+    ]
+    assert got == _brute_ids(sub, qv, 5, exclude=dead)
+
+
+def test_meta_write_crash_leaves_loadable_index(spark, emb):
+    """r8 verdict #3: meta.json writes are tmp + os.replace — a failure
+    mid-serialization must leave the previous meta intact and the index
+    loadable (the old bare open('w') truncated it)."""
+    from neurondb_spark.data_management import atomic_write_json
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_metacrash_"), "idx")
+    idx = HNSWIndex.build(
+        emb.where(F.col("vec_id") < 100), "embedding", "vec_id", path,
+        num_shards=2, m=8, ef_construction=48, seed=7,
+    )
+    meta_path = os.path.join(path, "meta.json")
+    before = open(meta_path).read()
+    with pytest.raises(TypeError):  # a set is not JSON-serializable:
+        atomic_write_json(meta_path, {"bad": {1, 2}})  # dies mid-dump
+    assert open(meta_path).read() == before
+    re = HNSWIndex.load(path, spark)
+    assert re.meta["total_rows"] == idx.meta["total_rows"]
+
+
+def test_legacy_migration_runs_in_load_not_search(spark, emb, qv):
+    """Indexes from before the per-shard count cache migrate in
+    load(spark=...) — search construction afterwards must run ZERO Spark
+    jobs (r8 verdict #3: the lazy in-search migration put a meta rewrite
+    on the read path)."""
+    import json as _json
+
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    sub = emb.where(F.col("vec_id") < 200)
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_legacy_"), "idx")
+    idx = HNSWIndex.build(
+        sub, "embedding", "vec_id", path, num_shards=2, m=8,
+        ef_construction=48, seed=7,
+    )
+    idx.delete(spark, [1, 2, 3])
+    # strip the cache fields -> the legacy on-disk shape
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        legacy = _json.load(f)
+    legacy.pop("tomb_by_shard", None)
+    legacy.pop("tomb_sig", None)
+    with open(meta_path, "w") as f:
+        _json.dump(legacy, f)
+
+    b = HNSWIndex.load(path, spark)  # migration happens HERE
+    assert "tomb_by_shard" in b.meta and "tomb_sig" in b.meta
+    with open(meta_path) as f:       # ...and was persisted
+        assert "tomb_by_shard" in _json.load(f)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("hnsw_legacy_probe", "post-migration search is job-free")
+    try:
+        df = b.search(spark, qv, k=5, ef_search=64)
+        jobs = sc.statusTracker().getJobIdsForGroup("hnsw_legacy_probe")
+        assert list(jobs) == [], f"search construction ran Spark jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    got = [r["vec_id"] for r in df.collect()]
+    assert got == _brute_ids(sub, qv, 5, exclude=[1, 2, 3])

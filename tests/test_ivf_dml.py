@@ -395,3 +395,66 @@ def test_rebalance_splits_multiple_lists_at_once(spark, emb, qv):
         ).collect()
     ]
     assert got == _brute_ids(emb, qv, 10)
+
+
+def test_rebalance_crash_during_cleanup_leaks_nothing(spark, emb, qv, monkeypatch):
+    """r8 verdict #4: staging cleanup runs BEFORE the journal drop, so a
+    crash mid-cleanup keeps the journal alive and the next load()
+    finishes the sweep — rebalance_trash / data_tmp can never be leaked
+    permanently (the old ordering removed the journal first, making the
+    roll-forward a no-op that never swept)."""
+    import shutil
+
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_rebclean_"), "idx")
+    layout = emb.withColumn("cluster_id", (F.col("vec_id") % 2).cast("int"))
+    c0 = [float(x) for x in emb.where(F.col("vec_id") == 1).head()["embedding"]]
+    c1 = [float(x) for x in emb.where(F.col("vec_id") == 2).head()["embedding"]]
+    idx = IVFIndex.from_assignment(layout, "embedding", path, [c0, c1])
+    n = emb.count()
+
+    real_rmtree = shutil.rmtree
+    state = {"crashed": False}
+
+    def crash_once(p, *a, **kw):
+        if not state["crashed"] and os.path.basename(str(p)) == "rebalance_trash":
+            state["crashed"] = True
+            raise RuntimeError("simulated crash during cleanup")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crash_once)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.rebalance(spark, max_list_size=n // 3)
+    # the journal outlives the cleanup steps — that's what makes the
+    # sweep re-runnable after the crash
+    assert os.path.exists(os.path.join(path, "rebalance_commit.json"))
+
+    re = IVFIndex.load(path)  # roll-forward completes the cleanup
+    assert not os.path.exists(os.path.join(path, "rebalance_commit.json"))
+    assert not os.path.exists(os.path.join(path, "rebalance_trash"))
+    assert not os.path.exists(os.path.join(path, "data_tmp"))
+    assert re.meta["nlists"] == len(re.centroids) > 2
+    got = [
+        r["vec_id"]
+        for r in re.search(
+            spark, qv, k=10, nprobe=re.meta["nlists"], tiebreak=["vec_id"]
+        ).collect()
+    ]
+    assert got == _brute_ids(emb, qv, 10)
+
+
+def test_stale_rebalance_trash_swept_on_load(spark, emb):
+    """Journal-absent rebalance_trash (the pre-r9 crash window's leak) is
+    provably garbage — load() sweeps it."""
+    from neurondb_spark.index.ivf import IVFIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_trash_"), "idx")
+    idx = IVFIndex.build(
+        emb.select("vec_id", "embedding"), "embedding", path, nlists=4,
+    )
+    trash = os.path.join(path, "rebalance_trash")
+    os.makedirs(os.path.join(trash, "cluster_id=0"))
+    re = IVFIndex.load(path)
+    assert not os.path.exists(trash)
+    assert re.meta["nlists"] == idx.meta["nlists"]
