@@ -1068,6 +1068,80 @@ FROM documents doc JOIN embeddings e ON doc.doc_id = e.vec_id CROSS JOIN q
 ORDER BY score DESC, doc.doc_id ASC LIMIT 12"""
 
 
+_RECALL_FLOOR = 0.9
+_RECALL_Q = 20  # query set: vec_id in [0, 20)
+_RECALL_K = 10
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall floor under the gate (r8 verdict #5): recall@10 of the
+    approximate paths — sharded HNSW at realistic ef=64 and IVF at the
+    reference's default nprobe=10 (of 16 lists — still a partial probe;
+    ivf_am.c defaults, BASELINE.md) — against exact batch kNN over a fixed
+    20-query set. The full-ef / full-probe gate rows prove the index
+    machinery is lossless; THIS row measures what the approximation
+    trades away, and RAISES below a 0.9 floor so a future beam/probe
+    tweak that silently buys speed with recall turns the gate row red
+    (reference analog: the recall-targeting tuner GUCs,
+    src/util/neurondb_guc.c:491-543 + worker_tuner.c, and assert_recall,
+    neurondb--1.0.sql:4389-4398). Rows-only by design: recall of a graph
+    beam is not SQL-expressible. The collect is 2 aggregate rows —
+    bounded by construction."""
+    from neurondb_spark.operators.knn import knn_batch
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_batch(
+        emb, "embedding", queries, k=_RECALL_K, tiebreak=["vec_id"]
+    ).select("qid", "vec_id")
+    hits = {
+        "hnsw_ef64": _hnsw_index_for(spark, sf_dir)
+        .search_batch(spark, queries, k=_RECALL_K, ef_search=64)
+        .select("qid", "vec_id"),
+        "ivf_nprobe10": _index_for(spark, sf_dir)
+        .search_batch(spark, queries, k=_RECALL_K, nprobe=10,
+                      tiebreak=["vec_id"])
+        .select("qid", "vec_id"),
+    }
+    report = []
+    for method, df in hits.items():
+        per_q = (
+            df.join(exact, ["qid", "vec_id"], "left_semi")
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit"))
+            .agg(
+                (F.sum("n_hit") / F.lit(_RECALL_Q * _RECALL_K)).alias("avg"),
+                (F.min("n_hit") / F.lit(_RECALL_K)).alias("mn"),
+                F.count(F.lit(1)).alias("nq"),
+            )
+            .head()
+        )
+        avg = float(per_q["avg"]) if per_q["nq"] == _RECALL_Q else 0.0
+        mn = float(per_q["mn"]) if per_q["nq"] == _RECALL_Q else 0.0
+        if avg < _RECALL_FLOOR:
+            raise AssertionError(
+                f"neurondb: {method} recall@{_RECALL_K} {avg:.3f} fell "
+                f"below the {_RECALL_FLOOR} floor over {_RECALL_Q} queries"
+            )
+        report.append((method, _RECALL_K, _RECALL_Q,
+                       round(avg, 6), round(mn, 6)))
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("method", T.StringType()),
+        T.StructField("k", T.IntegerType()),
+        T.StructField("n_queries", T.IntegerType()),
+        T.StructField("avg_recall", T.DoubleType()),
+        T.StructField("min_recall", T.DoubleType()),
+    ])
+    pdf = pd.DataFrame(
+        report, columns=["method", "k", "n_queries", "avg_recall", "min_recall"]
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 QUERIES = {
     "ivf_knn_full_probe": (_q_ivf_full, _sql_ivf_full()),
     "ivf_insert_delete_probe": (_q_ivf_dml, _sql_ivf_dml()),
@@ -1085,4 +1159,7 @@ QUERIES = {
     "hnsw_knn_full_ef": (_q_hnsw_full, _sql_hnsw_full()),
     "hnsw_insert_delete_knn": (_q_hnsw_dml, _sql_hnsw_dml()),
     "ivfpq_knn_exact_limit": (_q_ivfpq_full, _sql_ivfpq_full()),
+    # rows-only by design: recall of a graph beam / partial probe is not
+    # SQL-expressible; the query itself raises below the 0.9 floor.
+    "ann_recall_report": (_q_ann_recall, None),
 }

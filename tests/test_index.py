@@ -108,3 +108,42 @@ def test_ivf_batch_knn_matches_per_query_probe(spark):
             ).collect()
         ]
         assert [v for _, v in sorted(batch[qid])] == single, qid
+
+
+def test_ann_recall_floor_gate(spark):
+    """r8 verdict #5: a measured recall floor in CI — the ann_recall_report
+    gate query computes recall@10 of HNSW(ef=64) and IVF(nprobe=10/16)
+    against exact batch kNN and raises below 0.9; here we also drive
+    ops.assert_recall directly on one query per method."""
+    from neurondb_spark.ops import assert_recall
+    from neurondb_spark.registry.common import qvec
+    from neurondb_spark.registry.index_queries import (
+        _hnsw_index_for,
+        _index_for,
+        _q_ann_recall,
+    )
+
+    rows = _q_ann_recall(spark, SF_DIR).collect()
+    assert {r["method"] for r in rows} == {"hnsw_ef64", "ivf_nprobe10"}
+    for r in rows:
+        assert r["n_queries"] == 20 and r["k"] == 10
+        assert r["avg_recall"] >= 0.9
+
+    # per-query assert_recall on the raw search paths
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = qvec(spark, SF_DIR, 1)
+    from neurondb_spark.functions.distance import l2_distance
+    from neurondb_spark.operators.knn import _query_lit
+
+    want = [
+        r["vec_id"] for r in emb.select(
+            "vec_id",
+            l2_distance("embedding", _query_lit(q), checked=False).alias("d"),
+        ).orderBy(F.col("d").asc(), F.col("vec_id").asc()).limit(10).collect()
+    ]
+    got_h = [r["vec_id"] for r in _hnsw_index_for(spark, SF_DIR)
+             .search(spark, q, k=10, ef_search=64).collect()]
+    got_i = [r["vec_id"] for r in _index_for(spark, SF_DIR)
+             .search(spark, q, k=10, nprobe=10, tiebreak=["vec_id"]).collect()]
+    assert assert_recall(got_h, want, 0.9) >= 0.9
+    assert assert_recall(got_i, want, 0.9) >= 0.9
