@@ -374,12 +374,16 @@ class HNSWIndex:
 
     @staticmethod
     def load(path: str, spark: SparkSession | None = None) -> "HNSWIndex":
-        """Open an existing index. When ``spark`` is passed, indexes built
-        before the per-shard tombstone-count cache existed are migrated
-        HERE (one counting job + persisted meta) instead of lazily on the
-        first search — the read path then never writes (r8 verdict: a
-        migration rewrite triggered from search() put a crash-truncation
-        window on every legacy read)."""
+        """Open an existing index. A journaled insert/vacuum that died
+        mid-commit is rolled forward first (idempotent renames, no
+        Spark — the same protocol as IVF's rebalance journal). When
+        ``spark`` is passed, indexes built before the per-shard
+        tombstone-count cache existed are migrated HERE (one counting
+        job + persisted meta) instead of lazily on the first search —
+        the read path then never writes (r8 verdict: a migration rewrite
+        triggered from search() put a crash-truncation window on every
+        legacy read)."""
+        HNSWIndex._apply_dml_commit(path)
         with open(os.path.join(path, "meta.json")) as f:
             idx = HNSWIndex(path, json.load(f))
         if spark is not None:
@@ -585,8 +589,6 @@ class HNSWIndex:
         reinsert could return the id twice in top-k and resurrect the
         stale vector. Caller contract: ids within ``df_new`` itself must
         be distinct."""
-        from neurondb_spark.data_management import _swap_in
-
         spark = df_new.sparkSession
         meta = self.meta
         msh = int(meta["num_shards"])
@@ -659,38 +661,142 @@ class HNSWIndex:
             .applyInPandas(_ins, _GRAPH_SCHEMA)
             .write.mode("overwrite").partitionBy("shard").parquet(tmp)
         )
-        _swap_in(spark, data_path, tmp)
-        self._untombstone(spark, df_new.select(
+        # Stage the post-insert tombstone set: tombstones matching
+        # just-inserted ids are cleared, so delete-then-reinsert
+        # resurrects the row instead of the surviving tombstone hiding
+        # the new node (and the next vacuum erasing it for good).
+        tomb_action = "keep"
+        tomb_path = os.path.join(self.path, "tombstones")
+        inserted_ids = df_new.select(
             F.col(meta["id_col"]).cast("long").alias("vec_id")
-        ))
-        self.meta["total_rows"] = spark.read.parquet(data_path).count()
-        self._refresh_tomb_meta(spark)  # persists meta (incl. total_rows)
+        )
+        surviving = None
+        if os.path.isdir(tomb_path):
+            surviving = (
+                spark.read.parquet(tomb_path)
+                .select("vec_id").distinct()
+                .join(inserted_ids, "vec_id", "left_anti")
+            )
+            if surviving.isEmpty():
+                tomb_action, surviving = "clear", None
+            else:
+                tomb_action = "replace"
+                surviving.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(self.path, "tombstones_tmp")
+                )
+        # Everything Spark runs is done BEFORE the commit point: the
+        # staged meta (row count + per-shard counts over the STAGED
+        # graph) rides in the journal, so the roll-forward is pure
+        # renames + one small file write — re-runnable from any crash.
+        staged = dict(self.meta)
+        staged["total_rows"] = spark.read.parquet(tmp).count()
+        self._stage_tomb_counts(
+            spark, staged,
+            spark.read.parquet(
+                os.path.join(self.path, "tombstones_tmp")
+            ).select("vec_id").distinct() if tomb_action == "replace" else None,
+            data=spark.read.parquet(tmp),
+        )
+        self._commit_dml(spark, "insert", staged, tomb_action)
         return self
 
-    def _untombstone(self, spark: SparkSession, inserted_ids: DataFrame) -> None:
-        """Clear tombstones matching just-inserted ids, so delete-then-
-        reinsert resurrects the row instead of the surviving tombstone
-        hiding the new node (and the next vacuum erasing it for good).
-        Rewrites the (small by contract) tombstone set via the same
-        backup-keeping swap as the data files."""
+    def _stage_tomb_counts(self, spark: SparkSession, staged: dict,
+                           tomb: DataFrame | None, data: DataFrame) -> None:
+        """Fill staged meta's tomb_by_shard / n_tombstones from the
+        post-commit tombstone set counted against the post-commit graph
+        rows (column-pruned semi-join — a tombstone for an id not in the
+        graph can never surface as a candidate). ``tomb`` None means the
+        committed state has no tombstones."""
+        if tomb is None:
+            staged.pop("tomb_by_shard", None)
+            staged.pop("tomb_sig", None)
+            staged["n_tombstones"] = 0
+            return
+        counts = {
+            str(r["shard"]): int(r["n"])
+            for r in data.select("shard", "vec_id")
+            .join(tomb, "vec_id", "left_semi")
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        staged["tomb_by_shard"] = counts
+        staged["n_tombstones"] = sum(counts.values())
+
+    def _commit_dml(self, spark: SparkSession, op: str, staged_meta: dict,
+                    tomb_action: str) -> None:
+        """COMMIT POINT for insert/vacuum (r8 verdict stretch #8 — the
+        same journal-rename protocol as IVF rebalance,
+        index/ivf.py:525-536): the staged ``data_tmp`` (and
+        ``tombstones_tmp`` when replacing) plus the fully-computed new
+        meta are committed by ONE atomic journal rename; the idempotent
+        roll-forward (:meth:`_apply_dml_commit` — pure directory renames
+        + one meta write, no Spark) finishes the swap, and a crash
+        anywhere after the journal is repaired by ``load()``. A crash
+        BEFORE it leaves the live index byte-identical (staging dirs are
+        overwritten by the next DML). Replaces the old multi-step
+        _swap_in + untombstone + recount sequence, whose post-swap crash
+        window left meta stale against the swapped data."""
+        spark.read.parquet(os.path.join(self.path, "data_tmp")).schema
+        journal = {"op": op, "meta": staged_meta, "tombstones": tomb_action}
+        jtmp = os.path.join(self.path, "dml_commit.json.tmp")
+        with open(jtmp, "w") as f:
+            json.dump(journal, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(jtmp, os.path.join(self.path, "dml_commit.json"))
+        HNSWIndex._apply_dml_commit(self.path)
+        with open(os.path.join(self.path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    @staticmethod
+    def _apply_dml_commit(path: str) -> None:
+        """Idempotent roll-forward of a journaled insert/vacuum: swap the
+        staged graph in, apply the tombstone action, install the staged
+        meta (tomb_sig computed from the FINAL tombstones dir), then
+        clean staging and drop the journal LAST — the journal outlives
+        every step, so a crash at any point is finished by the next
+        load()/_commit_dml (same ordering discipline as
+        IVFIndex._apply_rebalance_commit)."""
         import shutil
 
-        from neurondb_spark.data_management import _swap_in
+        from neurondb_spark.data_management import atomic_write_json
 
-        tomb_path = os.path.join(self.path, "tombstones")
-        if not os.path.isdir(tomb_path):
+        jpath = os.path.join(path, "dml_commit.json")
+        if not os.path.exists(jpath):
             return
-        surviving = (
-            spark.read.parquet(tomb_path)
-            .select("vec_id").distinct()
-            .join(inserted_ids, "vec_id", "left_anti")
-        )
-        if surviving.isEmpty():
-            shutil.rmtree(tomb_path, ignore_errors=True)
-            return
-        tmp = tomb_path + "_tmp"
-        surviving.coalesce(1).write.mode("overwrite").parquet(tmp)
-        _swap_in(spark, tomb_path, tmp)
+        with open(jpath) as f:
+            journal = json.load(f)
+        data = os.path.join(path, "data")
+        tmp = os.path.join(path, "data_tmp")
+        trash = os.path.join(path, "dml_trash")
+        tomb = os.path.join(path, "tombstones")
+        tomb_tmp = os.path.join(path, "tombstones_tmp")
+        if os.path.isdir(tmp):
+            if os.path.isdir(data):
+                if os.path.isdir(trash):  # torn retry: re-stage the trash
+                    shutil.rmtree(trash)
+                os.rename(data, trash)
+            os.rename(tmp, data)
+        action = journal.get("tombstones", "keep")
+        if action == "replace":
+            if os.path.isdir(tomb_tmp):
+                if os.path.isdir(tomb):
+                    shutil.rmtree(tomb)
+                os.rename(tomb_tmp, tomb)
+        elif action == "clear":
+            shutil.rmtree(tomb, ignore_errors=True)
+        meta = journal["meta"]
+        sig = _tomb_dir_sig(tomb)
+        if sig is None:
+            meta.pop("tomb_by_shard", None)
+            meta.pop("tomb_sig", None)
+            meta["n_tombstones"] = 0
+        else:
+            meta["tomb_sig"] = sig
+        atomic_write_json(os.path.join(path, "meta.json"), meta)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(tomb_tmp, ignore_errors=True)  # stale pre-commit stage
+        os.remove(jpath)
 
     def delete(self, spark: SparkSession, ids: list[int]) -> None:
         """Soft delete: append tombstones; the graph keeps the nodes for
@@ -750,10 +856,11 @@ class HNSWIndex:
         :meth:`_tomb_counts` validates them against. Counted via a
         column-pruned semi-join against the graph rows: a tombstone for
         an id not in the graph can never surface as a candidate, so it
-        must not widen any beam. Runs on the maintenance paths
-        (delete/insert/vacuum), from load(spark=...) as the legacy
-        migration, and from _tomb_counts only when the persisted meta
-        itself is behind the directory. The meta write is atomic
+        must not widen any beam. Runs on the delete() path, from
+        load(spark=...) as the legacy migration, and from _tomb_counts
+        only when the persisted meta itself is behind the directory
+        (insert/vacuum stage their counts into the DML journal instead —
+        see _commit_dml). The meta write is atomic
         (tmp + os.replace) — concurrent readers see old-or-new, never a
         truncated file."""
         from neurondb_spark.data_management import atomic_write_json
@@ -789,16 +896,11 @@ class HNSWIndex:
     def vacuum(self, spark: SparkSession) -> "HNSWIndex":
         """VACUUM analog: rebuild every shard's graph from its live rows
         only, then clear tombstones. Same shard-parallel pipeline as
-        :meth:`build` (dead routing nodes and their links disappear), but
-        written to a ``data_tmp`` directory and swapped in with the
-        backup-keeping :func:`_swap_in` — a failure mid-rebuild leaves
-        the live index untouched (the old in-place overwrite could
-        destroy the only copy, and localCheckpoint is not fault-tolerant
-        against executor loss mid-write)."""
-        import shutil
-
-        from neurondb_spark.data_management import _swap_in
-
+        :meth:`build` (dead routing nodes and their links disappear),
+        staged to ``data_tmp`` and committed through the SAME journaled
+        protocol as :meth:`insert` (:meth:`_commit_dml`) — a failure
+        mid-rebuild leaves the live index untouched, and a crash
+        mid-commit is rolled forward by ``load()``."""
         tomb = self._tombstones(spark)
         if tomb is None:
             return self
@@ -818,8 +920,9 @@ class HNSWIndex:
         )
         tmp = os.path.join(self.path, "data_tmp")
         graph.write.mode("overwrite").partitionBy("shard").parquet(tmp)
-        _swap_in(spark, data_path, tmp)
-        shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
-        self.meta["total_rows"] = spark.read.parquet(data_path).count()
-        self._refresh_tomb_meta(spark)  # dir gone -> zeroes + persists meta
+        staged = dict(self.meta)
+        staged["total_rows"] = spark.read.parquet(tmp).count()
+        self._stage_tomb_counts(spark, staged, None,
+                                data=spark.read.parquet(tmp))
+        self._commit_dml(spark, "vacuum", staged, "clear")
         return self

@@ -366,3 +366,54 @@ def test_legacy_migration_runs_in_load_not_search(spark, emb, qv):
         sc.setLocalProperty("spark.jobGroup.id", None)
     got = [r["vec_id"] for r in df.collect()]
     assert got == _brute_ids(sub, qv, 5, exclude=[1, 2, 3])
+
+
+def test_dml_journal_crash_rolls_forward_on_load(spark, emb, qv, monkeypatch):
+    """r8 verdict stretch #8: insert/vacuum commit through one journal
+    rename (the IVF-rebalance protocol). A crash right after the journal
+    — before any rename — must be repaired by load(): swapped graph,
+    applied tombstone action, meta consistent with the committed state."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    sub = emb.where(F.col("vec_id") < 300)
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_jcrash_"), "idx")
+    idx = HNSWIndex.build(
+        sub.where(F.col("vec_id") % 2 == 0), "embedding", "vec_id", path,
+        num_shards=2, m=8, ef_construction=48, seed=7,
+    )
+    idx.delete(spark, [4, 8])  # tombstones exist; insert of 4 untombstones
+
+    real = HNSWIndex._apply_dml_commit
+
+    def crash(p):
+        if os.path.exists(os.path.join(p, "dml_commit.json")):
+            raise RuntimeError("simulated crash at commit point")
+        return real(p)
+
+    monkeypatch.setattr(HNSWIndex, "_apply_dml_commit", staticmethod(crash))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.insert(sub.where(F.col("vec_id") % 2 == 1).unionByName(
+            sub.where(F.col("vec_id") == 4)
+        ))
+    assert os.path.exists(os.path.join(path, "dml_commit.json"))
+    monkeypatch.setattr(HNSWIndex, "_apply_dml_commit", staticmethod(real))
+
+    re = HNSWIndex.load(path, spark)  # roll-forward happens here
+    assert not os.path.exists(os.path.join(path, "dml_commit.json"))
+    assert not os.path.exists(os.path.join(path, "data_tmp"))
+    assert not os.path.exists(os.path.join(path, "dml_trash"))
+    assert not os.path.exists(os.path.join(path, "tombstones_tmp"))
+    assert re.meta["total_rows"] == sub.count()  # evens + odds + re-upsert 4
+    assert re.meta["n_tombstones"] == 1          # 4 untombstoned, 8 remains
+    n = re.meta["total_rows"]
+    got = [r["vec_id"] for r in re.search(spark, qv, k=5,
+                                          ef_search=int(n)).collect()]
+    assert got == _brute_ids(sub, qv, 5, exclude=[8])
+
+    # vacuum commits through the same journal; crash-free path sanity
+    re.vacuum(spark)
+    assert re.meta["n_tombstones"] == 0
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    got = [r["vec_id"] for r in re.search(spark, qv, k=5,
+                                          ef_search=int(n)).collect()]
+    assert got == _brute_ids(sub, qv, 5, exclude=[8])
