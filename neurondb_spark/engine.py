@@ -264,11 +264,11 @@ class NeuronSparkEngine:
         tiebreak: list[str] | None = None, **probe_params,
     ) -> DataFrame:
         """Batch form of :meth:`knn` — top-k for every (qid, vector) of a
-        small query batch in ONE plan per route: IVF joins the batch's
-        probe pairs against the partitioned layout (all queries share
-        one pruned scan), HNSW answers the whole batch in one graph pass
-        per shard, and the exact route is the broadcast kNN join. The
-        LSH index has no batch path — call :meth:`knn` per query."""
+        small query batch in ONE plan per route: IVF and LSH join the
+        batch's probe pairs (cluster ids / multi-probe buckets) against
+        their partitioned layouts (all queries share one pruned scan),
+        HNSW answers the whole batch in one graph pass per shard, and
+        the exact route is the broadcast kNN join."""
         with self.metrics.time("knn_batch"):
             decision = self._route(index, None, k=k, probe_params=probe_params)
             if decision["route"] == "ivf":
@@ -288,9 +288,13 @@ class NeuronSparkEngine:
                     ef_search=probe_params.get("ef_search", 64),
                 )
             if decision["route"] == "lsh":
-                raise ValueError(
-                    "neurondb: the lsh index has no batch search path; "
-                    "call knn() per query or use an ivf/hnsw index"
+                from neurondb_spark.index.lsh import LSHIndex
+
+                idx = LSHIndex.load(decision["meta"]["path"])
+                return idx.search_batch(
+                    self.spark, queries, k=k,
+                    probe_hamming=probe_params.get("probe_hamming", 1),
+                    tiebreak=tiebreak,
                 )
             from neurondb_spark.operators.knn import knn_batch as exact_batch
 

@@ -86,6 +86,8 @@ class LSHIndex:
         seed: int = 42,
         metric: str = "cosine",
     ) -> "LSHIndex":
+        from neurondb_spark.data_management import atomic_write_json
+
         planes = _hyperplanes(dim, nbits, seed)
         sig = signature_expr(vec_col, planes)
         df.withColumn("bucket", sig).write.mode("overwrite").partitionBy(
@@ -93,9 +95,7 @@ class LSHIndex:
         ).parquet(os.path.join(path, "data"))
         # row count recorded at build time (one metadata-only scan of the
         # just-written parquet) so query-time routing never runs a count job
-        total_rows = (
-            df.sparkSession.read.parquet(os.path.join(path, "data")).count()
-        )
+        written = df.sparkSession.read.parquet(os.path.join(path, "data"))
         meta = {
             "version": 1,
             "method": "lsh",
@@ -105,11 +105,13 @@ class LSHIndex:
             "nbits": nbits,
             "seed": seed,
             "planes": planes,
-            "total_rows": total_rows,
+            "total_rows": written.count(),
             "built_at": time.time(),
+            # cached layout schema: search reads with an explicit schema,
+            # skipping the per-query footer/inference job (IVF discipline)
+            "data_schema": written.schema.json(),
         }
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        atomic_write_json(os.path.join(path, "meta.json"), meta)
         return LSHIndex(path, meta)
 
     @staticmethod
@@ -132,6 +134,25 @@ class LSHIndex:
                 buckets.add(m)
         return sorted(buckets)
 
+    def _read_data(self, spark: SparkSession) -> DataFrame:
+        """Read the bucket-partitioned layout with the schema cached at
+        build time when available — no schema-inference job on the
+        search hot path (same discipline as IVF/HNSW). Note: a layout
+        wider than ``spark.sql.sources.parallelPartitionDiscovery.
+        threshold`` (default 32) directories still pays ONE parallel
+        file-listing job at construction; raise that threshold (or keep
+        nbits ≤ 5) if a fully job-free construction matters more than
+        listing latency on a large cluster."""
+        from pyspark.sql import types as T
+
+        p = os.path.join(self.path, "data")
+        sj = self.meta.get("data_schema")
+        if sj:
+            return spark.read.schema(
+                T.StructType.fromJson(json.loads(sj))
+            ).parquet(p)
+        return spark.read.parquet(p)
+
     def search(
         self,
         spark: SparkSession,
@@ -142,7 +163,7 @@ class LSHIndex:
         tiebreak: list[str] | None = None,
     ) -> DataFrame:
         buckets = self._query_buckets(query, probe_hamming)
-        df = spark.read.parquet(os.path.join(self.path, "data"))
+        df = self._read_data(spark)
         pruned = df.where(F.col("bucket").isin(buckets))
         d = distance(
             self.meta["vec_col"], _query_lit(query), self.meta["metric"],
@@ -151,3 +172,61 @@ class LSHIndex:
         out = pruned.withColumn(dist_col, d)
         order = [F.col(dist_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
         return out.orderBy(*order).limit(k)
+
+    def search_batch(
+        self,
+        spark: SparkSession,
+        queries,
+        k: int = 10,
+        probe_hamming: int = 1,
+        dist_col: str = "distance",
+        tiebreak: list[str] | None = None,
+    ) -> DataFrame:
+        """Batch multi-probe: every query's probe buckets become
+        (qid, bucket) pairs broadcast-joined against the
+        bucket-partitioned layout, so the whole batch shares ONE pruned
+        scan (the IVFIndex.search_batch shape; `lsh_batch_knn` is the
+        oracle-checked registry twin). ``queries`` is a list of
+        (qid, vector) pairs or a small DataFrame with (qid, vector)
+        columns — small by contract, broadcast. Returns per-query exact
+        top-k within each query's probed buckets:
+        (qid, <data columns>, dist_col)."""
+        from pyspark.sql import types as T
+        from pyspark.sql.window import Window
+
+        if isinstance(queries, DataFrame):
+            qrows = [(int(r[0]), r[1]) for r in queries.collect()]
+        else:
+            qrows = [(int(a), v) for a, v in queries]
+        qs = [(qid, [float(x) for x in vec]) for qid, vec in qrows]
+        probes = [
+            (qid, int(b))
+            for qid, q in qs for b in self._query_buckets(q, probe_hamming)
+        ]
+        pschema = T.StructType([
+            T.StructField("qid", T.LongType()),
+            T.StructField("bucket", T.LongType()),
+        ])
+        qschema = T.StructType([
+            T.StructField("qid", T.LongType()),
+            T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+        ])
+        pdf = spark.createDataFrame(probes, schema=pschema)
+        qdf = spark.createDataFrame(qs, schema=qschema)
+        df = self._read_data(spark)
+        cands = df.join(F.broadcast(pdf), "bucket").join(
+            F.broadcast(qdf), "qid"
+        )
+        d = distance(
+            self.meta["vec_col"], F.col("_qvec"), self.meta["metric"],
+            dim=self.meta["dim"], checked=False,
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col(dist_col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]
+        )
+        out = cands.withColumn(dist_col, d).drop("_qvec")
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(k))
+            .drop("_rn")
+        )

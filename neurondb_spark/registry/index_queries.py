@@ -1068,6 +1068,86 @@ FROM documents doc JOIN embeddings e ON doc.doc_id = e.vec_id CROSS JOIN q
 ORDER BY score DESC, doc.doc_id ASC LIMIT 12"""
 
 
+_LSH_NBITS = 8
+_LSH_BATCH_Q, _LSH_BATCH_K = 8, 5
+_lsh_cache: dict[str, "object"] = {}
+
+
+def _lsh_index_for(spark: SparkSession, sf_dir: str):
+    from neurondb_spark.index.lsh import LSHIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _lsh_cache:
+        return _lsh_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"neurondb_lsh{tag}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = LSHIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        idx = LSHIndex.build(
+            emb, "embedding", path, dim=EMB_DIM, nbits=_LSH_NBITS,
+            seed=42, metric="cosine",
+        )
+    _lsh_cache[key] = idx
+    return idx
+
+
+def _q_lsh_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH at full probe radius (probe_hamming = nbits
+    → every one of the 2^nbits buckets probed) is EXACT cosine top-k —
+    the oracle proves the bucket-partitioned layout + multi-probe
+    expansion lose nothing (the ivf_knn_full_probe contract; reference
+    analog: binary/sparse LSH search, src/search/sparse_search.c +
+    hnsw_am.c's bucketed fallbacks). Partial-radius recall is asserted
+    in tests/test_index.py."""
+    idx = _lsh_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    return idx.search(
+        spark, q, k=10, probe_hamming=_LSH_NBITS, tiebreak=["vec_id"]
+    ).select("vec_id", "distance")
+
+
+def _sql_lsh_full() -> str:
+    d = O.sql_cosine_distance("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
+def _q_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch LSH search (LSHIndex.search_batch): every query's probe
+    buckets become (qid, bucket) pairs broadcast-joined against the
+    bucket-partitioned layout — the whole batch shares one pruned scan
+    (the IVF batch shape, engine-routed via knn_batch). At full radius
+    each query's result is exact cosine top-k, so the brute-force
+    per-query oracle checks the probe-pair join, per-query ranking and
+    dedup end-to-end."""
+    idx = _lsh_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _LSH_BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return idx.search_batch(
+        spark, queries, k=_LSH_BATCH_K, probe_hamming=_LSH_NBITS,
+        tiebreak=["vec_id"],
+    ).select("qid", "vec_id", "distance")
+
+
+def _sql_lsh_batch() -> str:
+    d = O.sql_cosine_distance("e.embedding", "q.qe", EMB_DIM)
+    return f"""WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {_LSH_BATCH_Q})
+SELECT qid, vec_id, distance FROM (
+  SELECT q.qid, e.vec_id, {d} AS distance,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY {d} ASC, e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN qs q)
+WHERE rn <= {_LSH_BATCH_K}"""
+
+
 _RECALL_FLOOR = 0.9
 _RECALL_Q = 20  # query set: vec_id in [0, 20)
 _RECALL_K = 10
@@ -1159,6 +1239,8 @@ QUERIES = {
     "hnsw_knn_full_ef": (_q_hnsw_full, _sql_hnsw_full()),
     "hnsw_insert_delete_knn": (_q_hnsw_dml, _sql_hnsw_dml()),
     "ivfpq_knn_exact_limit": (_q_ivfpq_full, _sql_ivfpq_full()),
+    "lsh_knn_full_radius": (_q_lsh_full, _sql_lsh_full()),
+    "lsh_batch_knn": (_q_lsh_batch, _sql_lsh_batch()),
     # rows-only by design: recall of a graph beam / partial probe is not
     # SQL-expressible; the query itself raises below the 0.9 floor.
     "ann_recall_report": (_q_ann_recall, None),

@@ -93,10 +93,10 @@ def test_engine_knn_indexed_path_runs_no_count_job(spark):
 
 def test_engine_knn_batch_all_routes(spark):
     """knn_batch routes: exact broadcast join, IVF shared pruned scan,
-    HNSW one-pass-per-shard — each must agree with per-query knn()."""
+    HNSW one-pass-per-shard, LSH shared bucket-probe join — each must
+    agree with per-query knn()."""
     import tempfile
 
-    import pytest
     from pyspark.sql import functions as F
 
     from neurondb_spark.engine import NeuronSparkEngine
@@ -153,9 +153,16 @@ def test_engine_knn_batch_all_routes(spark):
                               ef_search=128).collect()]
             assert got[qid] == single, ("hnsw", qid)
 
-        eng.create_index("b_lsh", emb, "embedding", method="lsh", dim=64)
-        with pytest.raises(ValueError, match="no batch search path"):
-            eng.knn_batch(emb, "embedding", qrows, k=5, index="b_lsh")
+        eng.create_index("b_lsh", emb, "embedding", method="lsh", dim=64,
+                         nbits=6)
+        got = by_qid(eng.knn_batch(emb, "embedding", qrows, k=5,
+                                   index="b_lsh", probe_hamming=2,
+                                   tiebreak=["vec_id"]))
+        for qid, vec in qrows:
+            single = [r["vec_id"] for r in
+                      eng.knn(emb, "embedding", vec, k=5, index="b_lsh",
+                              probe_hamming=2, tiebreak=["vec_id"]).collect()]
+            assert got[qid] == single, ("lsh", qid)
     finally:
         eng.set_config("route.mode", "auto")
 

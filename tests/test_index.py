@@ -147,3 +147,63 @@ def test_ann_recall_floor_gate(spark):
              .search(spark, q, k=10, nprobe=10, tiebreak=["vec_id"]).collect()]
     assert assert_recall(got_h, want, 0.9) >= 0.9
     assert assert_recall(got_i, want, 0.9) >= 0.9
+
+
+def test_lsh_full_radius_is_exact_and_batch_agrees(spark):
+    """Full-radius multi-probe LSH equals brute-force cosine top-k, and
+    search_batch agrees with per-query search at a PARTIAL radius (same
+    probe buckets, shared pruned scan)."""
+    emb = _emb(spark)
+    from neurondb_spark.functions.distance import cosine_distance
+    from neurondb_spark.operators.knn import _query_lit
+    from neurondb_spark.registry.common import qvec
+    from neurondb_spark.registry.index_queries import _LSH_NBITS, _lsh_index_for
+
+    idx = _lsh_index_for(spark, SF_DIR)
+    q = qvec(spark, SF_DIR, 1)
+    got = [r["vec_id"] for r in idx.search(
+        spark, q, k=10, probe_hamming=_LSH_NBITS, tiebreak=["vec_id"]
+    ).collect()]
+    want = [r["vec_id"] for r in emb.select(
+        "vec_id", cosine_distance("embedding", _query_lit(q)).alias("d")
+    ).orderBy(F.col("d").asc(), F.col("vec_id").asc()).limit(10).collect()]
+    assert got == want
+
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(1, 4, 9)).collect()
+    ]
+    batch = {}
+    for r in idx.search_batch(spark, qrows, k=5, probe_hamming=2,
+                              tiebreak=["vec_id"]).collect():
+        batch.setdefault(r["qid"], []).append(r["vec_id"])
+    for qid, vec in qrows:
+        single = [r["vec_id"] for r in idx.search(
+            spark, vec, k=5, probe_hamming=2, tiebreak=["vec_id"]
+        ).collect()]
+        assert batch[qid] == single, qid
+
+
+def test_lsh_search_construction_runs_no_spark_job(spark):
+    """With the layout schema cached in meta, constructing an LSH search
+    launches zero Spark jobs (parity with the IVF/HNSW discipline).
+    Holds for layouts under the parallel-partition-discovery threshold
+    (32 dirs): nbits=4 -> 16 buckets; wider layouts pay one listing job
+    by design (documented in LSHIndex._read_data)."""
+    emb = _emb(spark)
+    from neurondb_spark.index import LSHIndex as LSH
+    from neurondb_spark.registry.common import qvec
+
+    path = os.path.join(tempfile.mkdtemp(prefix="lsh_nojob_"), "idx")
+    idx = LSH.build(emb.select("vec_id", "embedding"), "embedding", path,
+                    dim=64, nbits=4)
+    q = qvec(spark, SF_DIR, 1)
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh_nojob_probe", "search construction must be lazy")
+    try:
+        df = idx.search(spark, q, k=5, probe_hamming=1, tiebreak=["vec_id"])
+        jobs = sc.statusTracker().getJobIdsForGroup("lsh_nojob_probe")
+        assert list(jobs) == [], f"search construction ran Spark jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert df.count() >= 1
