@@ -165,6 +165,7 @@ class LSHIndex:
         buckets = self._query_buckets(query, probe_hamming)
         df = self._read_data(spark)
         pruned = df.where(F.col("bucket").isin(buckets))
+        pruned = self._apply_tombstones(spark, pruned)
         d = distance(
             self.meta["vec_col"], _query_lit(query), self.meta["metric"],
             dim=self.meta["dim"], checked=False,
@@ -224,9 +225,124 @@ class LSHIndex:
         w = Window.partitionBy("qid").orderBy(
             F.col(dist_col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]
         )
+        cands = self._apply_tombstones(spark, cands)
         out = cands.withColumn(dist_col, d).drop("_qvec")
         return (
             out.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= int(k))
             .drop("_rn")
         )
+
+    # --------------------------------------------------------------- DML
+
+    def insert(self, df_new: DataFrame) -> "LSHIndex":
+        """Incremental insert: new rows get their bucket signature from
+        the SAME hyperplane expression the build used and are appended
+        to their bucket partitions — append-only, no existing file
+        rewritten, one partitioned write of just the new rows (the IVF
+        aminsert shape). The hyperplanes are fixed at build time, so
+        bucket routing never drifts. Schema must match the indexed data
+        exactly (mixed-schema parquet reads silently drop columns)."""
+        from neurondb_spark.data_management import atomic_write_json
+
+        spark = df_new.sparkSession
+        existing = self._read_data(spark)
+        want = {
+            f.name: f.dataType for f in existing.schema.fields
+            if f.name != "bucket"
+        }
+        have = {f.name: f.dataType for f in df_new.schema.fields}
+        if have != want:
+            raise ValueError(
+                "neurondb: lsh insert schema mismatch — index data has "
+                f"{sorted((n, d.simpleString()) for n, d in want.items())} "
+                f"but df_new has "
+                f"{sorted((n, d.simpleString()) for n, d in have.items())}"
+            )
+        sig = signature_expr(self.meta["vec_col"], self.meta["planes"])
+        df_new.withColumn("bucket", sig).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(self.path, "data"))
+        self.meta["total_rows"] = spark.read.parquet(
+            os.path.join(self.path, "data")
+        ).count()
+        atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
+        return self
+
+    def delete(self, spark: SparkSession, ids: list[int],
+               id_col: str = "vec_id") -> None:
+        """Soft delete: tombstone ids; search anti-joins them out. The
+        tombstone key column is persisted in meta on the first delete;
+        later deletes with a DIFFERENT id_col raise rather than
+        producing a mixed-key tombstone set (the IVF contract)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from neurondb_spark.data_management import atomic_write_json
+
+        recorded = self.meta.get("tombstone_id_col")
+        if recorded is not None and recorded != id_col:
+            raise ValueError(
+                f"neurondb: lsh index at {self.path!r} already has "
+                f"tombstones keyed by {recorded!r}; cannot delete by "
+                f"{id_col!r} (vacuum first, or use the recorded column)"
+            )
+        pdf = pd.DataFrame({id_col: pd.Series(list(ids), dtype="int64")})
+        schema = T.StructType([T.StructField(id_col, T.LongType())])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "tombstones"))
+        if recorded is None:
+            self.meta["tombstone_id_col"] = id_col
+            atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
+
+    def _tombstones(self, spark: SparkSession) -> DataFrame | None:
+        p = os.path.join(self.path, "tombstones")
+        if not os.path.isdir(p):
+            return None
+        id_col = self.meta.get("tombstone_id_col", "vec_id")
+        tomb = spark.read.parquet(p)
+        if id_col not in tomb.columns:
+            raise ValueError(
+                f"neurondb: lsh tombstone files at {p!r} lack the "
+                f"recorded key column {id_col!r} (have {tomb.columns})"
+            )
+        return tomb.select(id_col).distinct()
+
+    def _apply_tombstones(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        tomb = self._tombstones(spark)
+        if tomb is None:
+            return df
+        tomb_col = tomb.columns[0]
+        if tomb_col not in df.columns:
+            # Never silently return soft-deleted rows (the IVF guard).
+            raise ValueError(
+                f"neurondb: lsh index at {self.path!r} has tombstones "
+                f"keyed by {tomb_col!r} but the data has no such column "
+                f"(data columns: {df.columns})"
+            )
+        return df.join(tomb, tomb_col, "left_anti")
+
+    def vacuum(self, spark: SparkSession) -> "LSHIndex":
+        """VACUUM analog: rewrite the bucket partitions without
+        tombstoned rows (layout and hyperplanes unchanged), via the
+        verified backup-keeping swap; then clear tombstones."""
+        import shutil
+
+        from neurondb_spark.data_management import _swap_in, atomic_write_json
+
+        tomb = self._tombstones(spark)
+        if tomb is None:
+            return self
+        data = os.path.join(self.path, "data")
+        live = spark.read.parquet(data).join(
+            tomb, self.meta.get("tombstone_id_col", "vec_id"), "left_anti"
+        )
+        tmp = os.path.join(self.path, "data_tmp")
+        live.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        _swap_in(spark, data, tmp)
+        shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
+        self.meta.pop("tombstone_id_col", None)
+        self.meta["total_rows"] = spark.read.parquet(data).count()
+        atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
+        return self

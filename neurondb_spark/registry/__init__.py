@@ -188,6 +188,9 @@ FORCE_RECHECK = frozenset({
     # commit/cleanup ordering changed. Re-verify every consumer of those
     # paths under the driver gate.
     "hnsw_insert_delete_knn", "hnsw_batch_knn", "ivf_rebalance_probe",
+    # Round-9: LSH search/search_batch gained the tombstone anti-join
+    # (DML support) — re-verify the existing LSH consumers.
+    "lsh_knn_full_radius", "lsh_batch_knn",
 })
 
 

@@ -1116,6 +1116,62 @@ FROM embeddings e CROSS JOIN q
 ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
 
 
+_lsh_dml_cache: dict[str, "object"] = {}
+
+
+def _lsh_dml_index_for(spark: SparkSession, sf_dir: str):
+    """Build on the even half, append-insert the odd half, tombstone
+    vec_id % 37 == 0 — the LSH DML lifecycle in one cached index."""
+    from neurondb_spark.index.lsh import LSHIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _lsh_dml_cache:
+        return _lsh_dml_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"neurondb_lshdml_b{_LSH_NBITS}_m37_{tag}"
+    )
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = LSHIndex.load(path)
+    else:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        idx = LSHIndex.build(
+            emb.where(F.col("vec_id") % 2 == 0), "embedding", path,
+            dim=EMB_DIM, nbits=_LSH_NBITS, seed=42, metric="cosine",
+        )
+        idx.insert(emb.where(F.col("vec_id") % 2 == 1))
+        deleted = [
+            r["vec_id"]
+            for r in emb.where(F.col("vec_id") % 37 == 0)
+            .select("vec_id").collect()
+        ]
+        idx.delete(spark, deleted)
+    _lsh_dml_cache[key] = idx
+    return idx
+
+
+def _q_lsh_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH DML lifecycle under the hash gate: half built, half appended
+    to its hyperplane bucket, 1/37 soft deleted. Full-radius search must
+    return the exact live cosine top-10 — a row appended to the wrong
+    bucket, lost in the append, or leaking through the tombstone
+    anti-join breaks the hash (the ivf_insert_delete_probe contract)."""
+    idx = _lsh_dml_index_for(spark, sf_dir)
+    q = qvec(spark, sf_dir)
+    return idx.search(
+        spark, q, k=10, probe_hamming=_LSH_NBITS, tiebreak=["vec_id"]
+    ).select("vec_id", "distance")
+
+
+def _sql_lsh_dml() -> str:
+    d = O.sql_cosine_distance("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id % 37 <> 0
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
 def _q_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch LSH search (LSHIndex.search_batch): every query's probe
     buckets become (qid, bucket) pairs broadcast-joined against the
@@ -1241,6 +1297,7 @@ QUERIES = {
     "ivfpq_knn_exact_limit": (_q_ivfpq_full, _sql_ivfpq_full()),
     "lsh_knn_full_radius": (_q_lsh_full, _sql_lsh_full()),
     "lsh_batch_knn": (_q_lsh_batch, _sql_lsh_batch()),
+    "lsh_insert_delete_knn": (_q_lsh_dml, _sql_lsh_dml()),
     # rows-only by design: recall of a graph beam / partial probe is not
     # SQL-expressible; the query itself raises below the 0.9 floor.
     "ann_recall_report": (_q_ann_recall, None),

@@ -207,3 +207,62 @@ def test_lsh_search_construction_runs_no_spark_job(spark):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert df.count() >= 1
+
+
+def test_lsh_dml_lifecycle(spark):
+    """LSH insert appends to the correct hyperplane bucket; delete
+    tombstones; vacuum rewrites without them; batch search agrees with
+    single search under tombstones; schema-mismatch insert raises."""
+    import pytest
+
+    from neurondb_spark.functions.distance import cosine_distance
+    from neurondb_spark.index import LSHIndex as LSH
+    from neurondb_spark.operators.knn import _query_lit
+    from neurondb_spark.registry.common import qvec
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    path = os.path.join(tempfile.mkdtemp(prefix="lsh_dml_"), "idx")
+    idx = LSH.build(emb.where(F.col("vec_id") % 2 == 0), "embedding", path,
+                    dim=64, nbits=5, metric="cosine")
+    idx.insert(emb.where(F.col("vec_id") % 2 == 1))
+    assert idx.meta["total_rows"] == emb.count()
+
+    q = qvec(spark, SF_DIR, 1)
+
+    def brute(exclude=()):
+        df = emb
+        if exclude:
+            df = df.where(~F.col("vec_id").isin(list(exclude)))
+        return [r["vec_id"] for r in df.select(
+            "vec_id", cosine_distance("embedding", _query_lit(q)).alias("d")
+        ).orderBy(F.col("d").asc(), F.col("vec_id").asc()).limit(5).collect()]
+
+    got = [r["vec_id"] for r in idx.search(
+        spark, q, k=5, probe_hamming=5, tiebreak=["vec_id"]).collect()]
+    assert got == brute()
+
+    dead = brute()[:2]
+    idx.delete(spark, dead)
+    got = [r["vec_id"] for r in idx.search(
+        spark, q, k=5, probe_hamming=5, tiebreak=["vec_id"]).collect()]
+    assert got == brute(exclude=dead)
+
+    # batch agrees with single under tombstones (partial radius)
+    qrows = [(1, q)]
+    batch = [r["vec_id"] for r in idx.search_batch(
+        spark, qrows, k=5, probe_hamming=2, tiebreak=["vec_id"]).collect()]
+    single = [r["vec_id"] for r in idx.search(
+        spark, q, k=5, probe_hamming=2, tiebreak=["vec_id"]).collect()]
+    assert batch == single
+
+    with pytest.raises(ValueError, match="delete by"):
+        idx.delete(spark, [3], id_col="other_id")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        idx.insert(emb.withColumnRenamed("vec_id", "id2"))
+
+    idx.vacuum(spark)
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    assert idx.meta["total_rows"] == emb.count() - len(dead)
+    got = [r["vec_id"] for r in idx.search(
+        spark, q, k=5, probe_hamming=5, tiebreak=["vec_id"]).collect()]
+    assert got == brute(exclude=dead)
