@@ -168,6 +168,130 @@ SELECT vec_id, MAX(abs(x - rt)) AS fp16_max_err
 FROM p4 GROUP BY vec_id HAVING MAX(abs(x - rt)) < 1.0"""
 
 
+_CDC_DEAD_MOD = 43
+_CDC_NLISTS = 4
+_ivf_cdc_drained: set[str] = set()
+
+
+def _ivf_cdc_paths(sf_dir: str) -> tuple[str, str, str]:
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"neurondb_ivfcdc_m{_CDC_DEAD_MOD}_nl{_CDC_NLISTS}{tag}",
+    )
+    return (
+        os.path.join(base, "idx"),
+        os.path.join(base, "ops"),
+        os.path.join(base, "work"),
+    )
+
+
+def _cdc_ops_schema(emb: DataFrame):
+    from pyspark.sql import types as T
+
+    emb_type = {f.name: f.dataType for f in emb.schema.fields}["embedding"]
+    return T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", emb_type),
+        T.StructField("op", T.StringType()),
+    ])
+
+
+def _q_stream_ivf_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingestion into an IVF index under the hash gate
+    (vector_wal.c replay + ivf_am.c aminsert as a Structured Streaming
+    drain, streaming/index_ingest.py): the index is built on the even
+    vec_ids; the odd half arrives as op='i' rows and every
+    vec_id % 43 == 0 as op='d' rows, shuffled across 3 source files so
+    micro-batch composition varies; foreachBatch applies each batch
+    through the index's own journaled DML (intent/undo exactly-once on
+    the append-only layout). Full-probe search must then return the
+    exact live top-10 — a row routed to the wrong list, double-applied
+    on replay, lost in the drain, or leaking through the tombstone
+    anti-join breaks the hash. Deletes are order-independent tombstones,
+    so a 'd' arriving before its 'i' still wins. Same infra-only batch
+    fallback contract as the other stream rows (strict mode raises);
+    the twin REBUILDS from scratch first — batch-applying ops over a
+    partially drained append-only index would duplicate rows."""
+    import glob
+    import shutil
+
+    from neurondb_spark.index.ivf import IVFIndex
+    from neurondb_spark.streaming import strict_stream
+    from neurondb_spark.streaming.index_ingest import (
+        index_cdc_batch,
+        index_cdc_drain,
+    )
+
+    idx_path, src, work = _ivf_cdc_paths(sf_dir)
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    schema = _cdc_ops_schema(emb)
+    if not os.path.isdir(src):
+        emb_type = {f.name: f.dataType for f in emb.schema.fields}["embedding"]
+        ins = emb.where(F.col("vec_id") % 2 == 1).withColumn("op", F.lit("i"))
+        dels = emb.where(F.col("vec_id") % _CDC_DEAD_MOD == 0).select(
+            "vec_id",
+            F.lit(None).cast(emb_type).alias("embedding"),
+            F.lit("d").alias("op"),
+        )
+        ins.select("vec_id", "embedding", "op").unionByName(dels).repartition(
+            3
+        ).write.mode("overwrite").parquet(src)
+
+    def _build() -> IVFIndex:
+        return IVFIndex.build(
+            emb.where(F.col("vec_id") % 2 == 0), "embedding", idx_path,
+            nlists=_CDC_NLISTS, metric="l2", dim=COMPILE_DIM,
+        )
+
+    idx = (
+        IVFIndex.load(idx_path)
+        if os.path.exists(os.path.join(idx_path, "meta.json"))
+        else _build()
+    )
+    key = sf_dir.rstrip("/")
+    if key not in _ivf_cdc_drained:
+        ok = False
+        try:
+            index_cdc_drain(spark, src, schema, idx, work)
+            ok = bool(glob.glob(
+                os.path.join(idx_path, "ingest_journal", "batch_*.json")
+            ))
+        except StreamingQueryException as e:
+            if strict_stream():
+                raise  # sims verify the STREAMING path; no silent twin
+            print(f"neurondb: stream_ivf_cdc streaming drain failed, "
+                  f"using rebuild + batch twin: {e}", file=sys.stderr)
+        if not ok:
+            if strict_stream():
+                raise RuntimeError(
+                    "neurondb: stream_ivf_cdc drain committed no batches "
+                    "under NEURONDB_STRICT_STREAM=1 (wedged stream?)"
+                )
+            for p in (idx_path, work):
+                shutil.rmtree(p, ignore_errors=True)
+            idx = _build()
+            index_cdc_batch(spark, src, schema, idx)
+        _ivf_cdc_drained.add(key)
+    q = qvec(spark, sf_dir)
+    return idx.search(
+        spark, q, k=10, nprobe=_CDC_NLISTS, tiebreak=["vec_id"]
+    ).select("vec_id", "distance")
+
+
+def _sql_stream_ivf_cdc() -> str:
+    from neurondb_spark.registry.common import QVEC_CTE
+
+    d = O.sql_l2("e.embedding", "q.qe", EMB_DIM)
+    return f"""{QVEC_CTE}
+SELECT e.vec_id, {d} AS distance
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id % {_CDC_DEAD_MOD} <> 0
+ORDER BY distance ASC, e.vec_id ASC LIMIT 10"""
+
+
 def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-dedup as a Structured Streaming aggregation
     (streaming/dedup.py): drain the documents corpus through a
@@ -572,6 +696,7 @@ QUERIES = {
     "compact_roundtrip": (_q_compact_roundtrip, _sql_compact_roundtrip()),
     "stream_exact_dedup": (_q_stream_exact_dedup, _sql_stream_exact_dedup()),
     "stream_lsh_neardup": (_q_stream_lsh_neardup, _sql_stream_lsh_neardup()),
+    "stream_ivf_cdc_knn": (_q_stream_ivf_cdc, _sql_stream_ivf_cdc()),
     "stream_job_queue": (_q_stream_queue, _SQL_STREAM_QUEUE),
     "stream_monitor_window": (_q_stream_monitor, _SQL_STREAM_MONITOR),
 }

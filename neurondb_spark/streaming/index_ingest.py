@@ -1,0 +1,199 @@
+"""Streaming CDC ingestion into vector indexes (§2.13 × §2.5/§2.11).
+
+Reference analog: the index WAL + background maintenance workers
+(NeuronDB/src/storage/vector_wal.c, NeuronDB/src/index/ivf_am.c
+aminsert, NeuronDB/src/worker/*) — an index stays current as inserts
+and deletes land, and replaying the log after a crash must not
+duplicate or lose rows. Spark-first form: ``readStream`` over an ops
+source → ``foreachBatch`` applying each micro-batch through the
+index's OWN DML (insert routes rows with the index's build-time
+expression; delete tombstones), made exactly-once on top of
+foreachBatch's at-least-once delivery by a per-batch applied-journal
+kept inside the index directory.
+
+Works against any of the three layouts — IVFIndex, LSHIndex and
+HNSWIndex share the ``insert(df)`` / ``delete(spark, ids)`` contract:
+
+- **IVF / LSH** (append-only DML): before applying a batch, the drain
+  records the data dir's file listing in an ``intent`` journal entry;
+  after applying, the intent is atomically renamed to the committed
+  marker. A replayed batch whose marker exists is skipped; a replay
+  that finds an un-committed intent first UNDOES the partial append
+  (deletes data files not in the recorded listing) and re-applies.
+  Tombstone appends need no undo — search applies ``distinct()`` over
+  tombstone ids, so a duplicated delete file is semantically inert.
+- **HNSW**: insert is an internally-journaled backup-keeping swap with
+  UPSERT semantics (re-inserting the same ids replaces, never
+  duplicates), so a replayed batch is idempotent without an undo
+  journal; the marker only short-circuits the wasted work.
+
+At 100 TB: each micro-batch's insert is one partitioned append of just
+the new rows (IVF: routed by the frozen centroids; LSH: by the frozen
+hyperplanes) — the natural continuous-embedding-ingest shape. The
+journal is O(files) metadata in the index dir, the streaming
+checkpoint bounds re-reads, and the single-writer contract the index
+handles already enforce makes the listing-diff undo exact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neurondb_spark.data_management import atomic_write_json
+
+_JOURNAL_DIR = "ingest_journal"
+
+
+def _data_listing(index_path: str) -> list[str]:
+    """Relative paths of every file under the index's data dir."""
+    root = os.path.join(index_path, "data")
+    out: list[str] = []
+    for base, _dirs, files in os.walk(root):
+        rel = os.path.relpath(base, root)
+        for f in files:
+            out.append(os.path.normpath(os.path.join(rel, f)))
+    return sorted(out)
+
+
+def _undo_partial_append(index_path: str, keep: set[str]) -> None:
+    """Remove data files a crashed, un-committed batch appended (files
+    not in the intent's recorded listing). Append-only DML never
+    rewrites an existing file, so deleting the extras restores the
+    pre-batch state exactly."""
+    root = os.path.join(index_path, "data")
+    for base, _dirs, files in os.walk(root):
+        rel = os.path.relpath(base, root)
+        for f in files:
+            p = os.path.normpath(os.path.join(rel, f))
+            if p not in keep:
+                os.remove(os.path.join(base, f))
+
+
+def apply_cdc_batch(
+    index,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    op_col: str = "op",
+    id_col: str = "vec_id",
+    append_only: bool = True,
+) -> None:
+    """Apply one CDC micro-batch (rows tagged ``op_col`` = 'i' | 'd')
+    through the index's DML, exactly once per ``batch_id``.
+
+    Exposed separately from the drain so a batch twin (and tests) can
+    run the identical journaled apply path without a streaming query.
+    """
+    spark = batch_df.sparkSession
+    jdir = os.path.join(index.path, _JOURNAL_DIR)
+    os.makedirs(jdir, exist_ok=True)
+    marker = os.path.join(jdir, f"batch_{batch_id}.json")
+    intent = os.path.join(jdir, f"batch_{batch_id}.intent.json")
+    if os.path.exists(marker):
+        return  # replayed batch, already committed
+    if append_only:
+        if os.path.exists(intent):
+            # crashed mid-apply: undo the partial append, then re-apply
+            with open(intent) as fh:
+                rec = json.load(fh)
+            _undo_partial_append(index.path, set(rec["data_files"]))
+        atomic_write_json(
+            intent, {"batch_id": int(batch_id),
+                     "data_files": _data_listing(index.path)},
+        )
+    bad = batch_df.where(~F.col(op_col).isin("i", "d")).select(op_col)
+    bad_ops = [r[op_col] for r in bad.distinct().collect()]
+    if bad_ops:
+        raise ValueError(
+            f"neurondb: cdc batch {batch_id} has unknown ops {bad_ops!r} "
+            f"(expected 'i' or 'd' in column {op_col!r})"
+        )
+    ins = batch_df.where(F.col(op_col) == "i").drop(op_col)
+    n_ins = ins.count()
+    if n_ins:
+        index.insert(ins)
+    dels = [
+        r[id_col]
+        for r in batch_df.where(F.col(op_col) == "d").select(id_col).collect()
+    ]
+    if dels:
+        index.delete(spark, dels)
+    committed = {
+        "batch_id": int(batch_id), "inserted": int(n_ins),
+        "deleted": len(dels),
+    }
+    if append_only:
+        atomic_write_json(intent, {
+            **json.load(open(intent)), **committed,
+        })
+        os.replace(intent, marker)  # the commit point
+    else:
+        atomic_write_json(marker, committed)
+
+
+def index_cdc_drain(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    index,
+    work_dir: str,
+    *,
+    op_col: str = "op",
+    id_col: str = "vec_id",
+    append_only: bool = True,
+) -> None:
+    """Run-once drain of a CDC ops source into ``index``.
+
+    ``src_dir`` holds parquet rows shaped like the index's data plus an
+    ``op_col`` ('i' inserts the row; 'd' tombstones its ``id_col`` —
+    which must be the index's own id column, the one ``delete`` keys).
+    Order-independent by construction: inserts land in build-routed
+    partitions whatever batch they ride in, and deletes are tombstones
+    applied at search time, so a delete arriving before its insert
+    still wins. ``Trigger.AvailableNow`` + checkpoint = the reference's
+    run-once WAL drain; re-running after new files land continues from
+    the checkpoint.
+
+    Set ``append_only=False`` for HNSW (its insert is an internally
+    journaled upsert-swap; the listing-undo protocol would fight the
+    shard rewrite)."""
+    ckpt = os.path.join(work_dir, "ckpt")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: apply_cdc_batch(
+                index, bdf, bid, op_col=op_col, id_col=id_col,
+                append_only=append_only,
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def index_cdc_batch(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    index,
+    *,
+    op_col: str = "op",
+    id_col: str = "vec_id",
+    append_only: bool = True,
+) -> None:
+    """Batch twin: one journaled apply of the whole ops source (the
+    same code path the streaming drain runs per micro-batch, with a
+    single synthetic batch id)."""
+    df = spark.read.schema(schema).parquet(src_dir)
+    apply_cdc_batch(
+        index, df, batch_id=-1, op_col=op_col, id_col=id_col,
+        append_only=append_only,
+    )
