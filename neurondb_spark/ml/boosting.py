@@ -1,0 +1,167 @@
+"""Exact fixed-round gradient boosting over depth-1 stumps (§2.8).
+
+Reference analog: the gradient-boosting family
+(NeuronDB/src/ml/ml_xgboost.c:349-449 — n_estimators / max_depth /
+learning_rate loop; NeuronDB/src/ml/ml_lightgbm.c) and the histogram
+split search of NeuronDB/src/ml/ml_decision_tree.c:1091. Library GBT
+training is seeded/threaded and not value-replayable, so — like
+`kmeans_fixed_lloyd` and `als_fixed_alternations` — this is the exact
+fixed-iteration twin that CAN sit under the hash gate: squared-error
+boosting, T rounds, each round fitting one regression stump chosen
+from a FIXED (feature, threshold) candidate grid by exact variance
+reduction, leaf values = exact decimal residual means.
+
+Determinism contract (the house recipe, oracle-parity):
+
+- residual sums per candidate via DECIMAL(38,6) (`dsum`) — order
+  independent, so identical under any partitioning and in DuckDB;
+- leaf means = double(sum)/count, score = nl·ml² + nr·mr² with fixed
+  left-associative double arithmetic — IEEE-identical in Python, Spark
+  and DuckDB;
+- winner = argmax score, ties broken (feature ASC, threshold ASC);
+- prediction = base + Σ_t lr·leaf_t accumulated left-to-right.
+
+Scale: each round is ONE map-side-combined aggregate computing
+2·|grid|+2 conditional sums over the full table (the classic
+histogram-based split search every distributed tree trainer uses —
+the driver sees |grid| numbers, never rows), then the chosen stump is
+folded into a pure literal CASE expression. T rounds = T scans; no
+shuffle wider than the aggregate, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neurondb_spark import oracle as O
+from neurondb_spark.functions.aggregates import davg, dsum
+
+
+def gbt_fixed_stumps(
+    df: DataFrame,
+    grid: dict[str, list[float]],
+    y_col: str,
+    rounds: int = 3,
+    lr: float = 0.5,
+) -> tuple[dict, Column]:
+    """Train T fixed-grid stumps on squared-error residuals.
+
+    Returns ``(model, pred_col)`` where ``model`` records the base
+    prediction and per-round ``(feature, threshold, left_leaf,
+    right_leaf)`` (leaf values already scaled by ``lr``), and
+    ``pred_col`` is the pure-expression prediction column (a literal
+    CASE chain — usable in any later select, no Python).
+    """
+    cands = [(f, thr) for f in sorted(grid) for thr in grid[f]]
+    y = F.col(y_col).cast("double")
+
+    base = df.agg(davg(y).alias("b")).head()["b"]
+    pred = F.lit(float(base))
+    model = {"base": float(base), "lr": float(lr), "stumps": []}
+
+    for _t in range(rounds):
+        r = y - pred
+        aggs = [F.count(F.lit(1)).alias("nt"), dsum(r).alias("st")]
+        for i, (f, thr) in enumerate(cands):
+            left = F.col(f).cast("double") <= F.lit(float(thr))
+            aggs.append(F.count(F.when(left, 1)).alias(f"n{i}"))
+            aggs.append(dsum(F.when(left, r)).alias(f"s{i}"))
+        row = df.agg(*aggs).head()
+        nt, st = row["nt"], row["st"]
+        best = None  # (-score, feature, threshold, ml, mr)
+        for i, (f, thr) in enumerate(cands):
+            nl, sl = row[f"n{i}"], row[f"s{i}"]
+            nr = nt - nl
+            if nl == 0 or nr == 0:
+                continue
+            sr = st - sl
+            ml, mr = sl / nl, sr / nr
+            score = nl * ml * ml + nr * mr * mr
+            key = (-score, f, thr)
+            if best is None or key < best[:3]:
+                best = (key[0], f, thr, ml, mr)
+        if best is None:  # degenerate grid: nothing splits — stop early
+            break
+        _ns, f, thr, ml, mr = best
+        lml, lmr = lr * ml, lr * mr
+        model["stumps"].append(
+            {"feature": f, "threshold": float(thr),
+             "left": float(lml), "right": float(lmr)}
+        )
+        pred = pred + F.when(
+            F.col(f).cast("double") <= F.lit(float(thr)), F.lit(float(lml))
+        ).otherwise(F.lit(float(lmr)))
+    return model, pred
+
+
+def sql_gbt_fixed_stumps(
+    base_cte: str,
+    grid: dict[str, list[float]],
+    rounds: int = 3,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB CTE chain replaying :func:`gbt_fixed_stumps` end to end —
+    the split SEARCH runs in SQL too (grid cross join → exact decimal
+    sums → argmax with the same tie-break), so a drifted candidate
+    score, winner, or leaf value breaks the hash, not just a drifted
+    final prediction.
+
+    ``base_cte`` must define a relation ``d`` with the feature columns,
+    a DOUBLE ``y``, and any pass-through key columns. The chain ends in
+    a relation ``r{rounds}`` with the same columns plus ``pred``.
+    """
+    feats = sorted(grid)
+    vals = ", ".join(
+        f"('{f}', {O.dlit(float(thr))})" for f in feats for thr in grid[f]
+    )
+    fcase = (
+        "CASE g.f "
+        + " ".join(f"WHEN '{f}' THEN CAST(x.{f} AS DOUBLE)" for f in feats)
+        + " END"
+    )
+    wcase = (
+        "CASE w.f "
+        + " ".join(f"WHEN '{f}' THEN CAST(x.{f} AS DOUBLE)" for f in feats)
+        + " END"
+    )
+    lrl = O.dlit(float(lr))
+    parts = [
+        base_cte,
+        f"grid(f, thr) AS (VALUES {vals})",
+        f"r0 AS (SELECT d.*, d.y - b.base AS r, b.base AS pred FROM d"
+        f" CROSS JOIN (SELECT {O.davg('y')} AS base FROM d) b)",
+    ]
+    for t in range(1, rounds + 1):
+        p = f"r{t - 1}"
+        parts.append(
+            f"""c{t} AS (
+  SELECT g.f, g.thr,
+         SUM(CASE WHEN {fcase} <= g.thr THEN 1 ELSE 0 END) AS nl,
+         {O.dsum(f"CASE WHEN {fcase} <= g.thr THEN x.r END")} AS sl,
+         COUNT(*) AS nt, {O.dsum('x.r')} AS st
+  FROM {p} x CROSS JOIN grid g GROUP BY g.f, g.thr)"""
+        )
+        parts.append(
+            f"""w{t} AS (
+  SELECT f, thr, sl / CAST(nl AS DOUBLE) AS ml,
+         (st - sl) / CAST(nt - nl AS DOUBLE) AS mr
+  FROM c{t} WHERE nl > 0 AND nt - nl > 0
+  ORDER BY (CAST(nl AS DOUBLE) * (sl / CAST(nl AS DOUBLE))
+              * (sl / CAST(nl AS DOUBLE))
+            + CAST(nt - nl AS DOUBLE)
+              * ((st - sl) / CAST(nt - nl AS DOUBLE))
+              * ((st - sl) / CAST(nt - nl AS DOUBLE))) DESC,
+           f ASC, thr ASC
+  LIMIT 1)"""
+        )
+        parts.append(
+            f"""r{t} AS (
+  SELECT x.* EXCLUDE (r, pred),
+         x.y - (x.pred + CASE WHEN {wcase} <= w.thr
+                              THEN {lrl} * w.ml ELSE {lrl} * w.mr END) AS r,
+         x.pred + CASE WHEN {wcase} <= w.thr
+                       THEN {lrl} * w.ml ELSE {lrl} * w.mr END AS pred
+  FROM {p} x CROSS JOIN w{t} w)"""
+        )
+    return "WITH " + ",\n".join(parts)

@@ -868,8 +868,56 @@ _SQL_AUTOML_AB = """SELECT
 FROM embeddings GROUP BY 1 ORDER BY 1"""
 
 
+_GBT_GRID = {
+    "l_quantity": [10.0, 20.0, 30.0, 40.0],
+    "l_discount": [0.02, 0.04, 0.06, 0.08],
+    "l_tax": [0.02, 0.04, 0.06],
+}
+_GBT_ROUNDS, _GBT_LR = 3, 0.5
+
+
+def _q_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-round gradient boosting (ml/boosting.py — the
+    ml_xgboost.c:349-449 / ml_lightgbm.c twin, the kmeans_fixed_lloyd
+    playbook applied to boosting): 3 squared-error rounds of depth-1
+    stumps on l_extendedprice ~ (l_quantity, l_discount, l_tax), split
+    chosen from a fixed threshold grid by exact variance reduction
+    (decimal residual sums), leaf values = lr·(exact residual means).
+    Trains on the FULL table under the hash gate — the oracle replays
+    the split search itself, so a drifted candidate score, winner, or
+    leaf breaks the hash — and emits predictions for a 1/97 key slice."""
+    from neurondb_spark.ml.boosting import gbt_fixed_stumps
+
+    li = t(spark, sf_dir, "lineitem")
+    _model, pred = gbt_fixed_stumps(
+        li, _GBT_GRID, "l_extendedprice", rounds=_GBT_ROUNDS, lr=_GBT_LR
+    )
+    return li.where(F.col("l_orderkey") % 97 == 1).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        pred.alias("gbt_pred"),
+    )
+
+
+def _sql_gbt_stumps() -> str:
+    from neurondb_spark.ml.boosting import sql_gbt_fixed_stumps
+
+    base = """d AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS INT) AS l_linenumber,
+         l_quantity, l_discount, l_tax,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem)"""
+    chain = sql_gbt_fixed_stumps(base, _GBT_GRID, rounds=_GBT_ROUNDS,
+                                 lr=_GBT_LR)
+    return f"""{chain}
+SELECT l_orderkey, l_linenumber, pred AS gbt_pred
+FROM r{_GBT_ROUNDS} WHERE l_orderkey % 97 = 1"""
+
+
 QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
+    "gbt_fixed_stumps": (_q_gbt_stumps, _sql_gbt_stumps()),
     "ridge_closed_form": (_q_ridge, _sql_ridge()),
     "bernoulli_nb_lang": (_q_bernoulli_nb, _sql_bernoulli_nb()),
     "linreg_eval_metrics": (_q_linreg_eval, _sql_linreg_eval()),

@@ -236,3 +236,53 @@ def test_decision_stump_planted_split(spark):
     assert best["threshold"] == 5.0
     assert best["weighted_gini"] == 0.0
     assert best["n_left"] == 35 and best["n_right"] == 35
+
+
+def test_gbt_fixed_stumps_planted_structure(spark):
+    """y is a pure two-level step on x -> round 1 must pick the planted
+    threshold with leaf means equal to lr*(level - mean); further rounds
+    shrink SSE monotonically; prediction column is a pure expression."""
+    from neurondb_spark.functions.aggregates import dsum
+    from neurondb_spark.ml.boosting import gbt_fixed_stumps
+
+    rows = [(float(x), 100.0 if x <= 5 else 200.0)
+            for x in range(1, 11) for _ in range(3)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    grid = {"x": [3.0, 5.0, 7.0]}
+    model, pred = gbt_fixed_stumps(df, grid, "y", rounds=2, lr=0.5)
+    assert model["base"] == 150.0
+    s0 = model["stumps"][0]
+    assert s0["feature"] == "x" and s0["threshold"] == 5.0
+    assert s0["left"] == 0.5 * -50.0 and s0["right"] == 0.5 * 50.0
+
+    def sse(p):
+        r = F.col("y").cast("double") - p
+        return df.agg(dsum(r * r).alias("s")).head()["s"]
+
+    base_sse = sse(F.lit(model["base"]))
+    cur = F.lit(model["base"])
+    last = base_sse
+    for st in model["stumps"]:
+        cur = cur + F.when(
+            F.col(st["feature"]).cast("double") <= F.lit(st["threshold"]),
+            F.lit(st["left"])).otherwise(F.lit(st["right"]))
+        now = sse(cur)
+        assert now < last
+        last = now
+
+    # pred is a literal CASE chain — applies to any frame with the col
+    other = spark.createDataFrame([(2.0,), (9.0,)], ["x"])
+    got = [r["p"] for r in other.select(pred.alias("p")).collect()]
+    assert got[0] == 150.0 - 25.0 + model["stumps"][1]["left" if 2.0 <= model["stumps"][1]["threshold"] else "right"]
+
+
+def test_gbt_fixed_stumps_degenerate_grid_stops(spark):
+    """No candidate splits the data (threshold beyond the range on both
+    sides) -> zero stumps, prediction is the exact base mean."""
+    from neurondb_spark.ml.boosting import gbt_fixed_stumps
+
+    df = spark.createDataFrame([(1.0, 10.0), (2.0, 20.0)], ["x", "y"])
+    model, pred = gbt_fixed_stumps(df, {"x": [100.0]}, "y", rounds=3, lr=0.5)
+    assert model["stumps"] == []
+    got = [r["p"] for r in df.select(pred.alias("p")).collect()]
+    assert got == [15.0, 15.0]
