@@ -85,14 +85,79 @@ def gbt_fixed_stumps(
             break
         _ns, f, thr, ml, mr = best
         lml, lmr = lr * ml, lr * mr
+        i = cands.index((f, thr))
+        nl = row[f"n{i}"]
+        # background expectation of this stump over the training set —
+        # the exact-SHAP anchor (see gbt_shap_cols)
+        ex = (nl * lml + (nt - nl) * lmr) / nt
         model["stumps"].append(
             {"feature": f, "threshold": float(thr),
-             "left": float(lml), "right": float(lmr)}
+             "left": float(lml), "right": float(lmr),
+             "n_left": int(nl), "n_total": int(nt),
+             "expected": float(ex)}
         )
         pred = pred + F.when(
             F.col(f).cast("double") <= F.lit(float(thr)), F.lit(float(lml))
         ).otherwise(F.lit(float(lmr)))
     return model, pred
+
+
+def gbt_shap_cols(
+    model: dict, features: list[str]
+) -> dict[str, Column]:
+    """Exact SHAP attributions for the stump ensemble (the reference's
+    XAI surface, NeuronDB/src/ml/ml_explainable_ai.c, made exact): a
+    depth-1 tree touches one feature, so its Shapley value is
+    closed-form — φ_f(x) = Σ_{trees on f} (leaf_t(x) − E[leaf_t]),
+    with the background expectation taken over the training set
+    (recorded per stump at fit time). Additivity holds exactly:
+    base + Σ_t E[leaf_t] + Σ_f φ_f(x) == prediction(x), double for
+    double — checkable under the hash gate.
+
+    Returns one pure-expression Column per feature. Each φ is a fixed
+    left-associative sum over ALL rounds (0.0 terms for other
+    features) so the oracle can replay the identical accumulation.
+    """
+    out: dict[str, Column] = {}
+    for f in features:
+        phi: Column | None = None
+        for s in model["stumps"]:
+            if s["feature"] == f:
+                term = F.when(
+                    F.col(f).cast("double") <= F.lit(s["threshold"]),
+                    F.lit(s["left"]),
+                ).otherwise(F.lit(s["right"])) - F.lit(s["expected"])
+            else:
+                term = F.lit(0.0)
+            phi = term if phi is None else phi + term
+        out[f] = phi if phi is not None else F.lit(0.0)
+    return out
+
+
+def sql_gbt_shap(
+    grid: dict[str, list[float]], rounds: int, lr: float
+) -> dict[str, str]:
+    """Oracle twin of :func:`gbt_shap_cols`: per-feature φ expressions
+    over a row alias ``x`` cross-joined with the ``w{t}`` winner CTEs
+    of :func:`sql_gbt_fixed_stumps` (aliased ``w1..w{rounds}``). The
+    term structure — one addend per round, 0.0 when the round's winner
+    is another feature — mirrors the Spark accumulation exactly."""
+    feats = sorted(grid)
+    lrl = O.dlit(float(lr))
+    out: dict[str, str] = {}
+    for f in feats:
+        terms = []
+        for t in range(1, rounds + 1):
+            leaf = (
+                f"CASE WHEN CAST(x.{f} AS DOUBLE) <= w{t}.thr "
+                f"THEN {lrl} * w{t}.ml ELSE {lrl} * w{t}.mr END"
+            )
+            terms.append(
+                f"(CASE WHEN w{t}.f = '{f}' THEN {leaf} - w{t}.ex "
+                f"ELSE CAST(0.0 AS DOUBLE) END)"
+            )
+        out[f] = "(" + " + ".join(terms) + ")"
+    return out
 
 
 def sql_gbt_fixed_stumps(
@@ -145,7 +210,11 @@ def sql_gbt_fixed_stumps(
         parts.append(
             f"""w{t} AS (
   SELECT f, thr, sl / CAST(nl AS DOUBLE) AS ml,
-         (st - sl) / CAST(nt - nl AS DOUBLE) AS mr
+         (st - sl) / CAST(nt - nl AS DOUBLE) AS mr,
+         (CAST(nl AS DOUBLE) * ({lrl} * (sl / CAST(nl AS DOUBLE)))
+          + CAST(nt - nl AS DOUBLE)
+            * ({lrl} * ((st - sl) / CAST(nt - nl AS DOUBLE))))
+           / CAST(nt AS DOUBLE) AS ex
   FROM c{t} WHERE nl > 0 AND nt - nl > 0
   ORDER BY (CAST(nl AS DOUBLE) * (sl / CAST(nl AS DOUBLE))
               * (sl / CAST(nl AS DOUBLE))

@@ -876,6 +876,21 @@ _GBT_GRID = {
 _GBT_ROUNDS, _GBT_LR = 3, 0.5
 
 
+_gbt_cache: dict[str, tuple] = {}
+
+
+def _gbt_model_for(spark: SparkSession, sf_dir: str):
+    from neurondb_spark.ml.boosting import gbt_fixed_stumps
+
+    key = sf_dir.rstrip("/")
+    if key not in _gbt_cache:
+        li = t(spark, sf_dir, "lineitem")
+        _gbt_cache[key] = gbt_fixed_stumps(
+            li, _GBT_GRID, "l_extendedprice", rounds=_GBT_ROUNDS, lr=_GBT_LR
+        )
+    return _gbt_cache[key]
+
+
 def _q_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fixed-round gradient boosting (ml/boosting.py — the
     ml_xgboost.c:349-449 / ml_lightgbm.c twin, the kmeans_fixed_lloyd
@@ -886,12 +901,8 @@ def _q_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trains on the FULL table under the hash gate — the oracle replays
     the split search itself, so a drifted candidate score, winner, or
     leaf breaks the hash — and emits predictions for a 1/97 key slice."""
-    from neurondb_spark.ml.boosting import gbt_fixed_stumps
-
     li = t(spark, sf_dir, "lineitem")
-    _model, pred = gbt_fixed_stumps(
-        li, _GBT_GRID, "l_extendedprice", rounds=_GBT_ROUNDS, lr=_GBT_LR
-    )
+    _model, pred = _gbt_model_for(spark, sf_dir)
     return li.where(F.col("l_orderkey") % 97 == 1).select(
         F.col("l_orderkey").cast("long").alias("l_orderkey"),
         F.col("l_linenumber").cast("int").alias("l_linenumber"),
@@ -915,9 +926,60 @@ SELECT l_orderkey, l_linenumber, pred AS gbt_pred
 FROM r{_GBT_ROUNDS} WHERE l_orderkey % 97 = 1"""
 
 
+def _q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAP attributions for the boosted-stump model — the XAI
+    surface (ml_explainable_ai.c) made value-exact: for depth-1 trees
+    the Shapley value is closed-form, φ_f(x) = Σ_{trees on f}
+    (leaf_t(x) − E_train[leaf_t]), with the background expectation
+    recorded per stump at fit time. Additivity base + ΣE + Σφ == pred
+    holds double-for-double; the oracle recomputes every φ from its own
+    replayed split search, so a drifted expectation or attribution
+    breaks the hash. Emits φ per feature + the prediction for a 1/89
+    key slice."""
+    from neurondb_spark.ml.boosting import gbt_shap_cols
+
+    li = t(spark, sf_dir, "lineitem")
+    model, pred = _gbt_model_for(spark, sf_dir)
+    phis = gbt_shap_cols(model, sorted(_GBT_GRID))
+    return li.where(F.col("l_orderkey") % 89 == 1).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        *[phis[f].alias(f"phi_{f}") for f in sorted(_GBT_GRID)],
+        pred.alias("gbt_pred"),
+    )
+
+
+def _sql_gbt_shap() -> str:
+    from neurondb_spark.ml.boosting import (
+        sql_gbt_fixed_stumps,
+        sql_gbt_shap,
+    )
+
+    base = """d AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS INT) AS l_linenumber,
+         l_quantity, l_discount, l_tax,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem)"""
+    chain = sql_gbt_fixed_stumps(base, _GBT_GRID, rounds=_GBT_ROUNDS,
+                                 lr=_GBT_LR)
+    phis = sql_gbt_shap(_GBT_GRID, _GBT_ROUNDS, _GBT_LR)
+    phi_sel = ",\n       ".join(
+        f"{phis[f]} AS phi_{f}" for f in sorted(_GBT_GRID)
+    )
+    joins = " ".join(f"CROSS JOIN w{i}" for i in range(1, _GBT_ROUNDS + 1))
+    return f"""{chain}
+SELECT x.l_orderkey, x.l_linenumber,
+       {phi_sel},
+       x.pred AS gbt_pred
+FROM r{_GBT_ROUNDS} x {joins}
+WHERE x.l_orderkey % 89 = 1"""
+
+
 QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
     "gbt_fixed_stumps": (_q_gbt_stumps, _sql_gbt_stumps()),
+    "gbt_shap_attributions": (_q_gbt_shap, _sql_gbt_shap()),
     "ridge_closed_form": (_q_ridge, _sql_ridge()),
     "bernoulli_nb_lang": (_q_bernoulli_nb, _sql_bernoulli_nb()),
     "linreg_eval_metrics": (_q_linreg_eval, _sql_linreg_eval()),

@@ -286,3 +286,27 @@ def test_gbt_fixed_stumps_degenerate_grid_stops(spark):
     assert model["stumps"] == []
     got = [r["p"] for r in df.select(pred.alias("p")).collect()]
     assert got == [15.0, 15.0]
+
+
+def test_gbt_shap_additivity_exact(spark):
+    """base + Σ E[leaf_t] + Σ_f φ_f(x) == prediction(x), double for
+    double, on every row — the closed-form-SHAP contract."""
+    from neurondb_spark.ml.boosting import gbt_fixed_stumps, gbt_shap_cols
+
+    rows = [(float(x), float(d), 10.0 * x + 100.0 * d)
+            for x in range(1, 11) for d in (0, 1, 2)]
+    df = spark.createDataFrame(rows, ["x", "d", "y"])
+    grid = {"d": [0.0, 1.0], "x": [3.0, 5.0, 7.0]}
+    model, pred = gbt_fixed_stumps(df, grid, "y", rounds=3, lr=1.0)
+    assert len(model["stumps"]) == 3
+    phis = gbt_shap_cols(model, sorted(grid))
+    anchor = model["base"] + sum(s["expected"] for s in model["stumps"])
+    got = df.select(
+        pred.alias("p"),
+        (F.lit(anchor) + phis["d"] + phis["x"]).alias("re"),
+    ).collect()
+    for r in got:
+        assert r["p"] == pytest.approx(r["re"], abs=1e-9)
+    # attributions are non-trivial: both features got a stump
+    feats = {s["feature"] for s in model["stumps"]}
+    assert feats == {"d", "x"}
