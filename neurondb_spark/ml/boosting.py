@@ -102,6 +102,159 @@ def gbt_fixed_stumps(
     return model, pred
 
 
+def rf_fixed_stumps(
+    df: DataFrame,
+    grid: dict[str, list[float]],
+    y_col: str,
+    key_col: Column,
+    trees: int = 5,
+    sample_mod: int = 2,
+) -> tuple[dict, Column]:
+    """Exact bagged forest of regression stumps — the random-forest
+    twin (NeuronDB/src/ml/ml_random_forest.c family) of
+    :func:`gbt_fixed_stumps`: T trees, each fit on a DETERMINISTIC
+    md5-derived bootstrap slice (row in tree t's sample iff
+    md5_60bit(key ∥ '#rf' ∥ t) % sample_mod == 0 — the corpus-sampling
+    recipe, cross-engine stable), split chosen from the fixed grid by
+    exact variance reduction on the sample, leaves = exact decimal
+    sample means. Prediction = fixed left-associative mean of the T
+    leaf values.
+
+    Scale: the ENTIRE forest fits in ONE map-side-combined aggregate —
+    T·(2·|grid|+2) conditional decimal sums over one scan; the driver
+    sees T·|grid| numbers. Raises if a tree's sample defeats every
+    candidate (fixed-twin contract: the caller picks a grid that
+    splits; a silent constant tree would mask a broken sample).
+    """
+    from neurondb_spark.operators.dedup import _md5_long
+
+    cands = [(f, thr) for f in sorted(grid) for thr in grid[f]]
+    y = F.col(y_col).cast("double")
+    aggs = []
+    for t in range(trees):
+        samp = (
+            _md5_long(F.concat(key_col, F.lit(f"#rf{t}"))) % sample_mod == 0
+        )
+        aggs.append(F.count(F.when(samp, 1)).alias(f"t{t}_nt"))
+        aggs.append(dsum(F.when(samp, y)).alias(f"t{t}_st"))
+        for i, (f, thr) in enumerate(cands):
+            c = samp & (F.col(f).cast("double") <= F.lit(float(thr)))
+            aggs.append(F.count(F.when(c, 1)).alias(f"t{t}_n{i}"))
+            aggs.append(dsum(F.when(c, y)).alias(f"t{t}_s{i}"))
+    row = df.agg(*aggs).head()
+
+    model = {"trees": [], "sample_mod": int(sample_mod)}
+    acc: Column | None = None
+    for t in range(trees):
+        nt, st = row[f"t{t}_nt"], row[f"t{t}_st"]
+        best = None
+        for i, (f, thr) in enumerate(cands):
+            nl, sl = row[f"t{t}_n{i}"], row[f"t{t}_s{i}"]
+            nr = nt - nl
+            if nl == 0 or nr == 0:
+                continue
+            sr = st - sl
+            ml, mr = sl / nl, sr / nr
+            score = nl * ml * ml + nr * mr * mr
+            key = (-score, f, thr)
+            if best is None or key < best[:3]:
+                best = (key[0], f, thr, ml, mr)
+        if best is None:
+            raise ValueError(
+                f"neurondb: rf tree {t} found no valid split — widen the "
+                f"candidate grid or lower sample_mod"
+            )
+        _ns, f, thr, ml, mr = best
+        model["trees"].append(
+            {"feature": f, "threshold": float(thr),
+             "left": float(ml), "right": float(mr)}
+        )
+        leaf = F.when(
+            F.col(f).cast("double") <= F.lit(float(thr)), F.lit(float(ml))
+        ).otherwise(F.lit(float(mr)))
+        acc = leaf if acc is None else acc + leaf
+    return model, acc / F.lit(float(trees))
+
+
+def sql_rf_fixed_stumps(
+    base_cte: str,
+    grid: dict[str, list[float]],
+    trees: int = 5,
+    sample_mod: int = 2,
+) -> str:
+    """DuckDB twin replaying :func:`rf_fixed_stumps`'s training — the
+    per-tree bootstrap, split search and argmax in SQL. ``base_cte``
+    must define relation ``d`` with the feature columns, DOUBLE ``y``
+    and a VARCHAR row key column named ``rk``. Ends in one-row winner
+    relations ``wt0..wt{T-1}``; compose predictions with
+    :func:`sql_rf_pred_expr`."""
+    feats = sorted(grid)
+    vals = ", ".join(
+        f"('{f}', {O.dlit(float(thr))})" for f in feats for thr in grid[f]
+    )
+    fcase = (
+        "CASE g.f "
+        + " ".join(f"WHEN '{f}' THEN CAST(s.{f} AS DOUBLE)" for f in feats)
+        + " END"
+    )
+    tvals = ", ".join(f"({t})" for t in range(trees))
+    score = (
+        "(CAST(nl AS DOUBLE) * (sl / CAST(nl AS DOUBLE))"
+        " * (sl / CAST(nl AS DOUBLE))"
+        " + CAST(nt - nl AS DOUBLE)"
+        " * ((st - sl) / CAST(nt - nl AS DOUBLE))"
+        " * ((st - sl) / CAST(nt - nl AS DOUBLE)))"
+    )
+    wts = ",\n".join(
+        f"wt{t} AS (SELECT f, thr, ml, mr FROM win WHERE rn = 1 AND t = {t})"
+        for t in range(trees)
+    )
+    return f"""WITH {base_cte},
+grid(f, thr) AS (VALUES {vals}),
+samp AS (
+  SELECT d.*, t.t FROM d CROSS JOIN (VALUES {tvals}) t(t)
+  WHERE CAST(('0x' || substr(md5(d.rk || '#rf' || CAST(t.t AS VARCHAR)),
+              1, 15)) AS BIGINT) % {sample_mod} = 0),
+cand AS (
+  SELECT s.t, g.f, g.thr,
+         SUM(CASE WHEN {fcase} <= g.thr THEN 1 ELSE 0 END) AS nl,
+         {O.dsum(f"CASE WHEN {fcase} <= g.thr THEN s.y END")} AS sl,
+         COUNT(*) AS nt, {O.dsum('s.y')} AS st
+  FROM samp s CROSS JOIN grid g GROUP BY s.t, g.f, g.thr),
+win AS (
+  SELECT t, f, thr, sl / CAST(nl AS DOUBLE) AS ml,
+         (st - sl) / CAST(nt - nl AS DOUBLE) AS mr,
+         ROW_NUMBER() OVER (PARTITION BY t
+                            ORDER BY {score} DESC, f ASC, thr ASC) AS rn
+  FROM cand WHERE nl > 0 AND nt - nl > 0),
+{wts}"""
+
+
+def sql_rf_pred_expr(grid: dict[str, list[float]], trees: int) -> str:
+    """Fixed-left-associative forest mean over the ``wt{t}`` winner
+    CTEs of :func:`sql_rf_fixed_stumps` — reference the data rows as
+    alias ``x`` and CROSS JOIN ``wt0 w0 .. wt{T-1} w{T-1}`` (each is
+    one row, so no fan-out and no grouping; duplicate-key rows keep
+    their multiplicity, which a pivot-by-key would collapse)."""
+    feats = sorted(grid)
+    leaves = []
+    for t in range(trees):
+        wcase = (
+            f"CASE w{t}.f "
+            + " ".join(f"WHEN '{f}' THEN CAST(x.{f} AS DOUBLE)"
+                       for f in feats)
+            + " END"
+        )
+        leaves.append(
+            f"(CASE WHEN {wcase} <= w{t}.thr THEN w{t}.ml "
+            f"ELSE w{t}.mr END)"
+        )
+    mean = leaves[0]
+    for t in range(1, trees):
+        mean = f"({mean} + {leaves[t]})"
+    return f"{mean} / {O.dlit(float(trees))}"
+
+
 def gbt_shap_cols(
     model: dict, features: list[str]
 ) -> dict[str, Column]:

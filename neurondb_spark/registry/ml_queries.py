@@ -926,6 +926,60 @@ SELECT l_orderkey, l_linenumber, pred AS gbt_pred
 FROM r{_GBT_ROUNDS} WHERE l_orderkey % 97 = 1"""
 
 
+_RF_TREES = 5
+
+
+def _q_rf_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bagged random forest (ml/boosting.py rf_fixed_stumps — the
+    ml_random_forest.c family's value-replayable twin): 5 regression
+    stumps, each fit on a deterministic md5-bootstrap half of lineitem,
+    split by exact variance reduction over the shared fixed grid,
+    prediction = fixed-order mean of the 5 leaf values. The whole
+    forest trains in ONE aggregate pass; the oracle replays bootstrap
+    membership, every per-tree candidate score, the argmax and the
+    leaf mean — emits predictions for a 1/83 key slice."""
+    from neurondb_spark.ml.boosting import rf_fixed_stumps
+
+    li = t(spark, sf_dir, "lineitem")
+    rk = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    _model, pred = rf_fixed_stumps(
+        li, _GBT_GRID, "l_extendedprice", rk, trees=_RF_TREES, sample_mod=2
+    )
+    return li.where(F.col("l_orderkey") % 83 == 1).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        pred.alias("rf_pred"),
+    )
+
+
+def _sql_rf_stumps() -> str:
+    from neurondb_spark.ml.boosting import sql_rf_fixed_stumps
+
+    base = """d AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS INT) AS l_linenumber,
+         l_quantity, l_discount, l_tax,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         CAST(l_orderkey AS VARCHAR) || '_'
+           || CAST(l_linenumber AS VARCHAR) AS rk
+  FROM lineitem)"""
+    from neurondb_spark.ml.boosting import sql_rf_pred_expr
+
+    chain = sql_rf_fixed_stumps(base, _GBT_GRID, trees=_RF_TREES,
+                                sample_mod=2)
+    joins = " ".join(
+        f"CROSS JOIN wt{i} w{i}" for i in range(_RF_TREES)
+    )
+    return f"""{chain}
+SELECT x.l_orderkey, x.l_linenumber,
+       {sql_rf_pred_expr(_GBT_GRID, _RF_TREES)} AS rf_pred
+FROM d x {joins}
+WHERE x.l_orderkey % 83 = 1"""
+
+
 def _q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact SHAP attributions for the boosted-stump model — the XAI
     surface (ml_explainable_ai.c) made value-exact: for depth-1 trees
@@ -980,6 +1034,7 @@ QUERIES = {
     "linreg_closed_form": (_q_linreg, _SQL_LINREG),
     "gbt_fixed_stumps": (_q_gbt_stumps, _sql_gbt_stumps()),
     "gbt_shap_attributions": (_q_gbt_shap, _sql_gbt_shap()),
+    "rf_fixed_stumps": (_q_rf_stumps, _sql_rf_stumps()),
     "ridge_closed_form": (_q_ridge, _sql_ridge()),
     "bernoulli_nb_lang": (_q_bernoulli_nb, _sql_bernoulli_nb()),
     "linreg_eval_metrics": (_q_linreg_eval, _sql_linreg_eval()),

@@ -310,3 +310,27 @@ def test_gbt_shap_additivity_exact(spark):
     # attributions are non-trivial: both features got a stump
     feats = {s["feature"] for s in model["stumps"]}
     assert feats == {"d", "x"}
+
+
+def test_rf_fixed_stumps_deterministic_bagging(spark):
+    """Same data -> identical forest across runs (md5 bootstrap is
+    seed-free determinism); prediction is the fixed-order leaf mean;
+    degenerate grid raises instead of fitting constant trees."""
+    from neurondb_spark.ml.boosting import rf_fixed_stumps
+
+    rows = [(float(x), 100.0 if x <= 5 else 200.0)
+            for x in range(1, 11) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["x", "y"]).withColumn(
+        "rid", F.monotonically_increasing_id().cast("string"))
+    grid = {"x": [3.0, 5.0, 7.0]}
+    m1, p1 = rf_fixed_stumps(df, grid, "y", F.col("rid"), trees=3)
+    m2, _ = rf_fixed_stumps(df, grid, "y", F.col("rid"), trees=3)
+    assert m1["trees"] == m2["trees"] and len(m1["trees"]) == 3
+    got = df.select("x", p1.alias("p")).collect()
+    for r in got:
+        ls = [t["left"] if r["x"] <= t["threshold"] else t["right"]
+              for t in m1["trees"]]
+        assert r["p"] == ((ls[0] + ls[1]) + ls[2]) / 3.0
+
+    with pytest.raises(ValueError, match="no valid split"):
+        rf_fixed_stumps(df, {"x": [99.0]}, "y", F.col("rid"), trees=2)
