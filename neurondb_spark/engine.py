@@ -126,6 +126,55 @@ class NeuronSparkEngine:
         )
         return idx
 
+    def cdc_ingest(
+        self, index_name: str, src_dir: str, schema,
+        work_dir: str | None = None, op_col: str = "op",
+        id_col: str | None = None,
+    ):
+        """Streaming CDC drain into a registered index (the reference's
+        WAL-replay / background-aminsert workers, vector_wal.c +
+        worker/*; streaming/index_ingest.py): parquet rows shaped like
+        the index data plus ``op_col`` ('i' insert / 'd' delete) are
+        applied through the index's own journaled DML, exactly-once per
+        micro-batch. Run-once semantics (AvailableNow); re-invoking
+        after new files land continues from the checkpoint. Returns the
+        refreshed index handle and updates the catalog row count."""
+        from neurondb_spark.streaming.index_ingest import index_cdc_drain
+
+        meta = self.catalog.get("indexes", index_name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown index {index_name!r}")
+        method = meta["method"]
+        if method == "ivf":
+            from neurondb_spark.index.ivf import IVFIndex
+
+            idx = IVFIndex.load(meta["path"])
+        elif method == "lsh":
+            from neurondb_spark.index.lsh import LSHIndex
+
+            idx = LSHIndex.load(meta["path"])
+        elif method == "hnsw":
+            from neurondb_spark.index.hnsw import HNSWIndex
+
+            idx = HNSWIndex.load(meta["path"], spark=self.spark)
+            if id_col is None:
+                id_col = idx.meta["id_col"]
+        else:
+            raise ValueError(
+                f"neurondb: index method {method!r} has no CDC ingest"
+            )
+        index_cdc_drain(
+            self.spark, src_dir, schema, idx,
+            work_dir or os.path.join(meta["path"], "ingest_work"),
+            op_col=op_col, id_col=id_col or "vec_id",
+            append_only=(method != "hnsw"),
+        )
+        self.catalog.register(
+            "indexes", index_name,
+            dict(meta, rows=idx.meta.get("total_rows")),
+        )
+        return idx
+
     def _index_build_meta(self, meta: dict) -> dict:
         """The index's OWN meta.json (nlists / num_shards / m / nbits —
         the build parameters the cost model needs, which the catalog row

@@ -129,6 +129,9 @@ def list_algorithms() -> list[dict]:
     """neurondb.list_algorithms analog (neurondb--1.0.sql:5040-5071)."""
     out = [{"algorithm": k, "task": v[1]} for k, v in _algorithms().items()]
     out.append({"algorithm": "knn", "task": "classification"})  # ml_knn.c:759
+    # deterministic value-replayable ensemble twins (ml/boosting.py)
+    out.append({"algorithm": "gbt_exact", "task": "regression"})
+    out.append({"algorithm": "rf_exact", "task": "regression"})
     return sorted(out, key=lambda a: a["algorithm"])
 
 
@@ -163,6 +166,10 @@ class MLEngine:
     ) -> str:
         if algorithm == "knn":
             return self._train_knn(df, features, target, project, params)
+        if algorithm in ("gbt_exact", "rf_exact"):
+            return self._train_exact_ensemble(
+                df, algorithm, features, target, project, params
+            )
         algos = _algorithms()
         if algorithm not in algos:
             raise ValueError(f"neurondb: unknown algorithm {algorithm!r}")
@@ -240,6 +247,83 @@ class MLEngine:
             },
         )
         return model_id
+
+    def _train_exact_ensemble(
+        self, df, algorithm, features, target, project, params
+    ) -> str:
+        """Deterministic, value-replayable ensemble training
+        (ml/boosting.py — the exact twins of the ml_xgboost.c /
+        ml_random_forest.c surfaces): the model IS a small JSON dict of
+        stumps, persisted inline in the catalog; predict rebuilds the
+        literal CASE-chain expression — no MLlib artifact, no Python in
+        the scoring path. params: ``grid`` ({feature: [thresholds]};
+        default = per-feature exact deciles), ``rounds``/``lr`` for
+        gbt_exact, ``trees``/``sample_mod``/``key_col`` for rf_exact
+        (key_col names the row-identity column the md5 bootstrap keys
+        on — required)."""
+        from neurondb_spark.ml.boosting import (
+            gbt_fixed_stumps,
+            rf_fixed_stumps,
+        )
+
+        if target is None:
+            raise ValueError("neurondb: exact ensembles need target")
+        params = dict(params or {})
+        grid = params.pop("grid", None)
+        if grid is None:
+            qs = [i / 10.0 for i in range(1, 10)]
+            grid = {
+                f: sorted(set(df.stat.approxQuantile(f, qs, 0.0)))
+                for f in features
+            }
+        t0 = time.time()
+        if algorithm == "gbt_exact":
+            model, _pred = gbt_fixed_stumps(
+                df, grid, target,
+                rounds=int(params.pop("rounds", 5)),
+                lr=float(params.pop("lr", 0.5)),
+            )
+        else:
+            key_col = params.pop("key_col", None)
+            if key_col is None:
+                raise ValueError(
+                    "neurondb: rf_exact needs params['key_col'] — the "
+                    "row-identity column its deterministic bootstrap "
+                    "hashes (the reproducibility contract)"
+                )
+            model, _pred = rf_fixed_stumps(
+                df, grid, target, F.col(key_col).cast("string"),
+                trees=int(params.pop("trees", 5)),
+                sample_mod=int(params.pop("sample_mod", 2)),
+            )
+        model_id = f"{algorithm}-{uuid.uuid4().hex[:8]}"
+        self.catalog.register(
+            "models", model_id,
+            {
+                "project": project, "algorithm": algorithm,
+                "task": "regression", "features": features,
+                "target": target,
+                "params": {k: str(v) for k, v in params.items()},
+                "model_class": "ExactStumpEnsemble", "model": model,
+                "grid": {k: list(map(float, v)) for k, v in grid.items()},
+                "path": None, "train_seconds": time.time() - t0,
+                "status": "ready",
+            },
+        )
+        return model_id
+
+    def _predict_exact_ensemble(self, df: DataFrame, meta: dict) -> DataFrame:
+        from neurondb_spark.ml.boosting import (
+            gbt_pred_from_model,
+            rf_pred_from_model,
+        )
+
+        build = (
+            gbt_pred_from_model
+            if meta["algorithm"] == "gbt_exact"
+            else rf_pred_from_model
+        )
+        return df.withColumn("prediction", build(meta["model"]))
 
     def _predict_knn(self, df: DataFrame, meta: dict) -> DataFrame:
         """knn_predict_batch (ml_knn.c:905): GEMM kNN join against the
@@ -324,6 +408,10 @@ class MLEngine:
         meta = self.catalog.get("models", model_id)
         if meta is not None and meta.get("algorithm") == "knn":
             return self._predict_knn(df, meta)
+        if meta is not None and meta.get("algorithm") in (
+            "gbt_exact", "rf_exact"
+        ):
+            return self._predict_exact_ensemble(df, meta)
         model, meta = self._load(model_id)
         data = _featurize(df, meta["features"])
         return model.transform(data)

@@ -176,6 +176,34 @@ def rf_fixed_stumps(
     return model, acc / F.lit(float(trees))
 
 
+def gbt_pred_from_model(model: dict) -> Column:
+    """Rebuild the boosted-ensemble prediction column from a persisted
+    model dict (catalog round-trip) — identical literal CASE chain to
+    the one :func:`gbt_fixed_stumps` returned at fit time."""
+    pred: Column = F.lit(float(model["base"]))
+    for s in model["stumps"]:
+        pred = pred + F.when(
+            F.col(s["feature"]).cast("double") <= F.lit(s["threshold"]),
+            F.lit(s["left"]),
+        ).otherwise(F.lit(s["right"]))
+    return pred
+
+
+def rf_pred_from_model(model: dict) -> Column:
+    """Rebuild the forest prediction column from a persisted model
+    dict — the fixed left-associative leaf mean."""
+    acc: Column | None = None
+    for s in model["trees"]:
+        leaf = F.when(
+            F.col(s["feature"]).cast("double") <= F.lit(s["threshold"]),
+            F.lit(s["left"]),
+        ).otherwise(F.lit(s["right"]))
+        acc = leaf if acc is None else acc + leaf
+    if acc is None:
+        raise ValueError("neurondb: rf model has no trees")
+    return acc / F.lit(float(len(model["trees"])))
+
+
 def sql_rf_fixed_stumps(
     base_cte: str,
     grid: dict[str, list[float]],

@@ -202,3 +202,51 @@ def test_routing_cost_model_two_sizes(spark):
                                  nprobe=8)["route"] == "ivf"
     finally:
         eng.set_config("route.mode", "auto")
+
+
+def test_engine_cdc_ingest_ivf(spark):
+    """cdc_ingest drains an ops source into a registered IVF index via
+    the journaled foreachBatch path; catalog row count refreshes; a
+    full-probe search sees inserts and respects deletes."""
+    from pyspark.sql import types as T
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.registry.common import qvec
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="engine_cdc_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    eng.create_index(
+        "cdc_ivf", emb.where(F.col("vec_id") % 2 == 0), "embedding",
+        method="ivf", nlists=4, dim=64,
+    )
+    emb_type = {f.name: f.dataType for f in emb.schema.fields}["embedding"]
+    src = tempfile.mkdtemp(prefix="engine_cdc_src_")
+    ins = emb.where(F.col("vec_id") % 2 == 1).withColumn("op", F.lit("i"))
+    dels = emb.where(F.col("vec_id") % 31 == 0).select(
+        "vec_id", F.lit(None).cast(emb_type).alias("embedding"),
+        F.lit("d").alias("op"),
+    )
+    ins.select("vec_id", "embedding", "op").unionByName(dels).repartition(
+        2
+    ).write.mode("overwrite").parquet(src)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", emb_type),
+        T.StructField("op", T.StringType()),
+    ])
+    idx = eng.cdc_ingest("cdc_ivf", src, schema)
+    assert eng.catalog.get("indexes", "cdc_ivf")["rows"] == emb.count()
+    q = qvec(spark, SF_DIR, 3)
+    got = [r["vec_id"] for r in idx.search(
+        spark, q, k=5, nprobe=4, tiebreak=["vec_id"]).collect()]
+    want = [r["vec_id"] for r in emb.where(F.col("vec_id") % 31 != 0).select(
+        "vec_id",
+        F.sqrt(F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"),
+                       F.lit(q).cast("array<double>"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)).alias("d"),
+    ).orderBy(F.col("d").asc(), F.col("vec_id").asc()).limit(5).collect()]
+    assert got == want

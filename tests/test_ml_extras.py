@@ -163,3 +163,46 @@ def test_whitening_unit_variance(spark):
     ).head()
     for i in range(4):
         assert abs(stats[f"s{i}"] - 1.0) < 1e-6
+
+
+def test_exact_ensembles_through_catalog(spark):
+    """gbt_exact / rf_exact through train/predict/evaluate: the model is
+    a JSON stump list in the catalog, predict is a rebuilt literal
+    expression, retraining is bit-identical (no seeds involved)."""
+    from neurondb_spark.engine import NeuronSparkEngine
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="exact_ens_"))
+    rows = [(float(i), float(x), float(d), 10.0 * x + 100.0 * d)
+            for i, (x, d) in enumerate(
+                (x, d) for x in range(1, 11) for d in (0.0, 1.0, 2.0))]
+    df = spark.createDataFrame(rows, ["rid", "x", "d", "y"])
+
+    mid = eng.train(df, "gbt_exact", ["x", "d"], "y",
+                    params={"grid": {"x": [3.0, 5.0, 7.0],
+                                     "d": [0.0, 1.0]},
+                            "rounds": 3, "lr": 1.0})
+    meta = eng.catalog.get("models", mid)
+    assert meta["model_class"] == "ExactStumpEnsemble"
+    assert len(meta["model"]["stumps"]) == 3
+    pred = eng.predict(df, mid)
+    ev = eng.evaluate(df, mid)
+    assert ev["r2"] > 0.9
+    mid2 = eng.train(df, "gbt_exact", ["x", "d"], "y",
+                     params={"grid": {"x": [3.0, 5.0, 7.0],
+                                      "d": [0.0, 1.0]},
+                             "rounds": 3, "lr": 1.0})
+    assert eng.catalog.get("models", mid2)["model"] == meta["model"]
+
+    rid = eng.train(df, "rf_exact", ["x", "d"], "y",
+                    params={"grid": {"x": [3.0, 5.0, 7.0],
+                                     "d": [0.0, 1.0]},
+                            "trees": 3, "key_col": "rid"})
+    rmeta = eng.catalog.get("models", rid)
+    assert len(rmeta["model"]["trees"]) == 3
+    assert eng.predict(df, rid).select("prediction").count() == len(rows)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="key_col"):
+        eng.train(df, "rf_exact", ["x"], "y", params={})
+    algos = {a["algorithm"] for a in eng.list_algorithms()}
+    assert {"gbt_exact", "rf_exact"} <= algos
