@@ -88,6 +88,30 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> str:
     return _swap_in(spark, path, tmp)
 
 
+def compact_partitioned(spark: SparkSession, path: str, part_col: str) -> str:
+    """Small-file compaction for a partitioned layout (IVF cluster dirs /
+    LSH bucket dirs after many streaming-CDC appends — one file lands per
+    micro-batch per touched partition, so a long-running ingest degrades
+    the scan into a file-listing problem): read → repartition BY THE
+    partition column (each partition's rows land in one task) → rewrite
+    partitioned → verified backup-keeping swap. Row content, partition
+    values and schema are unchanged — only file counts drop (hash
+    collisions putting two partitions in one task still emit one file per
+    partition dir under partitionBy). The reference's VACUUM FULL /
+    am-level compaction analog for the ingest path."""
+    df = spark.read.parquet(path)
+    if part_col not in df.columns:
+        raise ValueError(
+            f"neurondb: compact_partitioned: {part_col!r} not in "
+            f"{df.columns} at {path!r}"
+        )
+    tmp = path.rstrip("/") + ".compact_tmp"
+    df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(tmp)
+    return _swap_in(spark, path, tmp)
+
+
 def tier_cold(
     df: DataFrame, vec_col: str, ts_col: str, cutoff: str,
 ) -> tuple[DataFrame, DataFrame]:

@@ -450,6 +450,19 @@ class IVFIndex:
         )
         return self
 
+    def compact(self, spark: SparkSession) -> "IVFIndex":
+        """Merge each list's small files into one (streaming-CDC ingest
+        appends one file per micro-batch per touched list — a
+        long-running drain degrades the probe scan into file listing).
+        Rows, partition values, tombstones and centroids are unchanged;
+        only file counts drop. Verified backup-keeping swap underneath."""
+        from neurondb_spark.data_management import compact_partitioned
+
+        compact_partitioned(
+            spark, os.path.join(self.path, "data"), "cluster_id"
+        )
+        return self
+
     def rebalance(
         self,
         spark: SparkSession,

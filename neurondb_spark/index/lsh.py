@@ -323,6 +323,14 @@ class LSHIndex:
             )
         return df.join(tomb, tomb_col, "left_anti")
 
+    def compact(self, spark: SparkSession) -> "LSHIndex":
+        """Merge each bucket's small files into one (the IVF compact
+        analog for the hyperplane layout — see IVFIndex.compact)."""
+        from neurondb_spark.data_management import compact_partitioned
+
+        compact_partitioned(spark, os.path.join(self.path, "data"), "bucket")
+        return self
+
     def vacuum(self, spark: SparkSession) -> "LSHIndex":
         """VACUUM analog: rewrite the bucket partitions without
         tombstoned rows (layout and hyperplanes unchanged), via the

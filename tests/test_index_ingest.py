@@ -197,3 +197,46 @@ def test_cdc_rejects_unknown_ops(cdc_env):
     )
     with pytest.raises(ValueError, match="unknown ops"):
         apply_cdc_batch(idx, bad, 0)
+
+
+def _pq_files(root):
+    return [
+        os.path.join(b, f)
+        for b, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+
+
+def test_compact_after_cdc_shrinks_files_preserves_topk(cdc_env):
+    """CDC appends leave one file per batch per touched list; compact
+    merges to one file per list without changing search results or
+    tombstone visibility."""
+    spark, emb, td, src = cdc_env
+    idx = IVFIndex.build(
+        emb.where(F.col("vec_id") % 2 == 0), "embedding",
+        os.path.join(td, "ivf_c"), nlists=4, metric="l2", dim=DIM,
+    )
+    index_cdc_drain(
+        spark, src, _ops_schema(emb), idx, os.path.join(td, "work_c")
+    )
+    q = _query(spark)
+    before = [
+        r["vec_id"]
+        for r in idx.search(spark, q, k=10, nprobe=4, tiebreak=["vec_id"]).collect()
+    ]
+    data = os.path.join(idx.path, "data")
+    n_before = len(_pq_files(data))
+    idx.compact(spark)
+    n_after = len(_pq_files(data))
+    assert n_after < n_before
+    # one data file per cluster dir after compaction
+    for d in os.listdir(data):
+        if d.startswith("cluster_id="):
+            fs = _pq_files(os.path.join(data, d))
+            assert len(fs) == 1
+    after = [
+        r["vec_id"]
+        for r in idx.search(spark, q, k=10, nprobe=4, tiebreak=["vec_id"]).collect()
+    ]
+    assert after == before == _brute_ids(spark, emb, q)
