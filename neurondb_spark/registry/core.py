@@ -285,6 +285,133 @@ SELECT label, vec_id, distance, CAST(vrank AS INTEGER) AS vrank FROM (
 WHERE vrank <= 5"""
 
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking, adapted: the testdata schema
+    has no l_commitdate, so 'late' = a lineitem shipped after the order
+    date): count 1996 orders per priority having at least one late
+    line. Exercises the correlated-EXISTS → LEFT SEMI join plan (§2.0);
+    the orders-side date range pushes to the scan, the semi join
+    shuffles on orderkey only and carries no lineitem payload."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_TPCH_Q4 = """SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): revenue by nation where the
+    customer and supplier share a nation, one region, one order year.
+    The canonical 6-way join (§2.0): lineitem⋈orders⋈customer shuffle
+    on keys; supplier/nation/region are dimension-sized and broadcast;
+    the c_nationkey = s_nationkey colocation predicate rides the
+    supplier join so no extra shuffle is added."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+_SQL_TPCH_Q5 = f"""SELECT n_name,
+  {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name"""
+
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping priority classes, adapted: no l_shipmode in
+    the testdata schema, so the class split keys on o_orderpriority):
+    per returnflag, lines from high- vs low-priority orders shipped in
+    1996. The canonical conditional-aggregation (CASE-sum pivot) over
+    one keyed shuffle (§2.0)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_TPCH_Q12 = """SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+
 QUERIES = {
     "knn_l2": (_mk_knn("l2"), _sql_knn("l2")),
     "knn_cosine": (_mk_knn("cosine"), _sql_knn("cosine")),
@@ -297,7 +424,10 @@ QUERIES = {
     "vector_avg_by_label": (_q_vector_avg_by_label, _SQL_VECTOR_AVG_BY_LABEL),
     "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
     "tpch_q3_shipping": (_q_tpch_q3, _SQL_TPCH_Q3),
+    "tpch_q4_priority": (_q_tpch_q4, _SQL_TPCH_Q4),
+    "tpch_q5_local_supplier": (_q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6_forecast": (_q_tpch_q6, _SQL_TPCH_Q6),
+    "tpch_q12_priority_classes": (_q_tpch_q12, _SQL_TPCH_Q12),
     "top_revenue_customers": (_q_top_revenue_customers, _SQL_TOP_REVENUE_CUSTOMERS),
     "orders_topk_per_segment": (_q_orders_topk_per_segment, _SQL_ORDERS_TOPK_PER_SEGMENT),
     "faceted_vector_search": (_q_faceted_search, _sql_faceted_search()),

@@ -721,6 +721,27 @@ _EX_CTE = """ex AS MATERIALIZED (
   FROM embeddings)"""
 
 
+def _q_gmm_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact mixture EM (ml/mixture.mixture_em_exact): label-mean
+    init, 2 EM rounds of the rational-kernel E/M alternation — the
+    hash-gateable twin of the rows-only MLlib ``gmm_cluster_sizes``,
+    putting the GMM TRAINING LOOP itself under the gate (cluster_gmm,
+    NeuronDB/src/ml/ml_gmm.c:130; E-step :262-273, M-step :293-328;
+    the transcendental Gaussian kernel is replaced by a rational
+    inverse-polynomial one so both engines produce identical bits —
+    see the ml/mixture module docstring)."""
+    from neurondb_spark.ml.mixture import mixture_em_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    return mixture_em_exact(emb, "embedding", "vec_id", k=3, iters=2)
+
+
+def _sql_gmm_fixed() -> str:
+    from neurondb_spark.ml.mixture import sql_mixture_em_exact
+
+    return sql_mixture_em_exact()
+
+
 def _q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-exact KMeans (ml/stats.kmeans_lloyd_exact): fixed init =
     the 4 lowest vec_ids, 2 Lloyd rounds, fixed-point distances and
@@ -1062,6 +1083,7 @@ QUERIES = {
     "tsne_label_centroids": (_q_tsne, None),
     "opq_rotated_variance": (_q_opq, None),
     "automl_deploy_ab": (_q_automl_deploy_ab, _SQL_AUTOML_AB),
+    "gmm_fixed_em": (_q_gmm_fixed, _sql_gmm_fixed()),
     "kmeans_fixed_lloyd": (_q_kmeans_fixed, _sql_kmeans_fixed()),
     "kmeans_silhouette": (_q_kmeans_silhouette, _sql_kmeans_silhouette()),
     "logreg_gd_predictions": (_q_logreg_gd, _sql_logreg_gd()),
