@@ -721,6 +721,28 @@ _EX_CTE = """ex AS MATERIALIZED (
   FROM embeddings)"""
 
 
+def _q_isolation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact isolation forest (ml/isolation.py): md5-derived
+    split dims/fractions replace the RNG, everything else is the real
+    algorithm (per-node range split, early isolation, path-length
+    score) — the hash-gateable twin of the rows-only
+    ``isolation_forest_outliers``, closing the LAST rows-only family
+    without an exact twin (reference trainer:
+    NeuronDB/src/ml/ml_anomaly.c train/predict_isolation_forest)."""
+    from neurondb_spark.ml.isolation import isolation_forest_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    return isolation_forest_exact(
+        emb, "embedding", "vec_id", trees=4, depth=10
+    )
+
+
+def _sql_isolation_exact() -> str:
+    from neurondb_spark.ml.isolation import sql_isolation_forest_exact
+
+    return sql_isolation_forest_exact(depth=10)
+
+
 def _q_gmm_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-exact mixture EM (ml/mixture.mixture_em_exact): label-mean
     init, 2 EM rounds of the rational-kernel E/M alternation — the
@@ -1084,6 +1106,7 @@ QUERIES = {
     "opq_rotated_variance": (_q_opq, None),
     "automl_deploy_ab": (_q_automl_deploy_ab, _SQL_AUTOML_AB),
     "gmm_fixed_em": (_q_gmm_fixed, _sql_gmm_fixed()),
+    "isolation_depth_exact": (_q_isolation_exact, _sql_isolation_exact()),
     "kmeans_fixed_lloyd": (_q_kmeans_fixed, _sql_kmeans_fixed()),
     "kmeans_silhouette": (_q_kmeans_silhouette, _sql_kmeans_silhouette()),
     "logreg_gd_predictions": (_q_logreg_gd, _sql_logreg_gd()),
