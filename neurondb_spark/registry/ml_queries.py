@@ -721,6 +721,26 @@ _EX_CTE = """ex AS MATERIALIZED (
   FROM embeddings)"""
 
 
+def _q_tsne_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact t-SNE descent (ml/tsne_exact.py): md5 subsample,
+    rational symmetric affinities, layout init from the first two input
+    dims, 2 exact KL gradient steps with the REAL Student-t q — the
+    hash-gateable twin of the rows-only ``tsne_label_centroids``
+    (reduce_tsne, NeuronDB/src/ml/ml_dimensionality_reduction.c:60);
+    only the perplexity-calibrated Gaussian affinities are replaced
+    (transcendental), the defining gradient loop is bit-exact."""
+    from neurondb_spark.ml.tsne_exact import tsne_fixed_grad
+
+    emb = t(spark, sf_dir, "embeddings")
+    return tsne_fixed_grad(emb, "embedding", "vec_id")
+
+
+def _sql_tsne_fixed() -> str:
+    from neurondb_spark.ml.tsne_exact import sql_tsne_fixed_grad
+
+    return sql_tsne_fixed_grad()
+
+
 def _q_isolation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-exact isolation forest (ml/isolation.py): md5-derived
     split dims/fractions replace the RNG, everything else is the real
@@ -1107,6 +1127,7 @@ QUERIES = {
     "automl_deploy_ab": (_q_automl_deploy_ab, _SQL_AUTOML_AB),
     "gmm_fixed_em": (_q_gmm_fixed, _sql_gmm_fixed()),
     "isolation_depth_exact": (_q_isolation_exact, _sql_isolation_exact()),
+    "tsne_fixed_grad": (_q_tsne_fixed, _sql_tsne_fixed()),
     "kmeans_fixed_lloyd": (_q_kmeans_fixed, _sql_kmeans_fixed()),
     "kmeans_silhouette": (_q_kmeans_silhouette, _sql_kmeans_silhouette()),
     "logreg_gd_predictions": (_q_logreg_gd, _sql_logreg_gd()),
