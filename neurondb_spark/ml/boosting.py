@@ -109,6 +109,7 @@ def rf_fixed_stumps(
     key_col: Column,
     trees: int = 5,
     sample_mod: int = 2,
+    sum_bits: int = 7,
 ) -> tuple[dict, Column]:
     """Exact bagged forest of regression stumps — the random-forest
     twin (NeuronDB/src/ml/ml_random_forest.c family) of
@@ -116,43 +117,65 @@ def rf_fixed_stumps(
     md5-derived bootstrap slice (row in tree t's sample iff
     md5_60bit(key ∥ '#rf' ∥ t) % sample_mod == 0 — the corpus-sampling
     recipe, cross-engine stable), split chosen from the fixed grid by
-    exact variance reduction on the sample, leaves = exact decimal
-    sample means. Prediction = fixed left-associative mean of the T
-    leaf values.
+    exact variance reduction on the sample, leaves = exact fixed-point
+    sample means (bsum at ``sum_bits``). Prediction = fixed
+    left-associative mean of the T leaf values.
 
-    Scale: the ENTIRE forest fits in ONE map-side-combined aggregate —
-    T·(2·|grid|+2) conditional decimal sums over one scan; the driver
-    sees T·|grid| numbers. Raises if a tree's sample defeats every
-    candidate (fixed-twin contract: the caller picks a grid that
-    splits; a silent constant tree would mask a broken sample).
+    Scale: the ENTIRE forest fits in ONE codegen'd grouped aggregate —
+    grouping by the T boolean membership flags (≤ 2^T groups, bounded
+    by construction) keeps the aggregate at 2·|grid|+2 buffers, under
+    ``spark.sql.codegen.maxFields``; the per-tree T·(2·|grid|+2)
+    statistics are assembled driver-side by EXACT integer addition of
+    the ≤ 2^T group rows (the earlier flat form — T·(2·|grid|+2)
+    conditional DECIMAL sums in one agg — tripped the 100-field codegen
+    cliff and ran interpreted, 6× slower). Fixed-point long sums bound
+    |Σ y·2^sum_bits| < 2^63: at sum_bits=7 that is ~7e11 rows of 1e5
+    monetary values per tree — raise dsum-style decimals via a wider
+    grid only if a deployment exceeds it. Raises if a tree's sample
+    defeats every candidate (fixed-twin contract: the caller picks a
+    grid that splits; a silent constant tree would mask a broken
+    sample).
     """
     from neurondb_spark.operators.dedup import _md5_long
 
     cands = [(f, thr) for f in sorted(grid) for thr in grid[f]]
+    factor = float(2 ** sum_bits)
     y = F.col(y_col).cast("double")
-    aggs = []
-    for t in range(trees):
-        samp = (
-            _md5_long(F.concat(key_col, F.lit(f"#rf{t}"))) % sample_mod == 0
-        )
-        aggs.append(F.count(F.when(samp, 1)).alias(f"t{t}_nt"))
-        aggs.append(dsum(F.when(samp, y)).alias(f"t{t}_st"))
-        for i, (f, thr) in enumerate(cands):
-            c = samp & (F.col(f).cast("double") <= F.lit(float(thr)))
-            aggs.append(F.count(F.when(c, 1)).alias(f"t{t}_n{i}"))
-            aggs.append(dsum(F.when(c, y)).alias(f"t{t}_s{i}"))
-    row = df.agg(*aggs).head()
+    qy = F.round(y * F.lit(factor), 0).cast("long")
+    pre = df.select(
+        qy.alias("_qy"),
+        *[F.col(f).cast("double").alias(f"_f{i}")
+          for i, f in enumerate(sorted(grid))],
+        *[
+            (_md5_long(F.concat(key_col, F.lit(f"#rf{t}"))) % sample_mod
+             == 0).alias(f"_samp{t}")
+            for t in range(trees)
+        ],
+    )
+    feat_ix = {f: i for i, f in enumerate(sorted(grid))}
+    aggs = [F.count(F.lit(1)).alias("g_n"), F.sum("_qy").alias("g_s")]
+    for i, (f, thr) in enumerate(cands):
+        c = F.col(f"_f{feat_ix[f]}") <= F.lit(float(thr))
+        aggs.append(F.count(F.when(c, 1)).alias(f"g_n{i}"))
+        aggs.append(F.sum(F.when(c, F.col("_qy"))).alias(f"g_s{i}"))
+    groups = (
+        pre.groupBy(*[f"_samp{t}" for t in range(trees)]).agg(*aggs).collect()
+    )
 
-    model = {"trees": [], "sample_mod": int(sample_mod)}
+    model = {"trees": [], "sample_mod": int(sample_mod),
+             "sum_bits": int(sum_bits)}
     acc: Column | None = None
     for t in range(trees):
-        nt, st = row[f"t{t}_nt"], row[f"t{t}_st"]
+        sel = [r for r in groups if r[f"_samp{t}"]]
+        nt = sum(r["g_n"] for r in sel)
+        st = float(sum(r["g_s"] or 0 for r in sel)) / factor
         best = None
         for i, (f, thr) in enumerate(cands):
-            nl, sl = row[f"t{t}_n{i}"], row[f"t{t}_s{i}"]
+            nl = sum(r[f"g_n{i}"] for r in sel)
             nr = nt - nl
             if nl == 0 or nr == 0:
                 continue
+            sl = float(sum(r[f"g_s{i}"] or 0 for r in sel)) / factor
             sr = st - sl
             ml, mr = sl / nl, sr / nr
             score = nl * ml * ml + nr * mr * mr
@@ -209,12 +232,16 @@ def sql_rf_fixed_stumps(
     grid: dict[str, list[float]],
     trees: int = 5,
     sample_mod: int = 2,
+    sum_bits: int = 7,
 ) -> str:
     """DuckDB twin replaying :func:`rf_fixed_stumps`'s training — the
-    per-tree bootstrap, split search and argmax in SQL. ``base_cte``
-    must define relation ``d`` with the feature columns, DOUBLE ``y``
-    and a VARCHAR row key column named ``rk``. Ends in one-row winner
-    relations ``wt0..wt{T-1}``; compose predictions with
+    per-tree bootstrap, split search and argmax in SQL (fixed-point
+    bsum sums at ``sum_bits``; the oracle sums each tree's sample
+    directly — integer addition is associative, so it equals the Spark
+    side's group-then-add exactly). ``base_cte`` must define relation
+    ``d`` with the feature columns, DOUBLE ``y`` and a VARCHAR row key
+    column named ``rk``. Ends in one-row winner relations
+    ``wt0..wt{T-1}``; compose predictions with
     :func:`sql_rf_pred_expr`."""
     feats = sorted(grid)
     vals = ", ".join(
@@ -246,8 +273,8 @@ samp AS (
 cand AS (
   SELECT s.t, g.f, g.thr,
          SUM(CASE WHEN {fcase} <= g.thr THEN 1 ELSE 0 END) AS nl,
-         {O.dsum(f"CASE WHEN {fcase} <= g.thr THEN s.y END")} AS sl,
-         COUNT(*) AS nt, {O.dsum('s.y')} AS st
+         {O.bsum(f"CASE WHEN {fcase} <= g.thr THEN s.y END", sum_bits)} AS sl,
+         COUNT(*) AS nt, {O.bsum('s.y', sum_bits)} AS st
   FROM samp s CROSS JOIN grid g GROUP BY s.t, g.f, g.thr),
 win AS (
   SELECT t, f, thr, sl / CAST(nl AS DOUBLE) AS ml,

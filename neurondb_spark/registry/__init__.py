@@ -191,6 +191,10 @@ FORCE_RECHECK = frozenset({
     # Round-9: LSH search/search_batch gained the tombstone anti-join
     # (DML support) — re-verify the existing LSH consumers.
     "lsh_knn_full_radius", "lsh_batch_knn",
+    # Round-9: rf_fixed_stumps switched decimal sums → fixed-point bsum
+    # (sum_bits=7) and a grouped-flags codegen'd aggregate; leaf values
+    # change in the last bits, oracle rewritten in lockstep.
+    "rf_fixed_stumps",
 })
 
 
