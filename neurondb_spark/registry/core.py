@@ -375,6 +375,51 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name"""
 
 
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to the testdata part
+    schema): revenue over an OR of three (brand, size-range,
+    quantity-range) conjunct groups — the canonical DISJUNCTIVE
+    predicate (§2.0). Catalyst extracts the common l_partkey join and
+    pushes the brand/size disjunction to the part scan; the per-brand
+    quantity windows apply post-join. Output grouped by brand so the
+    row is verifiable per arm."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arms = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(arms)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(rev).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SQL_TPCH_Q19 = f"""SELECT p_brand, COUNT(*) AS n_lines,
+  {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+ORDER BY p_brand"""
+
+
 def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (shipping priority classes, adapted: no l_shipmode in
     the testdata schema, so the class split keys on o_orderpriority):
@@ -428,6 +473,7 @@ QUERIES = {
     "tpch_q5_local_supplier": (_q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6_forecast": (_q_tpch_q6, _SQL_TPCH_Q6),
     "tpch_q12_priority_classes": (_q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q19_disjunctive": (_q_tpch_q19, _SQL_TPCH_Q19),
     "top_revenue_customers": (_q_top_revenue_customers, _SQL_TOP_REVENUE_CUSTOMERS),
     "orders_topk_per_segment": (_q_orders_topk_per_segment, _SQL_ORDERS_TOPK_PER_SEGMENT),
     "faceted_vector_search": (_q_faceted_search, _sql_faceted_search()),

@@ -1278,6 +1278,134 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schema)
 
 
+_LSH_RECALL_FLOORS = {1: 0.10, 2: 0.25, 3: 0.45}
+
+
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH multi-probe recall curve under the gate — the hyperplane
+    analog of `ann_recall_report`: recall@10 of bucket-pruned cosine
+    search at probe_hamming ∈ {1,2,3} against exact batch kNN over the
+    same fixed 20-query set, alongside the probed-bucket fraction.
+    Two raises encode the contract: (a) recall must EXCEED the probed
+    fraction at every radius — hyperplane routing must beat random
+    bucket pruning, the invariant that survives unstructured data —
+    and (b) per-radius absolute floors calibrated to the synthetic
+    corpus (near-uniform 64-d vectors: cosine neighbors are weakly
+    concentrated, so LSH recall is intrinsically modest here; on
+    clustered real corpora the same machinery scores far higher).
+    Rows-only by design (the multi-probe bucket walk is procedural);
+    collects 3 aggregate rows, bounded by construction.  Reference
+    analog: the recall-targeting tuner (neurondb_guc.c:491-543,
+    worker_tuner.c) and assert_recall (neurondb--1.0.sql:4389-4398)."""
+    import itertools
+    from functools import reduce
+    from math import comb
+
+    from neurondb_spark.functions.distance import distance
+    from neurondb_spark.operators.knn import knn_batch
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_batch(
+        emb, "embedding", queries, k=_RECALL_K, metric="cosine",
+        tiebreak=["vec_id"],
+    ).select("qid", "vec_id")
+    idx = _lsh_index_for(spark, sf_dir)
+    max_ph = max(_LSH_RECALL_FLOORS)
+    # One pruned scan for ALL radii: expand each query's probe set at
+    # the LARGEST radius, tag every bucket with its flip distance r,
+    # score candidates once, then each radius is a filter + window over
+    # the same localCheckpointed frame (the serial per-radius
+    # search_batch form re-scanned the layout 3x for nested candidate
+    # sets).
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    qrows = [(int(r["qid"]), [float(x) for x in r["qvec"]])
+             for r in queries.collect()]
+    probes = []
+    for qid, qv in qrows:
+        base = idx._query_buckets(qv, 0)[0]
+        for r in range(max_ph + 1):
+            for flips in itertools.combinations(range(_LSH_NBITS), r):
+                m = base
+                for f_ in flips:
+                    m ^= 1 << f_
+                probes.append((qid, int(m), r))
+    pschema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("r", T.IntegerType()),
+    ])
+    qschema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+    ])
+    pdf_probe = spark.createDataFrame(probes, schema=pschema)
+    qdf = spark.createDataFrame(qrows, schema=qschema)
+    d = distance("embedding", F.col("_qvec"), "cosine", dim=EMB_DIM,
+                 checked=False)
+    cand = (
+        idx._read_data(spark)
+        .join(F.broadcast(pdf_probe), "bucket")
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", "vec_id", "r", d.alias("_dist"))
+        .localCheckpoint()
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("_dist").asc(), F.col("vec_id").asc()
+    )
+    per_ph = [
+        cand.where(F.col("r") <= ph)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _RECALL_K)
+        .select(F.lit(ph).alias("ph"), "qid", "vec_id")
+        for ph in sorted(_LSH_RECALL_FLOORS)
+    ]
+    hit_rows = (
+        reduce(lambda a, b: a.unionByName(b), per_ph)
+        .join(exact, ["qid", "vec_id"], "left_semi")
+        .groupBy("ph").agg(F.count(F.lit(1)).alias("n_hit"))
+        .collect()
+    )
+    n_by_ph = {r["ph"]: r["n_hit"] for r in hit_rows}
+    n_buckets = 2 ** _LSH_NBITS
+    report = []
+    for ph, floor in sorted(_LSH_RECALL_FLOORS.items()):
+        probed = sum(comb(_LSH_NBITS, r) for r in range(ph + 1))
+        frac = probed / n_buckets
+        recall = n_by_ph.get(ph, 0) / float(_RECALL_Q * _RECALL_K)
+        if recall <= frac:
+            raise AssertionError(
+                f"neurondb: lsh probe_hamming={ph} recall@{_RECALL_K} "
+                f"{recall:.3f} does not beat the probed-bucket fraction "
+                f"{frac:.3f} — routing is no better than random pruning"
+            )
+        if recall < floor:
+            raise AssertionError(
+                f"neurondb: lsh probe_hamming={ph} recall@{_RECALL_K} "
+                f"{recall:.3f} fell below the {floor} floor"
+            )
+        report.append((ph, probed, round(frac, 6), round(recall, 6)))
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("probe_hamming", T.IntegerType()),
+        T.StructField("buckets_probed", T.IntegerType()),
+        T.StructField("bucket_frac", T.DoubleType()),
+        T.StructField("avg_recall", T.DoubleType()),
+    ])
+    pdf = pd.DataFrame(
+        report,
+        columns=["probe_hamming", "buckets_probed", "bucket_frac",
+                 "avg_recall"],
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 QUERIES = {
     "ivf_knn_full_probe": (_q_ivf_full, _sql_ivf_full()),
     "ivf_insert_delete_probe": (_q_ivf_dml, _sql_ivf_dml()),
@@ -1301,4 +1429,7 @@ QUERIES = {
     # rows-only by design: recall of a graph beam / partial probe is not
     # SQL-expressible; the query itself raises below the 0.9 floor.
     "ann_recall_report": (_q_ann_recall, None),
+    # rows-only by design: the multi-probe bucket walk is procedural;
+    # the query raises if recall does not beat random pruning.
+    "lsh_recall_report": (_q_lsh_recall, None),
 }
