@@ -173,28 +173,48 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 }
 # Round 8 = identical driver check of the round-7 set (zero-commit round).
 CHECKED_BY_ROUND[8] = CHECKED_BY_ROUND[7]
+# the 50 rows in CORRECTNESS_r09.json — 47 hash-green + 3 rows-only by
+# design (the two recall reports, which ARE the measurement and raise
+# below their floors, and the MLlib isolation forest whose exact twin
+# isolation_depth_exact is hash-green in the same file).
+CHECKED_BY_ROUND[9] = frozenset({
+    "tpch_q4_priority", "tpch_q5_local_supplier", "tpch_q12_priority_classes",
+    "tpch_q19_disjunctive", "ivf_rebalance_probe", "hnsw_batch_knn",
+    "hnsw_knn_full_ef", "hnsw_insert_delete_knn", "ivfpq_knn_exact_limit",
+    "lsh_knn_full_radius", "lsh_batch_knn", "lsh_insert_delete_knn",
+    "ann_recall_report", "lsh_recall_report", "gbt_fixed_stumps",
+    "gbt_shap_attributions", "rf_fixed_stumps", "gmm_fixed_em",
+    "isolation_depth_exact", "tsne_fixed_grad", "stream_ivf_cdc_knn",
+    "stream_monitor_window", "top_revenue_customers",
+    "orders_topk_per_segment", "faceted_vector_search", "multi_vector_search",
+    "vec_window_rank", "semantic_keyword_search", "hybrid_dense_sparse",
+    "nlp_sentiment_classify", "events_hourly", "feature_store_pit",
+    "events_topk_users", "events_time_decay", "events_sessionize",
+    "temporal_knn_decay", "hybrid_index_search", "consistent_snapshot_knn",
+    "rerank_candidates", "dbscan_clusters", "ocsvm_outliers",
+    "isolation_forest_outliers", "ml_knn_predictions",
+    "text_similarity_semantic", "embed_cached", "quantize_int4_fp8",
+    "quantize_uint8_ternary", "binary_hamming_knn",
+    "graph_connected_components", "vector_math_ops",
+})
 
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # Round-7 omissions the r8 verdict flagged: stream_monitor_window got
-    # the same strict-stream rewrite as the three listed streaming rows,
-    # and hnsw_knn_full_ef / ivfpq_knn_exact_limit consume the materially
-    # rewritten HNSW search path — none were listed at the time.
-    "stream_monitor_window", "hnsw_knn_full_ef", "ivfpq_knn_exact_limit",
-    # Round-9 rewrites: HNSW search gained tombstone-cache revalidation +
-    # atomic meta writes (migration moved to load()), and IVF rebalance
-    # commit/cleanup ordering changed. Re-verify every consumer of those
-    # paths under the driver gate.
-    "hnsw_insert_delete_knn", "hnsw_batch_knn", "ivf_rebalance_probe",
-    # Round-9: LSH search/search_batch gained the tombstone anti-join
-    # (DML support) — re-verify the existing LSH consumers.
-    "lsh_knn_full_radius", "lsh_batch_knn",
-    # Round-9: rf_fixed_stumps switched decimal sums → fixed-point bsum
-    # (sum_bits=7) and a grouped-flags codegen'd aggregate; leaf values
-    # change in the last bits, oracle rewritten in lockstep.
-    "rf_fixed_stumps",
+    # (All nine round-9 entries got their hash-green re-check in
+    # CORRECTNESS_r09.json and were pruned. Add a query here whenever its
+    # implementation — or an index/stream path it consumes — is rewritten
+    # after its latest driver check.)
+    #
+    # Round-10 rewrites: IVF/LSH insert() switched to incremental
+    # total_rows bookkeeping (reconciled in vacuum/compact), all three
+    # AMs' delete() gained a DataFrame overload used by the CDC drain,
+    # LSH DML moved onto the shared journaled commit helper, and the CDC
+    # drain gained an auto-compaction hook. Re-verify every DML/CDC
+    # consumer under the driver gate.
+    "lsh_insert_delete_knn", "ivf_insert_delete_probe",
+    "hnsw_insert_delete_knn", "stream_ivf_cdc_knn",
 })
 
 
