@@ -41,6 +41,143 @@ def atomic_write_json(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def as_tombstone_frame(spark: SparkSession, ids, id_col: str) -> DataFrame:
+    """Normalize a ``delete()`` ids argument into a single-column long
+    DataFrame named ``id_col``, ready to append to a tombstones dir.
+
+    Accepts a Python sequence (the interactive shape — materialized
+    driver-side by construction, coalesced to one file) or a DataFrame
+    (the streaming-CDC / bulk-purge shape — stays distributed end to
+    end; a GDPR purge of millions of ids never visits the driver, the
+    reference's bulkdelete contract, NeuronDB/src/index/hnsw_am.c).
+    A DataFrame either carries ``id_col`` or is single-column (renamed)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(ids, DataFrame):
+        if id_col in ids.columns:
+            src = F.col(id_col)
+        elif len(ids.columns) == 1:
+            src = F.col(ids.columns[0])
+        else:
+            raise ValueError(
+                f"neurondb: delete ids DataFrame must have column "
+                f"{id_col!r} or exactly one column (have {ids.columns})"
+            )
+        return ids.select(src.cast("long").alias(id_col))
+    pdf = pd.DataFrame({id_col: pd.Series(list(ids), dtype="int64")})
+    schema = T.StructType([T.StructField(id_col, T.LongType())])
+    return spark.createDataFrame(pdf, schema=schema).coalesce(1)
+
+
+# Post-roll-forward meta fixups, keyed by the name recorded in the DML
+# journal (an AM registers its fixup at module import; roll-forward runs
+# from that AM's load(), so the registration is always in place). A fixup
+# takes (staged_meta, index_path) and returns the meta to install —
+# recomputing any field that must reflect the FINAL on-disk state rather
+# than the pre-commit staging (e.g. HNSW's tombstone-dir signature).
+DML_META_FIXUPS: dict = {}
+
+
+def dml_commit(path: str, staged_meta, *, tombstones: str = "keep",
+               swap_data: bool = True, meta_fixup: str | None = None) -> None:
+    """COMMIT POINT for index DML (insert/vacuum) — the ONE journal
+    protocol shared by the HNSW / IVF / LSH AMs (r9 verdict #6; the
+    reference gets this from WAL-logged page writes, every AM the same
+    way). The caller has fully staged ``path/data_tmp`` (when
+    ``swap_data``) and, for ``tombstones='replace'``,
+    ``path/tombstones_tmp``, plus the complete new meta object (written
+    VERBATIM as meta.json — flat for HNSW/LSH, ``{"meta","centroids"}``
+    for IVF). One atomic journal rename is the commit; the idempotent
+    roll-forward (:func:`apply_dml_commit` — pure directory renames + one
+    atomic meta write, no Spark) finishes the swap, and a crash anywhere
+    after the journal is repaired by the AM's ``load()``. A crash BEFORE
+    it leaves the live index byte-identical (staging dirs are overwritten
+    by the next DML)."""
+    write_dml_journal(
+        path, staged_meta, tombstones=tombstones, swap_data=swap_data,
+        meta_fixup=meta_fixup,
+    )
+    apply_dml_commit(path)
+
+
+def write_dml_journal(path: str, staged_meta, *, tombstones: str = "keep",
+                      swap_data: bool = True,
+                      meta_fixup: str | None = None) -> None:
+    """Write the DML commit journal — the atomic rename IS the commit
+    point. Split from :func:`dml_commit` so an AM can interpose its own
+    roll-forward entry between journal and apply (HNSW routes through
+    ``HNSWIndex._apply_dml_commit`` for legacy-journal migration, and
+    crash-sim tests inject there)."""
+    import json
+
+    journal = {
+        "meta": staged_meta,
+        "tombstones": tombstones,
+        "swap_data": bool(swap_data),
+        "fixup": meta_fixup,
+    }
+    jtmp = os.path.join(path, "dml_commit.json.tmp")
+    with open(jtmp, "w") as f:
+        json.dump(journal, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(jtmp, os.path.join(path, "dml_commit.json"))
+
+
+def apply_dml_commit(path: str) -> None:
+    """Idempotent roll-forward of a journaled DML commit: swap the staged
+    graph/layout in (keeping the old data in ``dml_trash`` until done),
+    apply the tombstone action ('keep' | 'clear' | 'replace'), install
+    the staged meta (through the registered fixup, if any), then clean
+    staging and drop the journal LAST — the journal outlives every step,
+    so a crash at any point is finished by the next load()/dml_commit
+    (same ordering discipline as IVFIndex._apply_rebalance_commit).
+    Every AM's ``load()`` calls this before reading meta."""
+    import json
+    import shutil
+
+    jpath = os.path.join(path, "dml_commit.json")
+    if not os.path.exists(jpath):
+        return
+    with open(jpath) as f:
+        journal = json.load(f)
+    data = os.path.join(path, "data")
+    tmp = os.path.join(path, "data_tmp")
+    trash = os.path.join(path, "dml_trash")
+    tomb = os.path.join(path, "tombstones")
+    tomb_tmp = os.path.join(path, "tombstones_tmp")
+    if journal.get("swap_data", True) and os.path.isdir(tmp):
+        if os.path.isdir(data):
+            if os.path.isdir(trash):  # torn retry: re-stage the trash
+                shutil.rmtree(trash)
+            os.rename(data, trash)
+        os.rename(tmp, data)
+    action = journal.get("tombstones", "keep")
+    if action == "replace":
+        if os.path.isdir(tomb_tmp):
+            if os.path.isdir(tomb):
+                shutil.rmtree(tomb)
+            os.rename(tomb_tmp, tomb)
+    elif action == "clear":
+        shutil.rmtree(tomb, ignore_errors=True)
+    meta = journal["meta"]
+    fixup = journal.get("fixup")
+    if fixup is not None:
+        try:
+            meta = DML_META_FIXUPS[fixup](meta, path)
+        except KeyError:
+            raise RuntimeError(
+                f"neurondb: DML journal at {path!r} names meta fixup "
+                f"{fixup!r} but it is not registered — import the owning "
+                f"index module before rolling forward"
+            ) from None
+    atomic_write_json(os.path.join(path, "meta.json"), meta)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tomb_tmp, ignore_errors=True)  # stale pre-commit stage
+    os.remove(jpath)
+
+
 def _swap_in(spark: SparkSession, path: str, tmp: str) -> str:
     """Replace ``path`` with the fully-written ``tmp`` directory, keeping a
     ``.old`` backup until the new data is verified readable.

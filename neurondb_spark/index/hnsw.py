@@ -65,6 +65,27 @@ def _tomb_dir_sig(tomb_path: str) -> str | None:
     return f"{len(entries)}:{crc:08x}"
 
 
+def _hnsw_meta_fixup(meta: dict, path: str) -> dict:
+    """DML-commit meta fixup (registered with the shared journal
+    protocol, data_management.DML_META_FIXUPS): recompute the cached
+    tombstone fields from the FINAL post-roll-forward tombstones dir so
+    the installed meta can never be stale against the directory it
+    signs — the property the pre-journal multi-step commit lacked."""
+    sig = _tomb_dir_sig(os.path.join(path, "tombstones"))
+    if sig is None:
+        meta.pop("tomb_by_shard", None)
+        meta.pop("tomb_sig", None)
+        meta["n_tombstones"] = 0
+    else:
+        meta["tomb_sig"] = sig
+    return meta
+
+
+from neurondb_spark.data_management import DML_META_FIXUPS  # noqa: E402
+
+DML_META_FIXUPS["hnsw_tomb_sig"] = _hnsw_meta_fixup
+
+
 def _level_for(vec_id: int, seed: int, m_l: float) -> int:
     """Deterministic geometric level: uniform from a seeded hash of the
     row id (not a global RNG — makes builds reproducible AND independent
@@ -724,91 +745,73 @@ class HNSWIndex:
 
     def _commit_dml(self, spark: SparkSession, op: str, staged_meta: dict,
                     tomb_action: str) -> None:
-        """COMMIT POINT for insert/vacuum (r8 verdict stretch #8 — the
-        same journal-rename protocol as IVF rebalance,
-        index/ivf.py:525-536): the staged ``data_tmp`` (and
+        """COMMIT POINT for insert/vacuum — delegates to the SHARED
+        journal-rename protocol all three AMs now use
+        (data_management.dml_commit, r9 verdict #6; originally the r8
+        stretch-#8 HNSW-local journal, same shape as the IVF rebalance
+        journal, index/ivf.py:525-536): the staged ``data_tmp`` (and
         ``tombstones_tmp`` when replacing) plus the fully-computed new
         meta are committed by ONE atomic journal rename; the idempotent
-        roll-forward (:meth:`_apply_dml_commit` — pure directory renames
-        + one meta write, no Spark) finishes the swap, and a crash
+        roll-forward (pure directory renames + one meta write, no Spark)
+        finishes the swap through the registered ``hnsw_tomb_sig`` fixup
+        (tomb_sig recomputed from the FINAL tombstones dir), and a crash
         anywhere after the journal is repaired by ``load()``. A crash
-        BEFORE it leaves the live index byte-identical (staging dirs are
-        overwritten by the next DML). Replaces the old multi-step
-        _swap_in + untombstone + recount sequence, whose post-swap crash
-        window left meta stale against the swapped data."""
+        BEFORE it leaves the live index byte-identical."""
+        from neurondb_spark.data_management import write_dml_journal
+
         spark.read.parquet(os.path.join(self.path, "data_tmp")).schema
-        journal = {"op": op, "meta": staged_meta, "tombstones": tomb_action}
-        jtmp = os.path.join(self.path, "dml_commit.json.tmp")
-        with open(jtmp, "w") as f:
-            json.dump(journal, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(jtmp, os.path.join(self.path, "dml_commit.json"))
+        write_dml_journal(
+            self.path, staged_meta, tombstones=tomb_action,
+            swap_data=True, meta_fixup="hnsw_tomb_sig",
+        )
         HNSWIndex._apply_dml_commit(self.path)
         with open(os.path.join(self.path, "meta.json")) as f:
             self.meta = json.load(f)
 
     @staticmethod
     def _apply_dml_commit(path: str) -> None:
-        """Idempotent roll-forward of a journaled insert/vacuum: swap the
-        staged graph in, apply the tombstone action, install the staged
-        meta (tomb_sig computed from the FINAL tombstones dir), then
-        clean staging and drop the journal LAST — the journal outlives
-        every step, so a crash at any point is finished by the next
-        load()/_commit_dml (same ordering discipline as
-        IVFIndex._apply_rebalance_commit)."""
-        import shutil
-
-        from neurondb_spark.data_management import atomic_write_json
+        """Roll forward a crashed DML commit (called from ``load()``).
+        A journal written by a pre-r10 build lacks the ``fixup`` field —
+        rewrite it in place first (atomic replace) so the shared
+        roll-forward still applies the HNSW tomb_sig recompute."""
+        from neurondb_spark.data_management import (
+            apply_dml_commit,
+            atomic_write_json,
+        )
 
         jpath = os.path.join(path, "dml_commit.json")
-        if not os.path.exists(jpath):
-            return
-        with open(jpath) as f:
-            journal = json.load(f)
-        data = os.path.join(path, "data")
-        tmp = os.path.join(path, "data_tmp")
-        trash = os.path.join(path, "dml_trash")
-        tomb = os.path.join(path, "tombstones")
-        tomb_tmp = os.path.join(path, "tombstones_tmp")
-        if os.path.isdir(tmp):
-            if os.path.isdir(data):
-                if os.path.isdir(trash):  # torn retry: re-stage the trash
-                    shutil.rmtree(trash)
-                os.rename(data, trash)
-            os.rename(tmp, data)
-        action = journal.get("tombstones", "keep")
-        if action == "replace":
-            if os.path.isdir(tomb_tmp):
-                if os.path.isdir(tomb):
-                    shutil.rmtree(tomb)
-                os.rename(tomb_tmp, tomb)
-        elif action == "clear":
-            shutil.rmtree(tomb, ignore_errors=True)
-        meta = journal["meta"]
-        sig = _tomb_dir_sig(tomb)
-        if sig is None:
-            meta.pop("tomb_by_shard", None)
-            meta.pop("tomb_sig", None)
-            meta["n_tombstones"] = 0
-        else:
-            meta["tomb_sig"] = sig
-        atomic_write_json(os.path.join(path, "meta.json"), meta)
-        shutil.rmtree(trash, ignore_errors=True)
-        shutil.rmtree(tomb_tmp, ignore_errors=True)  # stale pre-commit stage
-        os.remove(jpath)
+        if os.path.exists(jpath):
+            with open(jpath) as f:
+                journal = json.load(f)
+            if "fixup" not in journal:
+                journal["fixup"] = "hnsw_tomb_sig"
+                journal.setdefault("swap_data", True)
+                atomic_write_json(jpath, journal)
+        apply_dml_commit(path)
 
-    def delete(self, spark: SparkSession, ids: list[int]) -> None:
+    def delete(self, spark: SparkSession, ids, id_col: str = "vec_id") -> None:
         """Soft delete: append tombstones; the graph keeps the nodes for
         routing and search filters them from results (reference: dead
         tuples stay in the AM until VACUUM). Re-inserting a deleted id
         via :meth:`insert` replaces the node and clears its tombstone.
         The per-shard tombstone-count cache is refreshed here (one
         column-pruned job on the maintenance path) so search() never
-        counts tombstones per query."""
-        pdf = pd.DataFrame({"vec_id": pd.Series(list(ids), dtype="int64")})
-        schema = T.StructType([T.StructField("vec_id", T.LongType())])
-        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+        counts tombstones per query.
+
+        ``ids`` is a Python sequence OR a DataFrame of ids (the
+        streaming-CDC / bulk-purge shape — a mass delete never visits
+        the driver; reference analog: bulkdelete is an AM page
+        operation, NeuronDB/src/index/hnsw_am.c). HNSW tombstones are
+        structurally keyed by the graph's ``vec_id`` column; a
+        different ``id_col`` raises."""
+        from neurondb_spark.data_management import as_tombstone_frame
+
+        if id_col != "vec_id":
+            raise ValueError(
+                "neurondb: hnsw tombstones are keyed by the graph's "
+                f"'vec_id' column; cannot delete by {id_col!r}"
+            )
+        as_tombstone_frame(spark, ids, "vec_id").write.mode(
             "append"
         ).parquet(os.path.join(self.path, "tombstones"))
         self._refresh_tomb_meta(spark)

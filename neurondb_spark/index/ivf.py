@@ -150,9 +150,16 @@ class IVFIndex:
 
     @staticmethod
     def load(path: str) -> "IVFIndex":
-        # Crash recovery: a journaled rebalance that died mid-commit is
-        # rolled forward here (idempotent directory renames, no Spark).
+        # Crash recovery: a journaled rebalance or DML commit (vacuum)
+        # that died mid-commit is rolled forward here (idempotent
+        # directory renames, no Spark).
         IVFIndex._apply_rebalance_commit(path)
+        from neurondb_spark.data_management import apply_dml_commit, recover
+
+        apply_dml_commit(path)
+        # A compact() that died between the two renames of its verified
+        # swap leaves data at data.old; restore it (no-op otherwise).
+        recover(os.path.join(path, "data"))
         # Sweep stale rebalance_trash left by the pre-r9 cleanup ordering
         # (journal removed before the rmtrees). Trash is only ever
         # created under a live journal, so journal-absent trash is
@@ -329,6 +336,19 @@ class IVFIndex:
 
     # --------------------------------------------------------------- DML
 
+    def _layout_fields(self, spark: SparkSession, part_col: str) -> dict:
+        """Layout schema (name → dataType) minus the partition column,
+        from the meta cache when present — zero jobs, zero file listings;
+        a legacy index without the cache pays one footer read."""
+        from pyspark.sql import types as T
+
+        sj = self.meta.get("data_schema")
+        if sj:
+            st = T.StructType.fromJson(json.loads(sj))
+        else:
+            st = spark.read.parquet(os.path.join(self.path, "data")).schema
+        return {f.name: f.dataType for f in st.fields if f.name != part_col}
+
     def insert(self, df_new: DataFrame) -> "IVFIndex":
         """Incremental insert (ivf_am.c aminsert: assign to the nearest
         list, append): new rows are routed with the SAME vec_route
@@ -336,15 +356,22 @@ class IVFIndex:
         partitions. Append-only — no existing file is rewritten, and the
         shuffle is one partitioned write of just the new rows (the
         natural 100 TB ingest shape). Centroids are NOT refit, matching
-        the reference (lists drift until a rebuild/rebalance)."""
+        the reference (lists drift until a rebuild/rebalance).
+
+        ``total_rows`` (which only feeds the routing cost model) is
+        maintained INCREMENTALLY — the inserted count is observed on the
+        write itself (one pass, no recount job over the layout; r9
+        verdict #3 — the old full ``count()`` per call was O(#files)
+        listing on every CDC micro-batch) and reconciled exactly by
+        ``vacuum()`` / ``compact()``. Schema is validated against the
+        meta-cached layout schema, so a well-formed insert plans exactly
+        ONE job: the routed append."""
+        from pyspark.sql import Observation
+
         from neurondb_spark.operators.knn import vec_route
 
         spark = df_new.sparkSession
-        existing = spark.read.parquet(os.path.join(self.path, "data"))
-        want = {
-            f.name: f.dataType for f in existing.schema.fields
-            if f.name != "cluster_id"
-        }
+        want = self._layout_fields(spark, "cluster_id")
         have = {f.name: f.dataType for f in df_new.schema.fields}
         if have != want:
             # Appending a differently-shaped frame writes mixed-schema
@@ -361,27 +388,37 @@ class IVFIndex:
             metric=self.meta["metric"], dim=self.meta.get("dim"),
             out_col="cluster_id",
         )
+        obs = Observation()
+        assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
         assigned.write.mode("append").partitionBy("cluster_id").parquet(
             os.path.join(self.path, "data")
         )
-        self.meta["total_rows"] = (
-            df_new.sparkSession.read.parquet(os.path.join(self.path, "data")).count()
-        )
+        prior = self.meta.get("total_rows")
+        if prior is None:  # legacy meta without the counter: seed it once
+            self.meta["total_rows"] = spark.read.parquet(
+                os.path.join(self.path, "data")
+            ).count()
+        else:
+            self.meta["total_rows"] = int(prior) + int(obs.get["n"])
         atomic_write_json(
             os.path.join(self.path, "meta.json"),
             {"meta": self.meta, "centroids": self.centroids},
         )
         return self
 
-    def delete(self, spark: SparkSession, ids: list[int], id_col: str = "vec_id") -> None:
+    def delete(self, spark: SparkSession, ids, id_col: str = "vec_id") -> None:
         """Soft delete: tombstone ids; search anti-joins them out (the
         reference leaves dead tuples in the lists until VACUUM).
 
-        The tombstone key column is persisted in meta on the first
-        delete; later deletes with a DIFFERENT id_col raise rather than
-        producing a mixed-key tombstone set search can't apply."""
-        import pandas as pd
-        from pyspark.sql import types as T
+        ``ids`` is a Python sequence OR a DataFrame of ids — the
+        DataFrame form stays distributed end to end (a mass-delete CDC
+        batch or GDPR purge never serializes ids through the driver;
+        reference analog: bulkdelete is an AM page operation,
+        NeuronDB/src/index/hnsw_am.c). The tombstone key column is
+        persisted in meta on the first delete; later deletes with a
+        DIFFERENT id_col raise rather than producing a mixed-key
+        tombstone set search can't apply."""
+        from neurondb_spark.data_management import as_tombstone_frame
 
         recorded = self.meta.get("tombstone_id_col")
         if recorded is not None and recorded != id_col:
@@ -390,9 +427,7 @@ class IVFIndex:
                 f"tombstones keyed by {recorded!r}; cannot delete by "
                 f"{id_col!r} (vacuum first, or use the recorded column)"
             )
-        pdf = pd.DataFrame({id_col: pd.Series(list(ids), dtype="int64")})
-        schema = T.StructType([T.StructField(id_col, T.LongType())])
-        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+        as_tombstone_frame(spark, ids, id_col).write.mode(
             "append"
         ).parquet(os.path.join(self.path, "tombstones"))
         if recorded is None:
@@ -421,10 +456,15 @@ class IVFIndex:
         """VACUUM analog: rewrite the lists without tombstoned rows (the
         partitioned layout is preserved; centroids unchanged). The
         tombstone key column comes from meta (recorded at delete time);
-        an explicit ``id_col`` that disagrees raises."""
-        import shutil
+        an explicit ``id_col`` that disagrees raises.
 
-        from neurondb_spark.data_management import _swap_in
+        Committed through the SHARED journaled protocol
+        (data_management.dml_commit, r9 verdict #6): the live rows and
+        the fully-computed new meta (exact ``total_rows`` reconcile —
+        this is where incremental insert bookkeeping squares up) are
+        staged, then ONE atomic journal rename swaps them in and clears
+        tombstones; a crash at any point is repaired by ``load()``."""
+        from neurondb_spark.data_management import dml_commit
 
         tomb = self._tombstones(spark)
         if tomb is None:
@@ -440,14 +480,14 @@ class IVFIndex:
         live = spark.read.parquet(data).join(tomb, id_col, "left_anti")
         tmp = os.path.join(self.path, "data_tmp")
         live.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
-        _swap_in(spark, data, tmp)
-        shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
-        self.meta.pop("tombstone_id_col", None)  # set fully applied
-        self.meta["total_rows"] = spark.read.parquet(data).count()
-        atomic_write_json(
-            os.path.join(self.path, "meta.json"),
-            {"meta": self.meta, "centroids": self.centroids},
+        staged = dict(self.meta)
+        staged.pop("tombstone_id_col", None)  # set fully applied
+        staged["total_rows"] = spark.read.parquet(tmp).count()
+        dml_commit(
+            self.path, {"meta": staged, "centroids": self.centroids},
+            tombstones="clear", swap_data=True,
         )
+        self.meta = staged
         return self
 
     def compact(self, spark: SparkSession) -> "IVFIndex":
@@ -455,11 +495,21 @@ class IVFIndex:
         appends one file per micro-batch per touched list — a
         long-running drain degrades the probe scan into file listing).
         Rows, partition values, tombstones and centroids are unchanged;
-        only file counts drop. Verified backup-keeping swap underneath."""
+        only file counts drop. Verified backup-keeping swap underneath.
+        ``total_rows`` is reconciled exactly here (footer-metadata count
+        of the freshly-compacted layout — the maintenance-path square-up
+        for incremental insert bookkeeping)."""
         from neurondb_spark.data_management import compact_partitioned
 
         compact_partitioned(
             spark, os.path.join(self.path, "data"), "cluster_id"
+        )
+        self.meta["total_rows"] = spark.read.parquet(
+            os.path.join(self.path, "data")
+        ).count()
+        atomic_write_json(
+            os.path.join(self.path, "meta.json"),
+            {"meta": self.meta, "centroids": self.centroids},
         )
         return self
 

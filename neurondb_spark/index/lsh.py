@@ -116,6 +116,15 @@ class LSHIndex:
 
     @staticmethod
     def load(path: str) -> "LSHIndex":
+        # Crash recovery: a journaled DML commit (vacuum) that died
+        # mid-commit is rolled forward here (idempotent renames, no
+        # Spark — the shared protocol, data_management.apply_dml_commit).
+        from neurondb_spark.data_management import apply_dml_commit, recover
+
+        apply_dml_commit(path)
+        # A compact() that died between the two renames of its verified
+        # swap leaves data at data.old; restore it (no-op otherwise).
+        recover(os.path.join(path, "data"))
         with open(os.path.join(path, "meta.json")) as f:
             return LSHIndex(path, json.load(f))
 
@@ -242,15 +251,25 @@ class LSHIndex:
         rewritten, one partitioned write of just the new rows (the IVF
         aminsert shape). The hyperplanes are fixed at build time, so
         bucket routing never drifts. Schema must match the indexed data
-        exactly (mixed-schema parquet reads silently drop columns)."""
+        exactly (mixed-schema parquet reads silently drop columns) and
+        is validated against the meta-cached layout schema — a
+        well-formed insert plans exactly ONE job: the routed append.
+        ``total_rows`` (cost-model input only) is maintained
+        INCREMENTALLY from an observation on the write itself (r9
+        verdict #3 — no recount job over the layout per micro-batch) and
+        reconciled exactly by ``vacuum()`` / ``compact()``."""
+        from pyspark.sql import Observation
+        from pyspark.sql import types as T
+
         from neurondb_spark.data_management import atomic_write_json
 
         spark = df_new.sparkSession
-        existing = self._read_data(spark)
-        want = {
-            f.name: f.dataType for f in existing.schema.fields
-            if f.name != "bucket"
-        }
+        sj = self.meta.get("data_schema")
+        if sj:
+            st = T.StructType.fromJson(json.loads(sj))
+        else:
+            st = self._read_data(spark).schema
+        want = {f.name: f.dataType for f in st.fields if f.name != "bucket"}
         have = {f.name: f.dataType for f in df_new.schema.fields}
         if have != want:
             raise ValueError(
@@ -260,25 +279,36 @@ class LSHIndex:
                 f"{sorted((n, d.simpleString()) for n, d in have.items())}"
             )
         sig = signature_expr(self.meta["vec_col"], self.meta["planes"])
-        df_new.withColumn("bucket", sig).write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(os.path.join(self.path, "data"))
-        self.meta["total_rows"] = spark.read.parquet(
+        obs = Observation()
+        out = df_new.withColumn("bucket", sig).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        out.write.mode("append").partitionBy("bucket").parquet(
             os.path.join(self.path, "data")
-        ).count()
+        )
+        prior = self.meta.get("total_rows")
+        if prior is None:  # legacy meta without the counter: seed it once
+            self.meta["total_rows"] = spark.read.parquet(
+                os.path.join(self.path, "data")
+            ).count()
+        else:
+            self.meta["total_rows"] = int(prior) + int(obs.get["n"])
         atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
         return self
 
-    def delete(self, spark: SparkSession, ids: list[int],
+    def delete(self, spark: SparkSession, ids,
                id_col: str = "vec_id") -> None:
         """Soft delete: tombstone ids; search anti-joins them out. The
         tombstone key column is persisted in meta on the first delete;
         later deletes with a DIFFERENT id_col raise rather than
-        producing a mixed-key tombstone set (the IVF contract)."""
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        from neurondb_spark.data_management import atomic_write_json
+        producing a mixed-key tombstone set (the IVF contract).
+        ``ids`` is a Python sequence OR a DataFrame of ids — the
+        DataFrame form stays distributed end to end (mass-delete CDC
+        batches never serialize ids through the driver)."""
+        from neurondb_spark.data_management import (
+            as_tombstone_frame,
+            atomic_write_json,
+        )
 
         recorded = self.meta.get("tombstone_id_col")
         if recorded is not None and recorded != id_col:
@@ -287,9 +317,7 @@ class LSHIndex:
                 f"tombstones keyed by {recorded!r}; cannot delete by "
                 f"{id_col!r} (vacuum first, or use the recorded column)"
             )
-        pdf = pd.DataFrame({id_col: pd.Series(list(ids), dtype="int64")})
-        schema = T.StructType([T.StructField(id_col, T.LongType())])
-        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+        as_tombstone_frame(spark, ids, id_col).write.mode(
             "append"
         ).parquet(os.path.join(self.path, "tombstones"))
         if recorded is None:
@@ -325,19 +353,34 @@ class LSHIndex:
 
     def compact(self, spark: SparkSession) -> "LSHIndex":
         """Merge each bucket's small files into one (the IVF compact
-        analog for the hyperplane layout — see IVFIndex.compact)."""
-        from neurondb_spark.data_management import compact_partitioned
+        analog for the hyperplane layout — see IVFIndex.compact).
+        ``total_rows`` is reconciled exactly here (footer-metadata count
+        of the freshly-compacted layout — the maintenance-path square-up
+        for incremental insert bookkeeping)."""
+        from neurondb_spark.data_management import (
+            atomic_write_json,
+            compact_partitioned,
+        )
 
         compact_partitioned(spark, os.path.join(self.path, "data"), "bucket")
+        self.meta["total_rows"] = spark.read.parquet(
+            os.path.join(self.path, "data")
+        ).count()
+        atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
         return self
 
     def vacuum(self, spark: SparkSession) -> "LSHIndex":
         """VACUUM analog: rewrite the bucket partitions without
-        tombstoned rows (layout and hyperplanes unchanged), via the
-        verified backup-keeping swap; then clear tombstones."""
-        import shutil
-
-        from neurondb_spark.data_management import _swap_in, atomic_write_json
+        tombstoned rows (layout and hyperplanes unchanged); then clear
+        tombstones. Committed through the SHARED journaled protocol
+        (data_management.dml_commit, r9 verdict #6 — replaces the bare
+        _swap_in + post-swap meta writes, whose crash window left
+        total_rows / tombstone_id_col stale against the swapped data):
+        the live rows and fully-computed meta (exact ``total_rows``
+        reconcile) are staged, then ONE atomic journal rename swaps them
+        in and clears tombstones; a crash at any point is repaired by
+        ``load()``."""
+        from neurondb_spark.data_management import dml_commit
 
         tomb = self._tombstones(spark)
         if tomb is None:
@@ -348,9 +391,9 @@ class LSHIndex:
         )
         tmp = os.path.join(self.path, "data_tmp")
         live.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        _swap_in(spark, data, tmp)
-        shutil.rmtree(os.path.join(self.path, "tombstones"), ignore_errors=True)
-        self.meta.pop("tombstone_id_col", None)
-        self.meta["total_rows"] = spark.read.parquet(data).count()
-        atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
+        staged = dict(self.meta)
+        staged.pop("tombstone_id_col", None)
+        staged["total_rows"] = spark.read.parquet(tmp).count()
+        dml_commit(self.path, staged, tombstones="clear", swap_data=True)
+        self.meta = staged
         return self

@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +46,19 @@ from pyspark.sql import functions as F
 from neurondb_spark.data_management import atomic_write_json
 
 _JOURNAL_DIR = "ingest_journal"
+
+
+def _committed_batches(index_path: str) -> int:
+    """Number of committed batch markers in the ingest journal — one
+    os.listdir, no Spark."""
+    jdir = os.path.join(index_path, _JOURNAL_DIR)
+    if not os.path.isdir(jdir):
+        return 0
+    return sum(
+        1 for f in os.listdir(jdir)
+        if f.startswith("batch_") and f.endswith(".json")
+        and not f.endswith(".intent.json")
+    )
 
 
 def _data_listing(index_path: str) -> list[str]:
@@ -98,34 +110,49 @@ def apply_cdc_batch(
         return  # replayed batch, already committed
     if append_only:
         if os.path.exists(intent):
-            # crashed mid-apply: undo the partial append, then re-apply
+            # crashed mid-apply: undo the partial append (and the
+            # incremental total_rows bookkeeping the crashed insert may
+            # have persisted — the intent's recorded value is the
+            # authoritative pre-batch count), then re-apply
             with open(intent) as fh:
                 rec = json.load(fh)
             _undo_partial_append(index.path, set(rec["data_files"]))
+            if rec.get("total_rows") is not None:
+                index.meta["total_rows"] = int(rec["total_rows"])
         atomic_write_json(
             intent, {"batch_id": int(batch_id),
-                     "data_files": _data_listing(index.path)},
+                     "data_files": _data_listing(index.path),
+                     "total_rows": index.meta.get("total_rows")},
         )
-    bad = batch_df.where(~F.col(op_col).isin("i", "d")).select(op_col)
-    bad_ops = [r[op_col] for r in bad.distinct().collect()]
+    # ONE bounded aggregate both validates the op codes and sizes the
+    # slices — the only collect on this path returns ≤ #distinct-op rows.
+    # Insert and delete slices flow through as DataFrames end to end
+    # (r9 verdict #1: a mass-delete micro-batch — a GDPR purge of
+    # millions of ids — must never serialize ids through the driver).
+    op_counts = {
+        r[op_col]: int(r["n"])
+        for r in batch_df.groupBy(op_col)
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    bad_ops = sorted(o for o in op_counts if o not in ("i", "d"))
     if bad_ops:
         raise ValueError(
             f"neurondb: cdc batch {batch_id} has unknown ops {bad_ops!r} "
             f"(expected 'i' or 'd' in column {op_col!r})"
         )
-    ins = batch_df.where(F.col(op_col) == "i").drop(op_col)
-    n_ins = ins.count()
+    n_ins = op_counts.get("i", 0)
+    n_del = op_counts.get("d", 0)
     if n_ins:
-        index.insert(ins)
-    dels = [
-        r[id_col]
-        for r in batch_df.where(F.col(op_col) == "d").select(id_col).collect()
-    ]
-    if dels:
-        index.delete(spark, dels)
+        index.insert(batch_df.where(F.col(op_col) == "i").drop(op_col))
+    if n_del:
+        index.delete(
+            spark,
+            batch_df.where(F.col(op_col) == "d").select(id_col),
+            id_col=id_col,
+        )
     committed = {
         "batch_id": int(batch_id), "inserted": int(n_ins),
-        "deleted": len(dels),
+        "deleted": int(n_del),
     }
     if append_only:
         atomic_write_json(intent, {
@@ -146,6 +173,8 @@ def index_cdc_drain(
     op_col: str = "op",
     id_col: str = "vec_id",
     append_only: bool = True,
+    compact_every: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Run-once drain of a CDC ops source into ``index``.
 
@@ -159,19 +188,45 @@ def index_cdc_drain(
     run-once WAL drain; re-running after new files land continues from
     the checkpoint.
 
+    ``compact_every`` = N (default: session conf
+    ``spark.neurondb.compact.every_batches``, 0 = off) runs the index's
+    ``compact()`` after every Nth COMMITTED batch — the reference's
+    background defrag worker folded into the drain
+    (NeuronDB/src/worker/worker_init.c:127-176, ``neurandefrag_*``
+    GUCs). Without it a long drain appends one file per touched
+    partition per micro-batch and degrades the probe scan into a
+    file-listing problem. Compaction runs BETWEEN batches (foreachBatch
+    is serial), rewrites no row content, and reconciles the incremental
+    ``total_rows`` bookkeeping exactly.
+
     Set ``append_only=False`` for HNSW (its insert is an internally
     journaled upsert-swap; the listing-undo protocol would fight the
-    shard rewrite)."""
-    ckpt = os.path.join(work_dir, "ckpt")
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .writeStream.foreachBatch(
-            lambda bdf, bid: apply_cdc_batch(
-                index, bdf, bid, op_col=op_col, id_col=id_col,
-                append_only=append_only,
-            )
+    shard rewrite — and it compacts by construction, so the hook is a
+    no-op there)."""
+    if compact_every is None:
+        compact_every = int(
+            spark.conf.get("spark.neurondb.compact.every_batches", "0")
         )
+
+    def _apply(bdf: DataFrame, bid: int) -> None:
+        apply_cdc_batch(
+            index, bdf, bid, op_col=op_col, id_col=id_col,
+            append_only=append_only,
+        )
+        if compact_every and hasattr(index, "compact"):
+            done = _committed_batches(index.path)
+            if done and done % int(compact_every) == 0:
+                index.compact(spark)
+
+    ckpt = os.path.join(work_dir, "ckpt")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # Bound each micro-batch (AvailableNow honors source rate
+        # limits) — the knob that sizes per-batch work on a long drain.
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

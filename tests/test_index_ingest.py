@@ -199,6 +199,181 @@ def test_cdc_rejects_unknown_ops(cdc_env):
         apply_cdc_batch(idx, bad, 0)
 
 
+def test_mass_delete_batch_never_collects_ids(cdc_env, monkeypatch):
+    """r9 verdict #1: a delete-heavy micro-batch (GDPR-purge shape) must
+    flow to the tombstone write as a DataFrame — the only collect on the
+    apply path is the bounded op-count aggregate (≤ #distinct op codes
+    rows), never the ids themselves."""
+    # patch the CONCRETE DataFrame class (pyspark 4 splits the abstract
+    # pyspark.sql.DataFrame from the classic runtime implementation)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+    except ImportError:  # older pyspark: one class
+        from pyspark.sql import DataFrame as SparkDF
+
+    spark, emb, td, src = cdc_env
+    idx = IVFIndex.build(
+        emb, "embedding", os.path.join(td, "ivf_mass"),
+        nlists=4, metric="l2", dim=DIM,
+    )
+    emb_type = dict((f.name, f.dataType) for f in emb.schema.fields)["embedding"]
+    mass = (
+        spark.range(100_000)
+        .where(F.col("id") % 2 == 0)  # purge evens; odds must survive
+        .select(
+            F.col("id").alias("vec_id"),
+            F.lit(None).cast(emb_type).alias("embedding"),
+            F.lit("d").alias("op"),
+        )
+    )
+    sizes = []
+    real_collect = SparkDF.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(SparkDF, "collect", spy)
+    apply_cdc_batch(idx, mass, 0)
+    monkeypatch.setattr(SparkDF, "collect", real_collect)
+    assert sizes, "expected the bounded op-count aggregate to run"
+    assert max(sizes) <= 2, (
+        f"driver materialized {max(sizes)} rows during a mass-delete "
+        f"batch (collect sizes: {sizes})"
+    )
+    # the tombstones landed: a search never returns a purged (even) id
+    q = _query(spark)
+    got = [
+        r["vec_id"]
+        for r in idx.search(spark, q, k=10, nprobe=4,
+                            tiebreak=["vec_id"]).collect()
+    ]
+    assert got and all(v % 2 == 1 for v in got)
+
+
+def test_insert_plans_no_layout_count_job(cdc_env):
+    """r9 verdict #2: with incremental total_rows bookkeeping, insert()
+    plans exactly ONE job — the routed append — and never a recount scan
+    over the whole layout (the observed-write count rides the append
+    job). Checked for both append-only AMs via the job-group tracker."""
+    spark, emb, td, src = cdc_env
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 100))
+    n_batch = batch.count()
+    for name, idx in (
+        ("ivf", IVFIndex.build(base, "embedding", os.path.join(td, "ivf_nc"),
+                               nlists=4, metric="l2", dim=DIM)),
+        ("lsh", LSHIndex.build(base, "embedding", os.path.join(td, "lsh_nc"),
+                               dim=DIM, nbits=4, metric="l2")),
+    ):
+        before = idx.meta["total_rows"]
+        sc = spark.sparkContext
+        group = f"{name}_insert_nojob"
+        sc.setJobGroup(group, "insert must plan one append job")
+        try:
+            idx.insert(batch)
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert len(jobs) == 1, (
+            f"{name} insert ran {len(jobs)} jobs (want 1 append): {jobs}"
+        )
+        assert idx.meta["total_rows"] == before + n_batch
+        # reload sees the persisted incremental count
+        loader = IVFIndex if name == "ivf" else LSHIndex
+        assert loader.load(idx.path).meta["total_rows"] == before + n_batch
+
+
+@pytest.mark.parametrize("am", ["ivf", "lsh"])
+def test_vacuum_journal_crash_rolls_forward_on_load(cdc_env, monkeypatch, am):
+    """r9 verdict #6: IVF and LSH vacuum now commit through the shared
+    journal protocol — a crash AT the commit point (journal written,
+    roll-forward not run) is repaired by load(): tombstoned rows gone,
+    tombstones cleared, total_rows exact, journal dropped."""
+    from neurondb_spark import data_management as dm
+
+    spark, emb, td, src = cdc_env
+    base = emb.where(F.col("vec_id") < 300)
+    if am == "ivf":
+        idx = IVFIndex.build(base, "embedding", os.path.join(td, "ivf_vj"),
+                             nlists=4, metric="l2", dim=DIM)
+    else:
+        idx = LSHIndex.build(base, "embedding", os.path.join(td, "lsh_vj"),
+                             dim=DIM, nbits=4, metric="l2")
+    dead = [5, 17, 42]
+    idx.delete(spark, dead)
+
+    real_apply = dm.apply_dml_commit
+
+    def crash(p):
+        if os.path.exists(os.path.join(p, "dml_commit.json")):
+            raise RuntimeError("simulated crash at commit point")
+        return real_apply(p)
+
+    monkeypatch.setattr(dm, "apply_dml_commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.vacuum(spark)
+    monkeypatch.setattr(dm, "apply_dml_commit", real_apply)
+    assert os.path.exists(os.path.join(idx.path, "dml_commit.json"))
+
+    loader = IVFIndex if am == "ivf" else LSHIndex
+    idx2 = loader.load(idx.path)
+    assert not os.path.exists(os.path.join(idx.path, "dml_commit.json"))
+    assert not os.path.isdir(os.path.join(idx.path, "tombstones"))
+    assert idx2.meta.get("tombstone_id_col") is None
+    assert idx2.meta["total_rows"] == base.count() - len(dead)
+    kw = {"nprobe": 4} if am == "ivf" else {"probe_hamming": 4}
+    got = {
+        r["vec_id"]
+        for r in idx2.search(spark, _query(spark), k=300, **kw).collect()
+    }
+    assert not (got & set(dead))
+
+
+def test_cdc_auto_compaction_hook(cdc_env):
+    """r9 verdict #7: with compact_every=N, a drain over 3N micro-batches
+    ends with ≤1 file per touched partition (the reference's background
+    defrag worker, worker_init.c:127-176) and identical search results."""
+    spark, emb, td, src6 = cdc_env
+    src = os.path.join(td, "ops6")
+    emb_type = dict((f.name, f.dataType) for f in emb.schema.fields)["embedding"]
+    ins = emb.where(F.col("vec_id") % 2 == 1).withColumn("op", F.lit("i"))
+    dels = emb.where(F.col("vec_id") % 37 == 0).select(
+        "vec_id", F.lit(None).cast(emb_type).alias("embedding"),
+        F.lit("d").alias("op"),
+    )
+    ins.select("vec_id", "embedding", "op").unionByName(dels).repartition(
+        6
+    ).write.mode("overwrite").parquet(src)
+    idx = IVFIndex.build(
+        emb.where(F.col("vec_id") % 2 == 0), "embedding",
+        os.path.join(td, "ivf_auto"), nlists=4, metric="l2", dim=DIM,
+    )
+    index_cdc_drain(
+        spark, src, _ops_schema(emb), idx, os.path.join(td, "work_auto"),
+        compact_every=2, max_files_per_trigger=1,
+    )
+    from neurondb_spark.streaming.index_ingest import _committed_batches
+
+    assert _committed_batches(idx.path) == 6
+    data = os.path.join(idx.path, "data")
+    for d in os.listdir(data):
+        if d.startswith("cluster_id="):
+            assert len(_pq_files(os.path.join(data, d))) <= 1
+    q = _query(spark)
+    got = [
+        r["vec_id"]
+        for r in idx.search(spark, q, k=10, nprobe=4,
+                            tiebreak=["vec_id"]).collect()
+    ]
+    assert got == _brute_ids(spark, emb, q)
+    # total_rows reconciled exactly by the final compaction: evens from
+    # the build + odd inserts = every row (deletes are tombstones, still
+    # physically present until vacuum)
+    assert IVFIndex.load(idx.path).meta["total_rows"] == emb.count()
+
+
 def _pq_files(root):
     return [
         os.path.join(b, f)
