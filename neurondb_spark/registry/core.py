@@ -457,6 +457,47 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag"""
 
 
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue, adapted: no p_container
+    in the testdata schema, so the part filter is brand-only): yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    dropped. THE nested-subquery shape — a correlated scalar subquery
+    over an aggregate in the WHERE clause (r9 verdict stretch #8; the
+    last §2.0 plan family without a gate row) — decorrelated the way
+    Catalyst itself would: the brand slice of part broadcasts into
+    lineitem, the per-partkey threshold is ONE map-side-combined
+    aggregate over that already-filtered frame, and the threshold join
+    is co-keyed on l_partkey with the aggregate it consumes (at 100 TB:
+    one broadcast + one keyed shuffle reused by agg and join, never a
+    re-scan per outer row). Cross-row double aggregates go through the
+    exact-decimal helpers for engine-order independence."""
+    li = t(spark, sf_dir, "lineitem")
+    part_b = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li_b = li.join(
+        F.broadcast(part_b), li.l_partkey == part_b.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("q_thresh")
+    )
+    return (
+        li_b.join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("q_thresh"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_SQL_TPCH_Q17 = f"""SELECT {O.dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * {O.davg('l2.l_quantity')}
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"""
+
+
 QUERIES = {
     "knn_l2": (_mk_knn("l2"), _sql_knn("l2")),
     "knn_cosine": (_mk_knn("cosine"), _sql_knn("cosine")),
@@ -473,6 +514,7 @@ QUERIES = {
     "tpch_q5_local_supplier": (_q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6_forecast": (_q_tpch_q6, _SQL_TPCH_Q6),
     "tpch_q12_priority_classes": (_q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q17_small_qty": (_q_tpch_q17, _SQL_TPCH_Q17),
     "tpch_q19_disjunctive": (_q_tpch_q19, _SQL_TPCH_Q19),
     "top_revenue_customers": (_q_top_revenue_customers, _SQL_TOP_REVENUE_CUSTOMERS),
     "orders_topk_per_segment": (_q_orders_topk_per_segment, _SQL_ORDERS_TOPK_PER_SEGMENT),

@@ -1406,6 +1406,135 @@ def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schema)
 
 
+_LSH_CL_C = 5            # planted clusters
+_LSH_CL_SEED = 1234      # center directions
+_LSH_CL_CAP = 10_000     # corpus bound (cluster sizes stay >> k)
+_LSH_CL_NOISE = 0.5      # per-dim jitter amplitude around a norm-10 center
+_LSH_CL_FLOOR = 0.8      # recall@10 at probe_hamming=2
+_lsh_cl_cache: dict[str, "object"] = {}
+
+
+def planted_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic planted-cluster corpus: vec_id → cluster
+    ``vec_id % C``; vector = that cluster's fixed norm-10 center plus a
+    small integer-hash jitter (pure Column arithmetic — no UDF, no
+    randomness at plan time, bit-identical across runs and engines).
+    Clusters are random 64-d directions, i.e. near-orthogonal (~90°
+    apart), while intra-cluster spread is a few degrees — the geometry
+    where hyperplane LSH MUST score high recall, unlike the near-uniform
+    synthetic embeddings the absolute floors in `lsh_recall_report` are
+    calibrated to."""
+    import math
+    import random
+
+    rng = random.Random(_LSH_CL_SEED)
+    centers = [
+        [rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)]
+        for _ in range(_LSH_CL_C)
+    ]
+    centers = [
+        [10.0 * x / math.sqrt(sum(v * v for v in c)) for x in c]
+        for c in centers
+    ]
+    ids = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").cast("long").alias("vec_id"))
+        .where(F.col("vec_id") < _LSH_CL_CAP)
+    )
+    c = (F.col("vec_id") % _LSH_CL_C).cast("int")
+    dims = []
+    for j in range(EMB_DIM):
+        center_j = F.element_at(
+            F.array(*[F.lit(float(centers[k][j])) for k in range(_LSH_CL_C)]),
+            c + 1,
+        )
+        # integer-hash jitter in [-noise/2, noise/2): cheap, codegen'd,
+        # prime modulus so it can't alias with the % C cluster labels
+        h = F.pmod(
+            F.col("vec_id") * F.lit(1103515245) + F.lit(j * 12345),
+            F.lit(997),
+        ).cast("double")
+        noise = (h / F.lit(997.0) - F.lit(0.5)) * F.lit(_LSH_CL_NOISE)
+        dims.append(center_j + noise)
+    return ids.select(
+        "vec_id", F.array(*dims).cast("array<double>").alias("embedding")
+    )
+
+
+def _lsh_clustered_index_for(spark: SparkSession, sf_dir: str):
+    from neurondb_spark.index.lsh import LSHIndex
+
+    key = sf_dir.rstrip("/")
+    if key in _lsh_cl_cache:
+        return _lsh_cl_cache[key]
+    tag = key.replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"neurondb_lshcl_c{_LSH_CL_C}_b{_LSH_NBITS}_{tag}",
+    )
+    if os.path.exists(os.path.join(path, "meta.json")):
+        idx = LSHIndex.load(path)
+    else:
+        idx = LSHIndex.build(
+            planted_cluster_frame(spark, sf_dir), "embedding", path,
+            dim=EMB_DIM, nbits=_LSH_NBITS, seed=42, metric="cosine",
+        )
+    _lsh_cl_cache[key] = idx
+    return idx
+
+
+def _q_lsh_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-corpus LSH recall gate (r9 verdict #4): on the planted
+    near-orthogonal clusters, bucket-pruned cosine search at
+    probe_hamming=2 must reach recall@10 ≥ 0.8 against exact batch kNN
+    over the same corpus — a floor tight enough that a broken hyperplane
+    signature (e.g. a sign flip between build and probe; pytest
+    tests/test_index.py asserts exactly that failure mode) turns this
+    row red, which the loose uniform-corpus floors in
+    `lsh_recall_report` cannot. Rows-only by design (the multi-probe
+    bucket walk is procedural); the one collect is a single aggregate
+    row. Reference analog: assert_recall + the recall-targeting tuner
+    (neurondb--1.0.sql:4389-4398, neurondb_guc.c:491-543)."""
+    from neurondb_spark.operators.knn import knn_batch
+
+    planted = planted_cluster_frame(spark, sf_dir)
+    idx = _lsh_clustered_index_for(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_batch(
+        planted, "embedding", queries, k=_RECALL_K, metric="cosine",
+        tiebreak=["vec_id"],
+    ).select("qid", "vec_id")
+    hits = idx.search_batch(
+        spark, queries, k=_RECALL_K, probe_hamming=2, tiebreak=["vec_id"]
+    ).select("qid", "vec_id")
+    n_hit = hits.join(exact, ["qid", "vec_id"], "left_semi").count()
+    recall = n_hit / float(_RECALL_Q * _RECALL_K)
+    if recall < _LSH_CL_FLOOR:
+        raise AssertionError(
+            f"neurondb: clustered-corpus lsh recall@{_RECALL_K} "
+            f"{recall:.3f} fell below the {_LSH_CL_FLOOR} floor at "
+            f"probe_hamming=2 ({_LSH_CL_C} planted clusters)"
+        )
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("n_clusters", T.IntegerType()),
+        T.StructField("probe_hamming", T.IntegerType()),
+        T.StructField("k", T.IntegerType()),
+        T.StructField("n_queries", T.IntegerType()),
+        T.StructField("avg_recall", T.DoubleType()),
+    ])
+    pdf = pd.DataFrame(
+        [(_LSH_CL_C, 2, _RECALL_K, _RECALL_Q, round(recall, 6))],
+        columns=["n_clusters", "probe_hamming", "k", "n_queries",
+                 "avg_recall"],
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 QUERIES = {
     "ivf_knn_full_probe": (_q_ivf_full, _sql_ivf_full()),
     "ivf_insert_delete_probe": (_q_ivf_dml, _sql_ivf_dml()),
@@ -1432,4 +1561,7 @@ QUERIES = {
     # rows-only by design: the multi-probe bucket walk is procedural;
     # the query raises if recall does not beat random pruning.
     "lsh_recall_report": (_q_lsh_recall, None),
+    # rows-only by design: planted-cluster recall gate with a tight 0.8
+    # floor — red on any routing/signature regression (see docstring).
+    "lsh_recall_clustered": (_q_lsh_recall_clustered, None),
 }

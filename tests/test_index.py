@@ -266,3 +266,49 @@ def test_lsh_dml_lifecycle(spark):
     got = [r["vec_id"] for r in idx.search(
         spark, q, k=5, probe_hamming=5, tiebreak=["vec_id"]).collect()]
     assert got == brute(exclude=dead)
+
+
+def test_lsh_clustered_recall_gate_has_teeth(spark):
+    """r9 verdict #4: the planted-cluster recall floor (0.8 at
+    probe_hamming=2) must be tight enough that a broken hyperplane
+    signature turns the gate red. Healthy index passes; an index whose
+    search-side planes are sign-flipped (query signatures land in the
+    complement bucket, hamming nbits away from the data's) craters
+    recall and raises."""
+    import pytest
+
+    from neurondb_spark.index.lsh import LSHIndex
+    from neurondb_spark.operators.knn import knn_batch
+    from neurondb_spark.registry.index_queries import (
+        _LSH_CL_FLOOR,
+        planted_cluster_frame,
+    )
+
+    planted = planted_cluster_frame(spark, SF_DIR)
+    path = os.path.join(tempfile.mkdtemp(prefix="lsh_cl_"), "idx")
+    idx = LSHIndex.build(
+        planted, "embedding", path, dim=64, nbits=8, seed=42,
+        metric="cosine",
+    )
+    queries = planted.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_batch(
+        planted, "embedding", queries, k=10, metric="cosine",
+        tiebreak=["vec_id"],
+    ).select("qid", "vec_id")
+
+    def recall(handle):
+        hits = handle.search_batch(
+            spark, queries, k=10, probe_hamming=2, tiebreak=["vec_id"]
+        ).select("qid", "vec_id")
+        return hits.join(exact, ["qid", "vec_id"], "left_semi").count() / 100.0
+
+    assert recall(idx) >= _LSH_CL_FLOOR
+
+    broken_meta = dict(idx.meta)
+    broken_meta["planes"] = [
+        [-w for w in plane] for plane in idx.meta["planes"]
+    ]
+    broken = LSHIndex(path, broken_meta)
+    assert recall(broken) < _LSH_CL_FLOOR
