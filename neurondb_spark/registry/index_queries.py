@@ -158,30 +158,40 @@ def _probe_clusters_fixed(
     nprobe: int,
 ) -> list[int]:
     """Rank centroids by fixed-point (bsum) squared L2 to the query, ties
-    to the lower cluster — the identical expression the oracle replays
-    (a driver-side Python sum would be left-assoc IEEE, NOT the decimal
-    grid, and could diverge in the last ulp)."""
-    from neurondb_spark.functions.aggregates import bsum
+    to the lower cluster — the identical grid the oracle replays, computed
+    DRIVER-SIDE with exact bsum semantics (r9 perf watch: the old Spark
+    job — createDataFrame + join + groupBy + collect over 8×64 values —
+    cost ~1s of pure scheduler overhead per probe, 3-4× the pruned scan
+    itself; routing math on a KB-sized centroid table belongs on the
+    driver, exactly like IVFIndex._nearest_clusters).
 
-    crows = [
-        (ci, p + 1, float(v))
-        for ci, c in enumerate(centroids) for p, v in enumerate(c)
-    ]
-    cdf = spark.createDataFrame(crows, schema="cluster int, pos int, cval double")
-    qdf = spark.createDataFrame(
-        [(p + 1, float(v)) for p, v in enumerate(q)],
-        schema="pos int, qval double",
+    Parity contract with ``bsum`` (functions/aggregates.py): each
+    squared-diff double and its ×2^40 scaling are the same IEEE ops in
+    Python and the JVM; Spark's ``F.round(x, 0)`` on a double is
+    ``BigDecimal.valueOf(x).setScale(0, HALF_UP)``, i.e. HALF_UP on the
+    SHORTEST decimal repr — replicated bit-for-bit by
+    ``Decimal(repr(x))`` (Python's repr is the same shortest-round-trip
+    algorithm); the integer sum is exact in any order; the final /2^40
+    is a monotonic positive constant, so ranking skips it.
+    tests/test_index.py asserts this replica against the Spark bsum
+    ranking; the `ivf_knn_probe` hash gate re-verifies end-to-end."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    factor = float(2 ** 40)
+    one = Decimal(1)
+
+    def fixed_sq(c: list[float]) -> int:
+        tot = 0
+        for v, qv in zip(c, q):
+            d = float(v) - float(qv)
+            s = (d * d) * factor
+            tot += int(Decimal(repr(s)).quantize(one, rounding=ROUND_HALF_UP))
+        return tot
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (fixed_sq(centroids[i]), i)
     )
-    ranked = (
-        cdf.join(qdf, "pos")
-        .groupBy("cluster")
-        .agg(bsum((F.col("cval") - F.col("qval"))
-                  * (F.col("cval") - F.col("qval"))).alias("pd"))
-        .orderBy(F.col("pd").asc(), F.col("cluster").asc())
-        .limit(nprobe)
-        .collect()
-    )
-    return [r["cluster"] for r in ranked]
+    return ranked[:nprobe]
 
 
 def _q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

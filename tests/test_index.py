@@ -312,3 +312,43 @@ def test_lsh_clustered_recall_gate_has_teeth(spark):
     ]
     broken = LSHIndex(path, broken_meta)
     assert recall(broken) < _LSH_CL_FLOOR
+
+
+def test_probe_clusters_fixed_matches_spark_bsum(spark):
+    """The driver-side fixed-point centroid ranking must reproduce the
+    Spark bsum expression bit-for-bit (same 2^40 grid, same HALF_UP on
+    shortest-repr rounding) — the parity contract that lets
+    ivf_knn_probe route without a Spark job."""
+    import random
+
+    from neurondb_spark.functions.aggregates import bsum
+    from neurondb_spark.registry.index_queries import _probe_clusters_fixed
+
+    rng = random.Random(99)
+    for trial in range(5):
+        k, dim = 8, 16
+        cents = [[rng.uniform(-3, 3) for _ in range(dim)] for _ in range(k)]
+        q = [rng.uniform(-3, 3) for _ in range(dim)]
+        got = _probe_clusters_fixed(spark, cents, q, k)
+
+        crows = [
+            (ci, p + 1, float(v))
+            for ci, c in enumerate(cents) for p, v in enumerate(c)
+        ]
+        cdf = spark.createDataFrame(
+            crows, schema="cluster int, pos int, cval double"
+        )
+        qdf = spark.createDataFrame(
+            [(p + 1, float(v)) for p, v in enumerate(q)],
+            schema="pos int, qval double",
+        )
+        want = [
+            r["cluster"]
+            for r in cdf.join(qdf, "pos")
+            .groupBy("cluster")
+            .agg(bsum((F.col("cval") - F.col("qval"))
+                      * (F.col("cval") - F.col("qval"))).alias("pd"))
+            .orderBy(F.col("pd").asc(), F.col("cluster").asc())
+            .collect()
+        ]
+        assert got == want, f"trial {trial}: {got} != {want}"
