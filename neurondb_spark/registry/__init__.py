@@ -215,6 +215,9 @@ FORCE_RECHECK = frozenset({
     # consumer under the driver gate.
     "lsh_insert_delete_knn", "ivf_insert_delete_probe",
     "hnsw_insert_delete_knn", "stream_ivf_cdc_knn",
+    # Round-10: the fixed-point probe ranking moved from a Spark bsum
+    # job to the driver-side Decimal replica — re-verify the consumer.
+    "ivf_knn_probe",
 })
 
 

@@ -498,6 +498,166 @@ WHERE p.p_brand = 'Brand#1'
     FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"""
 
 
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by ship year — the canonical SELF-JOINED-DIMENSION shape
+    (nation joins twice, once through supplier and once through
+    customer) plus a symmetric pair predicate. At 100 TB: nation
+    broadcasts twice (KB-scale), supplier broadcasts (the small side of
+    its fact join), and the lineitem⋈orders⋈customer chain shuffles
+    co-keyed on orderkey/custkey — the only big exchanges. The year
+    extraction stays a pure expression so the grouped agg is one
+    map-side-combined shuffle."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(vol).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_SQL_TPCH_Q7 = f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  EXTRACT(year FROM l_shipdate) AS l_year,
+  {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share, adapted to the testdata part
+    schema: p_type is a single word): a target nation's share of ASIA's
+    PROMO-part order volume by order year — the RATIO-OF-CONDITIONAL-
+    AGGREGATES shape over a 7-table join. Both numerator and denominator
+    ride ONE grouped aggregate (CASE-sum over the same shuffle); the
+    share division happens after both exact-decimal sums, so engine
+    summation order cannot move the ratio."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    target_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(target_vol) / dsum(vol)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+_SQL_TPCH_Q8 = f"""SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+  {O.dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+  / {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1"""
+
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in one quarter — the GROUP-BY-WIDE-KEY + global
+    top-k shape. The grouped agg shuffles once on the customer grain;
+    the final top-20 is TakeOrdered (per-partition heaps merged on the
+    driver, never a global sort). Deterministic LIMIT via the c_custkey
+    tiebreak in both engines."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q10 = f"""SELECT c_custkey, c_name, c_acctbal, n_name,
+  {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20"""
+
+
 QUERIES = {
     "knn_l2": (_mk_knn("l2"), _sql_knn("l2")),
     "knn_cosine": (_mk_knn("cosine"), _sql_knn("cosine")),
@@ -513,6 +673,9 @@ QUERIES = {
     "tpch_q4_priority": (_q_tpch_q4, _SQL_TPCH_Q4),
     "tpch_q5_local_supplier": (_q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q6_forecast": (_q_tpch_q6, _SQL_TPCH_Q6),
+    "tpch_q7_volume_shipping": (_q_tpch_q7, _SQL_TPCH_Q7),
+    "tpch_q8_market_share": (_q_tpch_q8, _SQL_TPCH_Q8),
+    "tpch_q10_returned_items": (_q_tpch_q10, _SQL_TPCH_Q10),
     "tpch_q12_priority_classes": (_q_tpch_q12, _SQL_TPCH_Q12),
     "tpch_q17_small_qty": (_q_tpch_q17, _SQL_TPCH_Q17),
     "tpch_q19_disjunctive": (_q_tpch_q19, _SQL_TPCH_Q19),
