@@ -658,6 +658,155 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20"""
 
 
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): the DOUBLE-
+    AGGREGATION shape — count orders per customer through a LEFT join
+    (customers with zero orders must appear), then histogram the counts.
+    At 100 TB: one custkey-keyed shuffle serves both the outer join and
+    the first aggregate (same key); the second aggregate's domain is
+    |distinct counts| — trivially small."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_SQL_TPCH_Q13 = """SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the AGGREGATE-OF-AGGREGATE shape — a
+    revenue view per supplier, filtered to the rows equal to the view's
+    own MAX (a scalar subquery over the aggregate). The max rides a
+    broadcast join of a 1-row frame, so the plan stays declarative;
+    revenue equality is exact because both engines sum through the same
+    decimal grid. At 100 TB the revenue view is one suppkey-keyed
+    map-side-combined shuffle; supplier broadcasts."""
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+        ).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_TPCH_Q15 = f"""WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey"""
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING-driven IN-subquery
+    shape — orders whose total line quantity exceeds a threshold, joined
+    back to customer. Decorrelated the way Catalyst would: the
+    per-orderkey quantity sum is computed ONCE (it is both the HAVING
+    filter and the output column, orderkey → custkey being functional),
+    then joins orders and broadcast-sized customer. Deterministic top-100
+    via the orderkey tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250.0)
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q18 = f"""SELECT c_custkey, c_name, o_orderkey,
+  {O.dsum('l_quantity')} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {O.dsum('l_quantity')} > 250.0)
+GROUP BY c_custkey, c_name, o_orderkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100"""
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity, adapted: no phone prefixes
+    in the testdata schema, so the anti-join keys on urgent orders):
+    customers with above-global-average positive balance and NO urgent
+    order — the UNCORRELATED-SCALAR-SUBQUERY + ANTI-JOIN shape. The
+    global average is a 1-row broadcast (never a driver round-trip in
+    the plan), the anti-join is a left_anti on custkey, and both
+    cross-row double aggregates ride the exact-decimal grid."""
+    cust = t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("_avg")
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+_SQL_TPCH_Q22 = f"""SELECT COUNT(*) AS numcust,
+  {O.dsum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {O.davg('c_acctbal')} FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')"""
+
+
 QUERIES = {
     "knn_l2": (_mk_knn("l2"), _sql_knn("l2")),
     "knn_cosine": (_mk_knn("cosine"), _sql_knn("cosine")),
@@ -677,8 +826,12 @@ QUERIES = {
     "tpch_q8_market_share": (_q_tpch_q8, _SQL_TPCH_Q8),
     "tpch_q10_returned_items": (_q_tpch_q10, _SQL_TPCH_Q10),
     "tpch_q12_priority_classes": (_q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q13_customer_distribution": (_q_tpch_q13, _SQL_TPCH_Q13),
+    "tpch_q15_top_supplier": (_q_tpch_q15, _SQL_TPCH_Q15),
     "tpch_q17_small_qty": (_q_tpch_q17, _SQL_TPCH_Q17),
+    "tpch_q18_large_volume": (_q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q19_disjunctive": (_q_tpch_q19, _SQL_TPCH_Q19),
+    "tpch_q22_sales_opportunity": (_q_tpch_q22, _SQL_TPCH_Q22),
     "top_revenue_customers": (_q_top_revenue_customers, _SQL_TOP_REVENUE_CUSTOMERS),
     "orders_topk_per_segment": (_q_orders_topk_per_segment, _SQL_ORDERS_TOPK_PER_SEGMENT),
     "faceted_vector_search": (_q_faceted_search, _sql_faceted_search()),
