@@ -103,20 +103,32 @@ def dml_commit(path: str, staged_meta, *, tombstones: str = "keep",
 
 def write_dml_journal(path: str, staged_meta, *, tombstones: str = "keep",
                       swap_data: bool = True,
-                      meta_fixup: str | None = None) -> None:
+                      meta_fixup: str | None = None,
+                      partitions: tuple | None = None) -> None:
     """Write the DML commit journal — the atomic rename IS the commit
     point. Split from :func:`dml_commit` so an AM can interpose its own
     roll-forward entry between journal and apply (HNSW routes through
     ``HNSWIndex._apply_dml_commit`` for legacy-journal migration, and
-    crash-sim tests inject there)."""
+    crash-sim tests inject there).
+
+    ``partitions=(part_col, [values...])`` selects the PARTITION-SCOPED
+    swap: only the listed ``part_col=value`` directories are replaced
+    from staging; every other partition of the live layout is never
+    opened, rewritten, or even listed (the IVF-rebalance commit shape,
+    generalized) — the mode that keeps a small insert's commit cost
+    proportional to the partitions it touched, not the layout size."""
     import json
 
     journal = {
         "meta": staged_meta,
         "tombstones": tombstones,
-        "swap_data": bool(swap_data),
+        "swap_data": "partitions" if partitions is not None else bool(swap_data),
         "fixup": meta_fixup,
     }
+    if partitions is not None:
+        part_col, values = partitions
+        journal["part_col"] = str(part_col)
+        journal["partitions"] = [str(v) for v in values]
     jtmp = os.path.join(path, "dml_commit.json.tmp")
     with open(jtmp, "w") as f:
         json.dump(journal, f)
@@ -147,7 +159,25 @@ def apply_dml_commit(path: str) -> None:
     trash = os.path.join(path, "dml_trash")
     tomb = os.path.join(path, "tombstones")
     tomb_tmp = os.path.join(path, "tombstones_tmp")
-    if journal.get("swap_data", True) and os.path.isdir(tmp):
+    sd = journal.get("swap_data", True)
+    if sd == "partitions":
+        # Partition-scoped swap: replace ONLY the listed part_col=value
+        # dirs; untouched partitions are never opened or listed. Each
+        # move is guarded by existence checks, so a re-run from any
+        # crash point falls through already-done steps.
+        part_col = journal["part_col"]
+        for v in journal["partitions"]:
+            tmp_p = os.path.join(tmp, f"{part_col}={v}")
+            dst_p = os.path.join(data, f"{part_col}={v}")
+            if os.path.isdir(tmp_p):
+                if os.path.isdir(dst_p):
+                    os.makedirs(trash, exist_ok=True)
+                    tr = os.path.join(trash, f"{part_col}={v}")
+                    if os.path.isdir(tr):  # torn retry: staged copy wins
+                        shutil.rmtree(tr)
+                    os.rename(dst_p, tr)
+                os.rename(tmp_p, dst_p)
+    elif sd and os.path.isdir(tmp):
         if os.path.isdir(data):
             if os.path.isdir(trash):  # torn retry: re-stage the trash
                 shutil.rmtree(trash)
@@ -175,6 +205,10 @@ def apply_dml_commit(path: str) -> None:
     atomic_write_json(os.path.join(path, "meta.json"), meta)
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(tomb_tmp, ignore_errors=True)  # stale pre-commit stage
+    # partition-scoped swaps leave the staging skeleton (_SUCCESS etc.);
+    # whole-dir swaps renamed tmp away — either way this is safe, since
+    # the journal is only ever written AFTER staging completed
+    shutil.rmtree(tmp, ignore_errors=True)
     os.remove(jpath)
 
 

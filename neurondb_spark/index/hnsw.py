@@ -609,7 +609,18 @@ class HNSWIndex:
         appended a second node with the same vec_id, so delete-then-
         reinsert could return the id twice in top-k and resurrect the
         stale vector. Caller contract: ids within ``df_new`` itself must
-        be distinct."""
+        be distinct.
+
+        TOUCHED-SHARD SCOPED (r10): only shards that actually receive
+        new ids are read, rebuilt/extended and swapped (the
+        partition-scoped journal commit, data_management.write_dml_journal
+        ``partitions=``); untouched shard directories are never opened,
+        rewritten, or even listed — pytest asserts byte-identity across
+        an insert. The pre-r10 code rewrote the ENTIRE graph for any
+        batch: at 100 TB, a 100-row insert paid a full-layout rewrite.
+        With hash-sharding a batch of ≳ num_shards ids still touches
+        every shard (by design — inserts spread), but small CDC
+        micro-batches and single-id upserts now cost one shard."""
         spark = df_new.sparkSession
         meta = self.meta
         msh = int(meta["num_shards"])
@@ -617,16 +628,33 @@ class HNSWIndex:
         efc, sd = int(meta["ef_construction"]), int(meta["seed"])
         data_path = os.path.join(self.path, "data")
 
-        old = spark.read.parquet(data_path)
-        if "node" not in old.columns:  # legacy layout: build order = id order
+        touched = sorted(
+            int(r["shard"])
+            for r in df_new.select(
+                F.pmod(F.hash(F.col(meta["id_col"])), F.lit(msh))
+                .cast("int").alias("shard")
+            ).distinct().collect()
+        )  # bounded by num_shards
+
+        old_all = spark.read.parquet(data_path)
+        legacy = "node" not in old_all.columns
+        if legacy:  # legacy layout: build order = id order — migrate by
+            # rewriting EVERY shard (a scoped write would leave the
+            # untouched shards on the old schema: mixed-schema parquet)
             from pyspark.sql.window import Window
 
-            old = old.withColumn(
+            touched = list(range(msh))
+            old = old_all.withColumn(
                 "node",
                 F.row_number().over(
                     Window.partitionBy("shard").orderBy("vec_id")
                 ) - 1,
             )
+        else:
+            old = old_all.where(
+                F.col("shard").isin(touched)  # partition-pruned scan
+            )
+        scoped = len(touched) < msh
         old = old.select(
             "shard", "node", "vec_id", "vector", "level", "is_entry", "adj",
             F.lit(False).alias("_new"),
@@ -709,16 +737,41 @@ class HNSWIndex:
         # staged meta (row count + per-shard counts over the STAGED
         # graph) rides in the journal, so the roll-forward is pure
         # renames + one small file write — re-runnable from any crash.
+        # Scoped inserts count only the touched shards (old pruned scan
+        # + staged tmp); untouched shards contribute their prior total.
         staged = dict(self.meta)
-        staged["total_rows"] = spark.read.parquet(tmp).count()
+        tmp_count = spark.read.parquet(tmp).count()
+        prior_total = self.meta.get("total_rows")
+        if scoped and prior_total is not None:
+            old_touched = old.count()  # partition-pruned, column-pruned
+            staged["total_rows"] = int(prior_total) - old_touched + tmp_count
+        elif scoped:
+            staged["total_rows"] = tmp_count + old_all.where(
+                ~F.col("shard").isin(touched)
+            ).count()
+        else:
+            staged["total_rows"] = tmp_count
+        if scoped:
+            post_data = (
+                spark.read.parquet(tmp).select("shard", "vec_id")
+                .unionByName(
+                    old_all.where(~F.col("shard").isin(touched))
+                    .select("shard", "vec_id")
+                )
+            )
+        else:
+            post_data = spark.read.parquet(tmp)
         self._stage_tomb_counts(
             spark, staged,
             spark.read.parquet(
                 os.path.join(self.path, "tombstones_tmp")
             ).select("vec_id").distinct() if tomb_action == "replace" else None,
-            data=spark.read.parquet(tmp),
+            data=post_data,
         )
-        self._commit_dml(spark, "insert", staged, tomb_action)
+        self._commit_dml(
+            spark, "insert", staged, tomb_action,
+            partitions=("shard", touched) if scoped else None,
+        )
         return self
 
     def _stage_tomb_counts(self, spark: SparkSession, staged: dict,
@@ -744,7 +797,7 @@ class HNSWIndex:
         staged["n_tombstones"] = sum(counts.values())
 
     def _commit_dml(self, spark: SparkSession, op: str, staged_meta: dict,
-                    tomb_action: str) -> None:
+                    tomb_action: str, partitions: tuple | None = None) -> None:
         """COMMIT POINT for insert/vacuum — delegates to the SHARED
         journal-rename protocol all three AMs now use
         (data_management.dml_commit, r9 verdict #6; originally the r8
@@ -763,6 +816,7 @@ class HNSWIndex:
         write_dml_journal(
             self.path, staged_meta, tombstones=tomb_action,
             swap_data=True, meta_fixup="hnsw_tomb_sig",
+            partitions=partitions,
         )
         HNSWIndex._apply_dml_commit(self.path)
         with open(os.path.join(self.path, "meta.json")) as f:

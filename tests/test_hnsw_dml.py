@@ -417,3 +417,76 @@ def test_dml_journal_crash_rolls_forward_on_load(spark, emb, qv, monkeypatch):
     got = [r["vec_id"] for r in re.search(spark, qv, k=5,
                                           ef_search=int(n)).collect()]
     assert got == _brute_ids(sub, qv, 5, exclude=[8])
+
+
+def test_scoped_insert_touches_only_new_ids_shards(spark, emb, qv):
+    """r10: an insert batch rebuilds and swaps ONLY the shards its new
+    ids hash to — untouched shard directories are byte-identical after
+    the commit (the partition-scoped journal, the rebalance guarantee
+    generalized), and search over the updated index is still exact."""
+    import hashlib
+
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_scoped_"), "idx")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    idx = HNSWIndex.build(
+        base, "embedding", "vec_id", path,
+        num_shards=4, m=8, ef_construction=48, seed=7,
+    )
+    shard_of = _shard_of(spark, emb, 4)
+    batch_ids = [v for v in shard_of
+                 if v % 2 == 1 and shard_of[v] == 0][:25]
+    assert batch_ids, "need odd ids hashing to shard 0"
+
+    def dir_digest(shard):
+        d = os.path.join(path, "data", f"shard={shard}")
+        h = hashlib.sha256()
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                h.update(name.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    before = {s: dir_digest(s) for s in (1, 2, 3)}
+    total_before = idx.meta["total_rows"]
+    idx.insert(emb.where(F.col("vec_id").isin(batch_ids)))
+    after = {s: dir_digest(s) for s in (1, 2, 3)}
+    assert after == before, "untouched shards were rewritten"
+    assert idx.meta["total_rows"] == total_before + len(batch_ids)
+
+    live = base.unionByName(emb.where(F.col("vec_id").isin(batch_ids)))
+    n = live.count()
+    got = [r["vec_id"] for r in idx.search(spark, qv, k=5, ef_search=n).collect()]
+    want = _brute_ids(live, qv, 5)
+    assert got == want
+
+    # crash at the commit point of a second scoped insert: journal
+    # written, roll-forward not run — load() must finish it
+    more_ids = [v for v in shard_of
+                if v % 2 == 1 and shard_of[v] == 1][:10]
+    real = HNSWIndex._apply_dml_commit
+
+    def crash(p):
+        if os.path.exists(os.path.join(p, "dml_commit.json")):
+            raise RuntimeError("simulated crash at commit point")
+        return real(p)
+
+    import pytest as _pytest
+    orig = HNSWIndex._apply_dml_commit
+    HNSWIndex._apply_dml_commit = staticmethod(crash)
+    try:
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            idx.insert(emb.where(F.col("vec_id").isin(more_ids)))
+    finally:
+        HNSWIndex._apply_dml_commit = orig
+    assert os.path.exists(os.path.join(path, "dml_commit.json"))
+    idx2 = HNSWIndex.load(path)
+    assert not os.path.exists(os.path.join(path, "dml_commit.json"))
+    assert idx2.meta["total_rows"] == total_before + len(batch_ids) + len(more_ids)
+    live2 = live.unionByName(emb.where(F.col("vec_id").isin(more_ids)))
+    got2 = [r["vec_id"] for r in idx2.search(spark, qv, k=5,
+                                             ef_search=live2.count()).collect()]
+    assert got2 == _brute_ids(live2, qv, 5)
