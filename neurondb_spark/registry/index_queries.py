@@ -78,11 +78,10 @@ def _ivf_dml_index_for(spark: SparkSession, sf_dir: str) -> IVFIndex:
             nlists=NLISTS, metric="l2", dim=COMPILE_DIM,
         )
         idx.insert(emb.where(F.col("vec_id") % 2 == 1))
-        deleted = [
-            r["vec_id"]
-            for r in emb.where(F.col("vec_id") % 41 == 0).select("vec_id").collect()
-        ]
-        idx.delete(spark, deleted)
+        # DataFrame delete: the ids flow to the tombstone write without
+        # a driver round-trip (the r10 bulk-delete path, exercised here
+        # so the gate covers it end to end)
+        idx.delete(spark, emb.where(F.col("vec_id") % 41 == 0).select("vec_id"))
     _ivf_dml_cache[key] = idx
     return idx
 
@@ -936,11 +935,10 @@ def _hnsw_dml_index_for(spark: SparkSession, sf_dir: str):
             dim=EMB_DIM, num_shards=4, m=8, ef_construction=48, seed=7,
         )
         idx.insert(emb.where(F.col("vec_id") % 2 == 1))
-        deleted = [
-            r["vec_id"]
-            for r in emb.where(F.col("vec_id") % 37 == 0).select("vec_id").collect()
-        ]
-        idx.delete(spark, deleted)
+        # DataFrame delete: the ids flow to the tombstone write without
+        # a driver round-trip (the r10 bulk-delete path, exercised here
+        # so the gate covers it end to end)
+        idx.delete(spark, emb.where(F.col("vec_id") % 37 == 0).select("vec_id"))
     _hnsw_dml_cache[key] = idx
     return idx
 
@@ -1150,12 +1148,8 @@ def _lsh_dml_index_for(spark: SparkSession, sf_dir: str):
             dim=EMB_DIM, nbits=_LSH_NBITS, seed=42, metric="cosine",
         )
         idx.insert(emb.where(F.col("vec_id") % 2 == 1))
-        deleted = [
-            r["vec_id"]
-            for r in emb.where(F.col("vec_id") % 37 == 0)
-            .select("vec_id").collect()
-        ]
-        idx.delete(spark, deleted)
+        # DataFrame delete (r10 bulk-delete path; no driver round-trip)
+        idx.delete(spark, emb.where(F.col("vec_id") % 37 == 0).select("vec_id"))
     _lsh_dml_cache[key] = idx
     return idx
 
