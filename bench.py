@@ -84,14 +84,24 @@ def main() -> None:
             _hnsw_dml_index_for,
             _hnsw_index_for,
             _ivf_dml_index_for,
+            _ivf_lloyd_index_for,
+            _ivf_rebalanced_for,
             _hybrid_index_for,
             _index_for,
             _ivfpq_index_for,
+            _lsh_clustered_index_for,
+            _lsh_dml_index_for,
+            _lsh_index_for,
             _rerank_index_for,
             _temporal_index_for,
             _tenant_index_for,
         )
 
+        _lsh_index_for(spark, sf_dir)
+        _lsh_dml_index_for(spark, sf_dir)
+        _lsh_clustered_index_for(spark, sf_dir)
+        _ivf_lloyd_index_for(spark, sf_dir)
+        _ivf_rebalanced_for(spark, sf_dir)
         _ivfpq_index_for(spark, sf_dir)
         _hnsw_index_for(spark, sf_dir)
         _hnsw_dml_index_for(spark, sf_dir)

@@ -856,16 +856,23 @@ class HNSWIndex:
         streaming-CDC / bulk-purge shape — a mass delete never visits
         the driver; reference analog: bulkdelete is an AM page
         operation, NeuronDB/src/index/hnsw_am.c). HNSW tombstones are
-        structurally keyed by the graph's ``vec_id`` column; a
-        different ``id_col`` raises."""
+        structurally keyed by the graph's internal ``vec_id`` column;
+        ``id_col`` naming the index's build-time id column (the same
+        identifier domain, what the CDC drain passes) is normalized to
+        it — any OTHER key raises rather than tombstoning a mismatched
+        id space."""
         from neurondb_spark.data_management import as_tombstone_frame
 
-        if id_col != "vec_id":
+        if id_col not in ("vec_id", self.meta.get("id_col")):
             raise ValueError(
-                "neurondb: hnsw tombstones are keyed by the graph's "
-                f"'vec_id' column; cannot delete by {id_col!r}"
+                "neurondb: hnsw tombstones are keyed by the graph's id "
+                f"column {self.meta.get('id_col')!r} (stored as "
+                f"'vec_id'); cannot delete by {id_col!r}"
             )
-        as_tombstone_frame(spark, ids, "vec_id").write.mode(
+        frame = ids
+        if isinstance(ids, DataFrame) and id_col != "vec_id":
+            frame = ids.withColumnRenamed(id_col, "vec_id")
+        as_tombstone_frame(spark, frame, "vec_id").write.mode(
             "append"
         ).parquet(os.path.join(self.path, "tombstones"))
         self._refresh_tomb_meta(spark)

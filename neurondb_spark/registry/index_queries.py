@@ -1501,8 +1501,11 @@ def _q_lsh_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (neurondb--1.0.sql:4389-4398, neurondb_guc.c:491-543)."""
     from neurondb_spark.operators.knn import knn_batch
 
-    planted = planted_cluster_frame(spark, sf_dir)
     idx = _lsh_clustered_index_for(spark, sf_dir)
+    # the planted corpus is persisted INSIDE the index layout at build
+    # time — read it back instead of re-deriving the 64-dim generator
+    # expression per run (whose janino compile dominated the query)
+    planted = idx._read_data(spark).select("vec_id", "embedding")
     queries = planted.where(F.col("vec_id") < _RECALL_Q).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )

@@ -490,3 +490,25 @@ def test_scoped_insert_touches_only_new_ids_shards(spark, emb, qv):
     got2 = [r["vec_id"] for r in idx2.search(spark, qv, k=5,
                                              ef_search=live2.count()).collect()]
     assert got2 == _brute_ids(live2, qv, 5)
+
+
+def test_delete_accepts_build_time_id_col(spark, emb):
+    """The CDC drain passes the index's build-time id column to
+    delete(); an index built with a non-'vec_id' id must accept it
+    (normalized to the graph's internal key) — and a genuinely foreign
+    key must still raise."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    renamed = emb.where(F.col("vec_id") < 120).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_idcol_"), "idx")
+    idx = HNSWIndex.build(
+        renamed, "embedding", "doc_id", path,
+        num_shards=2, m=8, ef_construction=32, seed=7,
+    )
+    idx.delete(spark, renamed.where(F.col("doc_id") < 5).select("doc_id"),
+               id_col="doc_id")
+    assert idx.meta["n_tombstones"] == 5  # doc_ids 0..4, all in the graph
+    with pytest.raises(ValueError, match="cannot delete by"):
+        idx.delete(spark, [7], id_col="other_key")
