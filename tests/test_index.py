@@ -352,3 +352,19 @@ def test_probe_clusters_fixed_matches_spark_bsum(spark):
             .collect()
         ]
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_lsh_signature_unroll_matches_fold(spark):
+    """signature_expr's two compilation strategies (fold over a plane-
+    matrix literal vs fully-unrolled element_at chains) must be
+    bit-identical on real vectors — same left-assoc double accumulation,
+    as the docstring contract states."""
+    from neurondb_spark.index.lsh import _hyperplanes, signature_expr
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(500)
+    planes = _hyperplanes(64, 8, seed=123)
+    both = emb.select(
+        signature_expr("embedding", planes).alias("fold"),
+        signature_expr("embedding", planes, unroll=True).alias("unrolled"),
+    )
+    assert both.where(F.col("fold") != F.col("unrolled")).count() == 0
