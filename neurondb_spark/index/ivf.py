@@ -349,7 +349,7 @@ class IVFIndex:
             st = spark.read.parquet(os.path.join(self.path, "data")).schema
         return {f.name: f.dataType for f in st.fields if f.name != part_col}
 
-    def insert(self, df_new: DataFrame) -> "IVFIndex":
+    def insert(self, df_new: DataFrame, n_new: int | None = None) -> "IVFIndex":
         """Incremental insert (ivf_am.c aminsert: assign to the nearest
         list, append): new rows are routed with the SAME vec_route
         expression the build uses and appended to their cluster
@@ -359,15 +359,18 @@ class IVFIndex:
         the reference (lists drift until a rebuild/rebalance).
 
         ``total_rows`` (which only feeds the routing cost model) is
-        maintained INCREMENTALLY — the inserted count is observed on the
-        write itself (one pass, no recount job over the layout; r9
-        verdict #3 — the old full ``count()`` per call was O(#files)
-        listing on every CDC micro-batch) and reconciled exactly by
-        ``vacuum()`` / ``compact()``. Schema is validated against the
-        meta-cached layout schema, so a well-formed insert plans exactly
-        ONE job: the routed append."""
-        from pyspark.sql import Observation
-
+        maintained INCREMENTALLY (r9 verdict #3 — the old full
+        ``count()`` per call was an O(#files) layout listing on every
+        CDC micro-batch) and reconciled exactly by ``vacuum()`` /
+        ``compact()``. Pass ``n_new`` when the caller already knows the
+        batch size (the CDC drain does) and the insert plans exactly ONE
+        job — the routed append; otherwise one extra O(batch) count job
+        runs, never touching the layout. (An Observation on the write
+        would be single-pass, but a registered Observation lingers in
+        the session's ObservationManager and poisons later MLlib closure
+        serialization — Spark 4.1's LR training summary drags the
+        session into task closures. Explicit counting is leak-free.)
+        Schema is validated against the meta-cached layout schema."""
         from neurondb_spark.operators.knn import vec_route
 
         spark = df_new.sparkSession
@@ -383,13 +386,13 @@ class IVFIndex:
                 f"but df_new has "
                 f"{sorted((n, d.simpleString()) for n, d in have.items())}"
             )
+        if n_new is None:
+            n_new = df_new.count()  # O(batch), never the layout
         assigned = vec_route(
             df_new, self.meta["vec_col"], self.centroids,
             metric=self.meta["metric"], dim=self.meta.get("dim"),
             out_col="cluster_id",
         )
-        obs = Observation()
-        assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
         assigned.write.mode("append").partitionBy("cluster_id").parquet(
             os.path.join(self.path, "data")
         )
@@ -399,7 +402,7 @@ class IVFIndex:
                 os.path.join(self.path, "data")
             ).count()
         else:
-            self.meta["total_rows"] = int(prior) + int(obs.get["n"])
+            self.meta["total_rows"] = int(prior) + int(n_new)
         atomic_write_json(
             os.path.join(self.path, "meta.json"),
             {"meta": self.meta, "centroids": self.centroids},

@@ -244,7 +244,7 @@ class LSHIndex:
 
     # --------------------------------------------------------------- DML
 
-    def insert(self, df_new: DataFrame) -> "LSHIndex":
+    def insert(self, df_new: DataFrame, n_new: int | None = None) -> "LSHIndex":
         """Incremental insert: new rows get their bucket signature from
         the SAME hyperplane expression the build used and are appended
         to their bucket partitions — append-only, no existing file
@@ -252,13 +252,17 @@ class LSHIndex:
         aminsert shape). The hyperplanes are fixed at build time, so
         bucket routing never drifts. Schema must match the indexed data
         exactly (mixed-schema parquet reads silently drop columns) and
-        is validated against the meta-cached layout schema — a
-        well-formed insert plans exactly ONE job: the routed append.
+        is validated against the meta-cached layout schema.
         ``total_rows`` (cost-model input only) is maintained
-        INCREMENTALLY from an observation on the write itself (r9
-        verdict #3 — no recount job over the layout per micro-batch) and
-        reconciled exactly by ``vacuum()`` / ``compact()``."""
-        from pyspark.sql import Observation
+        INCREMENTALLY (r9 verdict #3 — no recount job over the layout
+        per micro-batch) and reconciled exactly by ``vacuum()`` /
+        ``compact()``. Pass ``n_new`` when the caller already knows the
+        batch size (the CDC drain does) and the insert plans exactly
+        ONE job — the routed append; otherwise one extra O(batch) count
+        job runs, never touching the layout. (Not an Observation on the
+        write: a registered Observation lingers in the session's
+        ObservationManager and poisons later MLlib closure
+        serialization — see IVFIndex.insert.)"""
         from pyspark.sql import types as T
 
         from neurondb_spark.data_management import atomic_write_json
@@ -278,21 +282,19 @@ class LSHIndex:
                 f"but df_new has "
                 f"{sorted((n, d.simpleString()) for n, d in have.items())}"
             )
+        if n_new is None:
+            n_new = df_new.count()  # O(batch), never the layout
         sig = signature_expr(self.meta["vec_col"], self.meta["planes"])
-        obs = Observation()
-        out = df_new.withColumn("bucket", sig).observe(
-            obs, F.count(F.lit(1)).alias("n")
-        )
-        out.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(self.path, "data")
-        )
+        df_new.withColumn("bucket", sig).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(self.path, "data"))
         prior = self.meta.get("total_rows")
         if prior is None:  # legacy meta without the counter: seed it once
             self.meta["total_rows"] = spark.read.parquet(
                 os.path.join(self.path, "data")
             ).count()
         else:
-            self.meta["total_rows"] = int(prior) + int(obs.get["n"])
+            self.meta["total_rows"] = int(prior) + int(n_new)
         atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
         return self
 

@@ -143,7 +143,13 @@ def apply_cdc_batch(
     n_ins = op_counts.get("i", 0)
     n_del = op_counts.get("d", 0)
     if n_ins:
-        index.insert(batch_df.where(F.col(op_col) == "i").drop(op_col))
+        ins = batch_df.where(F.col(op_col) == "i").drop(op_col)
+        if append_only:
+            # IVF/LSH insert takes the already-known batch size, so the
+            # insert plans exactly one job (the routed append)
+            index.insert(ins, n_new=n_ins)
+        else:
+            index.insert(ins)
     if n_del:
         index.delete(
             spark,

@@ -254,13 +254,18 @@ def test_mass_delete_batch_never_collects_ids(cdc_env, monkeypatch):
 
 def test_insert_plans_no_layout_count_job(cdc_env):
     """r9 verdict #2: with incremental total_rows bookkeeping, insert()
-    plans exactly ONE job — the routed append — and never a recount scan
-    over the whole layout (the observed-write count rides the append
-    job). Checked for both append-only AMs via the job-group tracker."""
+    never runs a recount scan over the whole layout. With the batch size
+    passed in (the CDC drain's shape) it plans exactly ONE job — the
+    routed append; without it, one extra O(batch) count job. Checked for
+    both append-only AMs via the job-group tracker."""
     spark, emb, td, src = cdc_env
     base = emb.where(F.col("vec_id") % 2 == 0)
     batch = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 100))
+    batch2 = emb.where(
+        (F.col("vec_id") % 2 == 1) & F.col("vec_id").between(100, 199)
+    )
     n_batch = batch.count()
+    n_batch2 = batch2.count()
     for name, idx in (
         ("ivf", IVFIndex.build(base, "embedding", os.path.join(td, "ivf_nc"),
                                nlists=4, metric="l2", dim=DIM)),
@@ -270,19 +275,33 @@ def test_insert_plans_no_layout_count_job(cdc_env):
         before = idx.meta["total_rows"]
         sc = spark.sparkContext
         group = f"{name}_insert_nojob"
-        sc.setJobGroup(group, "insert must plan one append job")
+        sc.setJobGroup(group, "known-size insert must plan one append job")
         try:
-            idx.insert(batch)
+            idx.insert(batch, n_new=n_batch)
             jobs = sc.statusTracker().getJobIdsForGroup(group)
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
         assert len(jobs) == 1, (
-            f"{name} insert ran {len(jobs)} jobs (want 1 append): {jobs}"
+            f"{name} known-size insert ran {len(jobs)} jobs (want 1): {jobs}"
         )
-        assert idx.meta["total_rows"] == before + n_batch
+        group2 = f"{name}_insert_2job"
+        sc.setJobGroup(group2, "plain insert = batch count + append")
+        try:
+            idx.insert(batch2)
+            jobs2 = sc.statusTracker().getJobIdsForGroup(group2)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        # batch count (AQE may split it into two jobs) + append; the
+        # hard no-layout-recount guarantee is the ==1 assertion above —
+        # this bound just catches a reintroduced full count()
+        assert len(jobs2) <= 3, (
+            f"{name} insert ran {len(jobs2)} jobs (want <=3): {jobs2}"
+        )
+        want_total = before + n_batch + n_batch2
+        assert idx.meta["total_rows"] == want_total
         # reload sees the persisted incremental count
         loader = IVFIndex if name == "ivf" else LSHIndex
-        assert loader.load(idx.path).meta["total_rows"] == before + n_batch
+        assert loader.load(idx.path).meta["total_rows"] == want_total
 
 
 @pytest.mark.parametrize("am", ["ivf", "lsh"])
