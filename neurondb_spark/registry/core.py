@@ -687,6 +687,35 @@ GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC"""
 
 
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue
+    from PROMO parts — a global (group-less) ratio of conditional
+    exact-decimal aggregates over a date-pruned broadcast join. The
+    shipdate filter reaches the lineitem scan (PushedFilters), part
+    broadcasts, and both sums ride one map-side-combined aggregate; the
+    ratio is computed after both sums so summation order cannot move
+    it."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue"))
+    )
+
+
+_SQL_TPCH_Q14 = f"""SELECT 100.0 *
+  {O.dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+  / {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'"""
+
+
 def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): the AGGREGATE-OF-AGGREGATE shape — a
     revenue view per supplier, filtered to the rows equal to the view's
@@ -827,6 +856,7 @@ QUERIES = {
     "tpch_q10_returned_items": (_q_tpch_q10, _SQL_TPCH_Q10),
     "tpch_q12_priority_classes": (_q_tpch_q12, _SQL_TPCH_Q12),
     "tpch_q13_customer_distribution": (_q_tpch_q13, _SQL_TPCH_Q13),
+    "tpch_q14_promo_effect": (_q_tpch_q14, _SQL_TPCH_Q14),
     "tpch_q15_top_supplier": (_q_tpch_q15, _SQL_TPCH_Q15),
     "tpch_q17_small_qty": (_q_tpch_q17, _SQL_TPCH_Q17),
     "tpch_q18_large_volume": (_q_tpch_q18, _SQL_TPCH_Q18),
