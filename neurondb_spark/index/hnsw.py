@@ -751,23 +751,50 @@ class HNSWIndex:
             ).count()
         else:
             staged["total_rows"] = tmp_count
-        if scoped:
-            post_data = (
-                spark.read.parquet(tmp).select("shard", "vec_id")
-                .unionByName(
-                    old_all.where(~F.col("shard").isin(touched))
-                    .select("shard", "vec_id")
-                )
-            )
-        else:
-            post_data = spark.read.parquet(tmp)
-        self._stage_tomb_counts(
-            spark, staged,
-            spark.read.parquet(
+        if tomb_action == "replace" and scoped:
+            # Untouched shards' tombstone counts are INVARIANT under a
+            # scoped insert: their graph rows are unchanged, and the
+            # tombstones this insert clears are exactly the re-inserted
+            # ids — which hash to touched shards by definition. So keep
+            # the validated prior counts for untouched shards and
+            # recount only the touched shards against the staged graph;
+            # no job ever reads the untouched partitions.
+            prior_counts = self._tomb_counts(spark)  # sig-validated
+            surv = spark.read.parquet(
                 os.path.join(self.path, "tombstones_tmp")
-            ).select("vec_id").distinct() if tomb_action == "replace" else None,
-            data=post_data,
-        )
+            ).select("vec_id").distinct()
+            touched_counts = {
+                int(r["shard"]): int(r["n"])
+                for r in spark.read.parquet(tmp).select("shard", "vec_id")
+                .join(surv, "vec_id", "left_semi")
+                .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            counts = {
+                s: n for s, n in prior_counts.items() if s not in set(touched)
+            }
+            counts.update(touched_counts)
+            staged["tomb_by_shard"] = {str(s): n for s, n in counts.items()}
+            staged["n_tombstones"] = sum(counts.values())
+        else:
+            if scoped:
+                post_data = (
+                    spark.read.parquet(tmp).select("shard", "vec_id")
+                    .unionByName(
+                        old_all.where(~F.col("shard").isin(touched))
+                        .select("shard", "vec_id")
+                    )
+                )
+            else:
+                post_data = spark.read.parquet(tmp)
+            self._stage_tomb_counts(
+                spark, staged,
+                spark.read.parquet(
+                    os.path.join(self.path, "tombstones_tmp")
+                ).select("vec_id").distinct()
+                if tomb_action == "replace" else None,
+                data=post_data,
+            )
         self._commit_dml(
             spark, "insert", staged, tomb_action,
             partitions=("shard", touched) if scoped else None,

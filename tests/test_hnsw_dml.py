@@ -512,3 +512,45 @@ def test_delete_accepts_build_time_id_col(spark, emb):
     assert idx.meta["n_tombstones"] == 5  # doc_ids 0..4, all in the graph
     with pytest.raises(ValueError, match="cannot delete by"):
         idx.delete(spark, [7], id_col="other_key")
+
+
+def test_scoped_insert_tomb_counts_stay_exact(spark, emb, qv):
+    """A scoped insert with live tombstones merges prior per-shard
+    counts (untouched shards) with recounts of only the touched shards;
+    the merged cache must equal a from-scratch recompute, resurrected
+    ids must return, and other shards' tombstones must keep filtering."""
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_tombsc_"), "idx")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    idx = HNSWIndex.build(
+        base, "embedding", "vec_id", path,
+        num_shards=4, m=8, ef_construction=48, seed=7,
+    )
+    shard_of = _shard_of(spark, emb, 4)
+    # tombstone two even ids per shard
+    dead = []
+    for s in range(4):
+        dead += [v for v in sorted(shard_of)
+                 if v % 2 == 0 and shard_of[v] == s][:2]
+    idx.delete(spark, dead)
+    # scoped insert into shard 0: fresh odd ids + a re-insert of shard
+    # 0's dead evens (upsert resurrects them, clearing their tombstones)
+    resurrect = [v for v in dead if shard_of[v] == 0]
+    fresh = [v for v in sorted(shard_of)
+             if v % 2 == 1 and shard_of[v] == 0][:10]
+    idx.insert(emb.where(F.col("vec_id").isin(resurrect + fresh)))
+
+    staged_counts = dict(idx.meta.get("tomb_by_shard") or {})
+    assert idx.meta["n_tombstones"] == len(dead) - len(resurrect)
+    idx2 = HNSWIndex.load(path)
+    idx2._refresh_tomb_meta(spark)  # from-scratch recompute
+    assert (idx2.meta.get("tomb_by_shard") or {}) == staged_counts
+    assert idx2.meta["n_tombstones"] == idx.meta["n_tombstones"]
+
+    live = base.where(~F.col("vec_id").isin(dead)).unionByName(
+        emb.where(F.col("vec_id").isin(resurrect + fresh))
+    )
+    n = live.count()
+    got = [r["vec_id"] for r in idx2.search(spark, qv, k=5, ef_search=n).collect()]
+    assert got == _brute_ids(live, qv, 5)
