@@ -198,26 +198,40 @@ CHECKED_BY_ROUND[9] = frozenset({
     "graph_connected_components", "vector_math_ops",
 })
 
+# the 50 rows in CORRECTNESS_r10.json — 49 hash-green + 1 rows-only by
+# design (lsh_recall_clustered IS the planted-cluster recall measurement
+# and raises below its 0.8 floor). All five round-10 FORCE_RECHECK
+# entries re-verified green and were pruned.
+CHECKED_BY_ROUND[10] = frozenset({
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier", "tpch_q17_small_qty",
+    "tpch_q18_large_volume", "tpch_q22_sales_opportunity",
+    "ivf_insert_delete_probe", "ivf_knn_probe", "hnsw_insert_delete_knn",
+    "lsh_insert_delete_knn", "lsh_recall_clustered", "stream_ivf_cdc_knn",
+    "snapshot_time_travel", "cross_modal_search", "user_similarity",
+    "recommend_hybrid", "tpch_q3_shipping", "tpch_q6_forecast",
+    "hybrid_search", "minhash_lsh_pairs", "ngram_containment_pairs",
+    "zero_shot_classify", "answer_question", "fill_mask_text2text",
+    "drift_timeseries", "pq_adc_exact_codebook", "ridge_closed_form",
+    "bernoulli_nb_lang", "linreg_eval_metrics", "ridge_grid_search",
+    "ridge_cv_rmse", "feature_importance_linreg", "decision_stump_gini",
+    "nb_eval_metrics", "knn_regress_label", "automl_deploy_ab",
+    "kmeans_fixed_lloyd", "kmeans_silhouette", "logreg_gd_predictions",
+    "index_tuning_report", "quantize_compare_distances", "graph_dfs_order",
+    "vector_parse_roundtrip", "vector_variance_stddev",
+    "vector_preprocess_ops", "vector_sum_minmax_by_label",
+    "vector_cross_product3",
+})
+
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # (All nine round-9 entries got their hash-green re-check in
-    # CORRECTNESS_r09.json and were pruned. Add a query here whenever its
+    # (All five round-10 entries got their hash-green re-check in
+    # CORRECTNESS_r10.json and were pruned. Add a query here whenever its
     # implementation — or an index/stream path it consumes — is rewritten
     # after its latest driver check.)
-    #
-    # Round-10 rewrites: IVF/LSH insert() switched to incremental
-    # total_rows bookkeeping (reconciled in vacuum/compact), all three
-    # AMs' delete() gained a DataFrame overload used by the CDC drain,
-    # LSH DML moved onto the shared journaled commit helper, and the CDC
-    # drain gained an auto-compaction hook. Re-verify every DML/CDC
-    # consumer under the driver gate.
-    "lsh_insert_delete_knn", "ivf_insert_delete_probe",
-    "hnsw_insert_delete_knn", "stream_ivf_cdc_knn",
-    # Round-10: the fixed-point probe ranking moved from a Spark bsum
-    # job to the driver-side Decimal replica — re-verify the consumer.
-    "ivf_knn_probe",
 })
 
 
