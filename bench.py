@@ -173,6 +173,40 @@ def main() -> None:
         # localCheckpoint/persist blocks before the next query instead of
         # whenever Python GC happens to run mid-measurement
 
+    # End-of-suite re-measure of contention suspects. Root-cause of the
+    # r10 dedup blow-up (BENCH_r10: minhash_lsh_pairs 18.3s /
+    # ngram_containment_pairs 27.8s vs 6.9s/7.9s isolated): NOT
+    # session-state accumulation — replaying the bench's exact prefix
+    # (warmups + 15 index prebuilds + the 22 preceding queries, min-of-2
+    # cadence) leaves both at 3.1-3.4s / 6.4-9.9s — but a transient
+    # CPU-contention window on the shared VM (the same mechanism the
+    # verify skill documents as "observed 6x"). The in-loop retry can't
+    # survive that: all 3 samples land inside the same seconds-long
+    # window. Re-measuring suspects AFTER the full pass (minutes later)
+    # does: a structurally-fine query recovers its true time, a real
+    # regression stays slow — so the retried/still-slow split in
+    # BENCH_SELF.json distinguishes noise from regression every run.
+    suspects = [
+        n for n, best in timings.items()
+        if prev_timings.get(n) and best > 1.5 * prev_timings[n]
+        and best - prev_timings[n] > 1.0
+    ]
+    retried: dict[str, list[float]] = {}
+    registry = entrymod.queries() if suspects else {}
+    for name in suspects[:20]:  # bound the retry pass
+        gc.collect()
+        q = registry[name]
+        best = timings[name]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        retried[name] = [timings[name], round(best, 4)]
+        timings[name] = round(best, 4)
+        print(f"# retry {name}: {retried[name][0]}s -> {best:.3f}s",
+              file=sys.stderr)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "total_query_wall_seconds",
@@ -181,6 +215,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if retried:
+        payload["retried"] = retried
     print(json.dumps(payload))
     # Self-report the complete per-query JSON to a repo file: the driver
     # captures only a bounded tail of stdout, which truncated the first
