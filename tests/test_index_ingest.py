@@ -434,3 +434,108 @@ def test_compact_after_cdc_shrinks_files_preserves_topk(cdc_env):
         for r in idx.search(spark, q, k=10, nprobe=4, tiebreak=["vec_id"]).collect()
     ]
     assert after == before == _brute_ids(spark, emb, q)
+
+
+def test_cdc_cadence_constant_metadata_and_bounded_journal(
+    cdc_env, monkeypatch
+):
+    """r10 verdict #2 + #4: the compaction cadence must not re-list the
+    journal per batch (O(#all-ever-committed) metadata per batch), and
+    the journal itself must stay bounded under retention. Asserted the
+    strong way: _committed_batches is monkeypatched to raise, so ANY
+    per-batch listing sinks the drain; prune runs once per compaction
+    (3×), not per batch (6×); journal_keep=2 leaves exactly 2 markers
+    after 6 committed batches."""
+    spark, emb, td, _src = cdc_env
+    from neurondb_spark.streaming import index_ingest as mod
+
+    src = os.path.join(td, "ops_cad")
+    _write_ops(emb, src, dead_mod=37)
+    # re-split to 6 single-file micro-batches
+    spark.read.schema(_ops_schema(emb)).parquet(src).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src + "6")
+    idx = IVFIndex.build(
+        emb.where(F.col("vec_id") % 2 == 0), "embedding",
+        os.path.join(td, "ivf_cad"), nlists=4, metric="l2", dim=DIM,
+    )
+
+    def _boom(_path):
+        raise AssertionError(
+            "drain listed the journal on the per-batch path"
+        )
+
+    monkeypatch.setattr(mod, "_committed_batches", _boom)
+    prunes: list[int] = []
+    real_prune = mod.prune_ingest_journal
+    monkeypatch.setattr(
+        mod, "prune_ingest_journal",
+        lambda p, keep_last: prunes.append(keep_last)
+        or real_prune(p, keep_last=keep_last),
+    )
+    spark.conf.set("spark.neurondb.ingest.journal_keep", "2")
+    try:
+        index_cdc_drain(
+            spark, src + "6", _ops_schema(emb), idx,
+            os.path.join(td, "work_cad"),
+            compact_every=2, max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.unset("spark.neurondb.ingest.journal_keep")
+    monkeypatch.undo()
+    # 6 committed batches, compact_every=2 -> exactly 3 compaction+prune
+    assert prunes == [2, 2, 2]
+    from neurondb_spark.streaming.index_ingest import _committed_batches
+
+    assert _committed_batches(idx.path) == 2  # newest 2 kept
+    # retention must not break exactly-once: replay the whole source
+    # with a fresh checkpoint — the checkpoint has fully processed the
+    # source, so availableNow finds nothing new and nothing re-applies
+    total_before = IVFIndex.load(idx.path).meta["total_rows"]
+    index_cdc_drain(
+        spark, src + "6", _ops_schema(emb), idx,
+        os.path.join(td, "work_cad"),  # SAME checkpoint
+        compact_every=2, max_files_per_trigger=1,
+    )
+    assert IVFIndex.load(idx.path).meta["total_rows"] == total_before
+    q = _query(spark)
+    got = [
+        r["vec_id"]
+        for r in idx.search(spark, q, k=10, nprobe=4,
+                            tiebreak=["vec_id"]).collect()
+    ]
+    assert got == _brute_ids(spark, emb, q)
+
+
+def test_drain_retry_recovers_crashed_compaction(cdc_env):
+    """r10 ADVICE #3: a crash between compact's two swap renames leaves
+    the layout at data.old; a drain retry whose batches are all
+    marker-replays must restore it at drain start (nothing else on the
+    replay path touches the layout)."""
+    spark, emb, td, src = cdc_env
+    idx = IVFIndex.build(
+        emb.where(F.col("vec_id") % 2 == 0), "embedding",
+        os.path.join(td, "ivf_rec"), nlists=4, metric="l2", dim=DIM,
+    )
+    index_cdc_drain(
+        spark, src, _ops_schema(emb), idx, os.path.join(td, "work_rec"),
+        compact_every=1,
+    )
+    data = os.path.join(idx.path, "data")
+    # simulate the crash window: data renamed away, new data not yet in
+    os.rename(data, data + ".old")
+    # retry with the SAME checkpoint: availableNow replays nothing new,
+    # so only the drain-start recover() can restore the layout
+    index_cdc_drain(
+        spark, src, _ops_schema(emb), idx, os.path.join(td, "work_rec"),
+        compact_every=1,
+    )
+    assert os.path.isdir(data) and not os.path.isdir(data + ".old")
+    q = _query(spark)
+    got = [
+        r["vec_id"]
+        for r in IVFIndex.load(idx.path).search(
+            spark, q, k=10, nprobe=4, tiebreak=["vec_id"]
+        ).collect()
+    ]
+    assert got == _brute_ids(spark, emb, q)
