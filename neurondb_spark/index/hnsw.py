@@ -635,6 +635,13 @@ class HNSWIndex:
                 .cast("int").alias("shard")
             ).distinct().collect()
         )  # bounded by num_shards
+        if not touched:
+            # Empty batch: nothing to stage. Without this, the scoped
+            # write below stages a zero-row partitionBy dir (only
+            # _SUCCESS) and the pre-commit schema read fails with
+            # UNABLE_TO_INFER_SCHEMA (r10 ADVICE — the pre-r10
+            # full-rewrite path handled empty batches implicitly).
+            return self
 
         old_all = spark.read.parquet(data_path)
         legacy = "node" not in old_all.columns

@@ -554,3 +554,32 @@ def test_scoped_insert_tomb_counts_stay_exact(spark, emb, qv):
     n = live.count()
     got = [r["vec_id"] for r in idx2.search(spark, qv, k=5, ef_search=n).collect()]
     assert got == _brute_ids(live, qv, 5)
+
+
+def test_insert_empty_batch_is_noop(spark, emb, qv):
+    """r10 ADVICE #1: an empty df_new must be a no-op (pre-r10 the full
+    rewrite handled it; the scoped write staged a zero-row partitionBy
+    dir and the pre-commit schema read raised UNABLE_TO_INFER_SCHEMA)."""
+    import glob
+
+    from neurondb_spark.index.hnsw import HNSWIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hnsw_empty_"), "idx")
+    idx = HNSWIndex.build(
+        emb.where(F.col("vec_id") % 8 == 0), "embedding", "vec_id", path,
+        num_shards=2, m=8, ef_construction=48, seed=7,
+    )
+    before = sorted(
+        (p, os.path.getmtime(p))
+        for p in glob.glob(os.path.join(path, "data", "**"), recursive=True)
+    )
+    total = idx.meta["total_rows"]
+    out = idx.insert(emb.where(F.col("vec_id") < 0))  # empty slice
+    assert out is idx
+    assert idx.meta["total_rows"] == total
+    after = sorted(
+        (p, os.path.getmtime(p))
+        for p in glob.glob(os.path.join(path, "data", "**"), recursive=True)
+    )
+    assert after == before  # no file touched, no journal left behind
+    assert not os.path.exists(os.path.join(path, "dml_commit.json"))
