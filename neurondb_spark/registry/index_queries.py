@@ -167,11 +167,20 @@ def _probe_clusters_fixed(
     Parity contract with ``bsum`` (functions/aggregates.py): each
     squared-diff double and its ×2^40 scaling are the same IEEE ops in
     Python and the JVM; Spark's ``F.round(x, 0)`` on a double is
-    ``BigDecimal.valueOf(x).setScale(0, HALF_UP)``, i.e. HALF_UP on the
-    SHORTEST decimal repr — replicated bit-for-bit by
-    ``Decimal(repr(x))`` (Python's repr is the same shortest-round-trip
-    algorithm); the integer sum is exact in any order; the final /2^40
-    is a monotonic positive constant, so ranking skips it.
+    ``BigDecimal.valueOf(x).setScale(0, HALF_UP)``, i.e. HALF_UP on
+    Java's ``Double.toString`` decimal repr. Replicated here by HALF_UP
+    on the EXACT binary value (``Decimal(s)`` — exact, no repr), which
+    is repr-independent (r10 ADVICE #2: pre-JDK-19 ``Double.toString``
+    can emit non-shortest digits, JDK-4511638, so matching Python's
+    ``repr`` was not guaranteed): the only way two decimal
+    representations of the same double can HALF_UP-round differently at
+    scale 0 is to straddle a ``k+0.5`` boundary — but ``k+0.5`` is
+    itself a representable double for ``|k| < 2^51``, so any repr that
+    round-trips to ``s`` lies strictly within half an ulp of ``s``, on
+    the SAME side of the boundary as the exact value (and when ``s`` IS
+    exactly ``k+0.5`` every faithful repr equals it — all round up).
+    The integer sum is exact in any order; the final /2^40 is a
+    monotonic positive constant, so ranking skips it.
     tests/test_index.py asserts this replica against the Spark bsum
     ranking; the `ivf_knn_probe` hash gate re-verifies end-to-end."""
     from decimal import ROUND_HALF_UP, Decimal
@@ -184,7 +193,7 @@ def _probe_clusters_fixed(
         for v, qv in zip(c, q):
             d = float(v) - float(qv)
             s = (d * d) * factor
-            tot += int(Decimal(repr(s)).quantize(one, rounding=ROUND_HALF_UP))
+            tot += int(Decimal(s).quantize(one, rounding=ROUND_HALF_UP))
         return tot
 
     ranked = sorted(
@@ -1418,7 +1427,9 @@ _LSH_CL_FLOOR = 0.8      # recall@10 at probe_hamming=2
 _lsh_cl_cache: dict[str, "object"] = {}
 
 
-def planted_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def planted_cluster_frame(
+    spark: SparkSession, sf_dir: str, seed: int = _LSH_CL_SEED,
+) -> DataFrame:
     """Deterministic planted-cluster corpus: vec_id → cluster
     ``vec_id % C``; vector = that cluster's fixed norm-10 center plus a
     small integer-hash jitter (pure Column arithmetic — no UDF, no
@@ -1431,7 +1442,7 @@ def planted_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import random
 
-    rng = random.Random(_LSH_CL_SEED)
+    rng = random.Random(seed)
     centers = [
         [rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)]
         for _ in range(_LSH_CL_C)
@@ -1472,9 +1483,16 @@ def _lsh_clustered_index_for(spark: SparkSession, sf_dir: str):
     if key in _lsh_cl_cache:
         return _lsh_cl_cache[key]
     tag = key.replace("/", "_")
+    # EVERY constant the planted geometry depends on is in the cache-dir
+    # name (r10 ADVICE #5: seed/noise/cap changes must never silently
+    # reuse a stale on-disk corpus — self-consistent but measuring the
+    # old geometry).
+    geo = (
+        f"c{_LSH_CL_C}_b{_LSH_NBITS}_s{_LSH_CL_SEED}_k{_LSH_CL_CAP}_"
+        f"n{str(_LSH_CL_NOISE).replace('.', 'p')}"
+    )
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"neurondb_lshcl_c{_LSH_CL_C}_b{_LSH_NBITS}_{tag}",
+        tempfile.gettempdir(), f"neurondb_lshcl_{geo}_{tag}",
     )
     if os.path.exists(os.path.join(path, "meta.json")):
         idx = LSHIndex.load(path)

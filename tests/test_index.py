@@ -7,6 +7,7 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from neurondb_spark.index import IVFIndex, LSHIndex  # noqa: E402
@@ -268,13 +269,16 @@ def test_lsh_dml_lifecycle(spark):
     assert got == brute(exclude=dead)
 
 
-def test_lsh_clustered_recall_gate_has_teeth(spark):
+@pytest.mark.parametrize("seed", [1234, 271828, 31415])
+def test_lsh_clustered_recall_gate_has_teeth(spark, seed):
     """r9 verdict #4: the planted-cluster recall floor (0.8 at
     probe_hamming=2) must be tight enough that a broken hyperplane
     signature turns the gate red. Healthy index passes; an index whose
     search-side planes are sign-flipped (query signatures land in the
     complement bucket, hamming nbits away from the data's) craters
-    recall and raises."""
+    recall and raises. Parameterized over 3 planted-geometry seeds (r10
+    verdict #5): a hyperplane-layout change can't overfit the single
+    1234 geometry the gate row itself uses."""
     import pytest
 
     from neurondb_spark.index.lsh import LSHIndex
@@ -284,7 +288,7 @@ def test_lsh_clustered_recall_gate_has_teeth(spark):
         planted_cluster_frame,
     )
 
-    planted = planted_cluster_frame(spark, SF_DIR)
+    planted = planted_cluster_frame(spark, SF_DIR, seed=seed)
     path = os.path.join(tempfile.mkdtemp(prefix="lsh_cl_"), "idx")
     idx = LSHIndex.build(
         planted, "embedding", path, dim=64, nbits=8, seed=42,
