@@ -798,6 +798,61 @@ ORDER BY total_qty DESC, o_orderkey ASC
 LIMIT 100"""
 
 
+_Q20_NATIONS = ["NATION_3", "NATION_8", "NATION_13", "NATION_21", "NATION_24"]
+
+
+def _q_tpch_q20_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-lite (r10 verdict #6): Q20's partsupp half is
+    data-blocked (no partsupp table in the testdata), but its INNER
+    shape — an IN-subquery over an aggregate-filtered slice (GROUP BY +
+    HAVING under a date window), semi-joined to nation-filtered
+    suppliers — has a lineitem-only analog: suppliers who shipped any
+    (supplier, part) group totalling > 60 units in 1996-97, restricted
+    to a nation set. Spark plan: the HAVING aggregate shuffles once on
+    the composite key, projects the distinct suppkeys (grouped-key
+    distinct is a no-shuffle second agg under AQE), then LEFT SEMI joins
+    supplier (broadcast-sized) and broadcast-joins nation. At 100 TB
+    the only big shuffle is the lineitem aggregate; everything after
+    operates on supplier-cardinality rows."""
+    li = t(spark, sf_dir, "lineitem")
+    hot = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 60.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(_Q20_NATIONS)
+    )
+    return (
+        sup.join(hot, sup.s_suppkey == hot.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy(F.col("s_name").asc(), F.col("s_suppkey").asc())
+    )
+
+
+_SQL_TPCH_Q20_LITE = f"""SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ({', '.join(repr(n) for n in _Q20_NATIONS)})
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING {O.dsum('l_quantity')} > 60.0)
+ORDER BY s_name ASC, s_suppkey ASC"""
+
+
 def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity, adapted: no phone prefixes
     in the testdata schema, so the anti-join keys on urgent orders):
@@ -861,6 +916,7 @@ QUERIES = {
     "tpch_q17_small_qty": (_q_tpch_q17, _SQL_TPCH_Q17),
     "tpch_q18_large_volume": (_q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q19_disjunctive": (_q_tpch_q19, _SQL_TPCH_Q19),
+    "tpch_q20_lite_hot_parts": (_q_tpch_q20_lite, _SQL_TPCH_Q20_LITE),
     "tpch_q22_sales_opportunity": (_q_tpch_q22, _SQL_TPCH_Q22),
     "top_revenue_customers": (_q_top_revenue_customers, _SQL_TOP_REVENUE_CUSTOMERS),
     "orders_topk_per_segment": (_q_orders_topk_per_segment, _SQL_ORDERS_TOPK_PER_SEGMENT),
