@@ -232,6 +232,16 @@ FORCE_RECHECK = frozenset({
     # CORRECTNESS_r10.json and were pruned. Add a query here whenever its
     # implementation — or an index/stream path it consumes — is rewritten
     # after its latest driver check.)
+    #
+    # Round-11 rewrites: the CDC drain's compaction cadence moved to an
+    # in-process commit counter (+ drain-start recover + journal
+    # retention); the fixed-point probe rounding switched from
+    # Decimal(repr(x)) to the exact Decimal(x) (repr-independent, same
+    # values by the boundary argument in _probe_clusters_fixed); HNSW
+    # insert gained the empty-batch early return; the planted-cluster
+    # corpus cache dir is now keyed by seed/noise/cap too (fresh build).
+    "stream_ivf_cdc_knn", "ivf_knn_probe", "hnsw_insert_delete_knn",
+    "lsh_recall_clustered",
 })
 
 
