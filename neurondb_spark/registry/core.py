@@ -853,6 +853,261 @@ WHERE n_name IN ({', '.join(repr(n) for n in _Q20_NATIONS)})
 ORDER BY s_name ASC, s_suppkey ASC"""
 
 
+def _q_tpch_q2_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-lite: Q2's defining shape — a correlated scalar MIN
+    subquery joined back to recover the rows achieving the minimum —
+    with lineitem standing in for partsupp as the part×supplier price
+    list (ps_supplycost is data-blocked). Decorrelated the way Catalyst
+    would: the regional slice is computed ONCE, its per-part MIN is one
+    grouped aggregate, and the join-back on (partkey, price = min)
+    recovers every tying supplier. MIN over doubles is exact, so the
+    equality join-back is cross-engine deterministic. At 100 TB the
+    slice and its aggregate share the l_partkey shuffle key; part and
+    the region chain broadcast."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg_dim = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    reg = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg_dim), nat.n_regionkey == reg_dim.r_regionkey)
+        .select("l_partkey", "l_extendedprice", "s_name")
+    )
+    mins = reg.groupBy(
+        F.col("l_partkey").alias("m_partkey")
+    ).agg(F.min("l_extendedprice").alias("min_price"))
+    small = t(spark, sf_dir, "part").where(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        reg.join(
+            mins,
+            (reg.l_partkey == mins.m_partkey)
+            & (reg.l_extendedprice == mins.min_price),
+        )
+        .join(F.broadcast(small), reg.l_partkey == small.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "min_price")
+        .distinct()
+        .orderBy(
+            F.col("min_price").asc(), F.col("p_partkey").asc(),
+            F.col("s_name").asc(),
+        )
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q2_LITE = """WITH reg AS (
+  SELECT l_partkey, l_extendedprice, s_name FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT DISTINCT p_partkey, p_name, s_name,
+  l_extendedprice AS min_price
+FROM reg JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10 AND l_extendedprice = (
+  SELECT MIN(r2.l_extendedprice) FROM reg r2
+  WHERE r2.l_partkey = reg.l_partkey)
+ORDER BY min_price ASC, p_partkey ASC, s_name ASC
+LIMIT 100"""
+
+
+def _q_tpch_q9_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-lite (product-type profit by nation and year, minus the
+    data-blocked ps_supplycost term): revenue over a 5-table join for
+    name-matched parts, grouped by supplier nation × order year — Q9's
+    shape is the multi-dimension join tree whose group keys come from
+    two different dimension arms. The only big shuffle is the final
+    two-key aggregate (map-side combined); part/supplier/nation
+    broadcast and the LIKE filter prunes before the orders join."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    widget = t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_SQL_TPCH_Q9_LITE = f"""SELECT n_name AS nation,
+  year(o_orderdate) AS o_year,
+  {O.dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation ASC, o_year DESC"""
+
+
+_Q11_NATIONS = ["NATION_1", "NATION_2", "NATION_3"]
+_Q11_MULT = 2.0
+
+
+def _q_tpch_q11_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-lite (important stock, lineitem standing in for the
+    data-blocked partsupp): per-part value within a nation set, keeping
+    parts whose value exceeds a multiple of the MEAN per-part value —
+    Q11's grouped-agg-vs-uncorrelated-scalar-subquery shape, with the
+    threshold made scale-invariant (Q11's own 0.0001/SF fraction scales
+    with SF for the same reason; a fixed fraction of the global total
+    empties at sf0.1). The threshold is a 1-row broadcast (never a
+    driver round-trip in the plan); the per-part sums and their mean
+    both ride the exact-decimal grid, so the comparison sees identical
+    doubles in both engines."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(_Q11_NATIONS)
+    ).select("n_nationkey")
+    pv = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice").alias("part_value"))
+    )
+    thr = pv.agg(davg("part_value").alias("_avg"))
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .where(F.col("part_value") > F.col("_avg") * _Q11_MULT)
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+_SQL_TPCH_Q11_LITE = f"""WITH pv AS (
+  SELECT l_partkey, {O.dsum('l_extendedprice')} AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ({', '.join(repr(n) for n in _Q11_NATIONS)})
+  GROUP BY l_partkey)
+SELECT l_partkey, part_value
+FROM pv
+WHERE part_value > (SELECT {O.davg('part_value')} FROM pv) * {_Q11_MULT}
+ORDER BY part_value DESC, l_partkey ASC"""
+
+
+def _q_tpch_q16_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-lite (parts/supplier relationship, lineitem standing in
+    for the data-blocked partsupp; negative account balance standing in
+    for the complaints LIKE filter): distinct-supplier counts per part
+    attribute pair, EXCLUDING a supplier set via anti-join — Q16's
+    distinct-count-with-exclusion shape. The anti-join side is
+    broadcast-sized; the count-distinct shuffles once on the composite
+    attribute key (Spark plans distinct-agg as a two-phase expand)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bad = t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+_SQL_TPCH_Q16_LITE = """SELECT p_brand, p_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC"""
+
+
+def _q_tpch_q21_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-lite (suppliers who kept orders waiting; late =
+    l_shipdate > o_orderdate + 60 days, standing in for the data-blocked
+    receipt/commit dates): count, per supplier, the late lines in
+    multi-supplier orders where that supplier was the ONLY late one —
+    Q21's semi + anti SELF-JOIN shape on the fact table. Spark plan:
+    the late slice is computed once and reused for both sides; the
+    EXISTS is a left-semi and the NOT-EXISTS a left-anti, each an
+    equi-join on l_orderkey with the supplier-inequality as a residual
+    condition — at 100 TB all three legs share the orderkey shuffle
+    key, and supplier broadcasts for the name lookup."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                             "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(sup), F.col("l1.l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q21_LITE = """WITH late AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100"""
+
+
 def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity, adapted: no phone prefixes
     in the testdata schema, so the anti-join keys on urgent orders):
@@ -916,7 +1171,12 @@ QUERIES = {
     "tpch_q17_small_qty": (_q_tpch_q17, _SQL_TPCH_Q17),
     "tpch_q18_large_volume": (_q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q19_disjunctive": (_q_tpch_q19, _SQL_TPCH_Q19),
+    "tpch_q2_lite_min_price": (_q_tpch_q2_lite, _SQL_TPCH_Q2_LITE),
+    "tpch_q9_lite_nation_profit": (_q_tpch_q9_lite, _SQL_TPCH_Q9_LITE),
+    "tpch_q11_lite_important_parts": (_q_tpch_q11_lite, _SQL_TPCH_Q11_LITE),
+    "tpch_q16_lite_supplier_counts": (_q_tpch_q16_lite, _SQL_TPCH_Q16_LITE),
     "tpch_q20_lite_hot_parts": (_q_tpch_q20_lite, _SQL_TPCH_Q20_LITE),
+    "tpch_q21_lite_waiting_orders": (_q_tpch_q21_lite, _SQL_TPCH_Q21_LITE),
     "tpch_q22_sales_opportunity": (_q_tpch_q22, _SQL_TPCH_Q22),
     "top_revenue_customers": (_q_top_revenue_customers, _SQL_TOP_REVENUE_CUSTOMERS),
     "orders_topk_per_segment": (_q_orders_topk_per_segment, _SQL_ORDERS_TOPK_PER_SEGMENT),
