@@ -303,3 +303,97 @@ def trigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             davg("_p").alias("mean_tri_prob"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: Column | str,
+    shard_col: str,
+    id_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Concat-and-slice sequence packing — the step that turns a cleaned
+    document corpus into fixed-length training examples: within each
+    shard, documents are laid end to end in ``id_col`` order and the
+    token stream is cut into ``seq_len``-token bins (the GPT-style
+    packing used by LLM pretraining pipelines; a document may span
+    several bins, a bin holds slices of several documents). Returns one
+    row per (document, bin) slice:
+
+    ``shard, bin_id, id, doc_offset, bin_offset, take_tokens``
+
+    i.e. tokens ``[doc_offset, doc_offset+take_tokens)`` of the document
+    land in bin ``bin_id`` at position ``bin_offset``. Zero-token
+    documents are dropped (they occupy no stream positions).
+
+    Everything is integer arithmetic on a per-shard running sum — the
+    layout is a pure function of (shard, id order, token counts), so
+    re-runs, backfills and the SQL oracle agree bit-for-bit.
+
+    Scale: packing is PER-SHARD by design — a single global document
+    order would be a full sort of the corpus, and no trainer needs one
+    (shards map to data-parallel workers). The only shuffle is the
+    per-shard window; the explode emits ≤ 1 extra row per bin boundary
+    (≈ total_tokens / seq_len rows corpus-wide)."""
+    if seq_len < 1:
+        raise ValueError("neurondb: pack_sequences seq_len must be >= 1")
+    from pyspark.sql import Window as W
+
+    tc = (
+        F.col(token_count_col) if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("long")
+    L = F.lit(int(seq_len))
+    w = W.partitionBy("shard").orderBy("id")
+    spans = (
+        df.select(
+            F.col(shard_col).alias("shard"),
+            F.col(id_col).alias("id"),
+            tc.alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            "shard", "id", "_n", F.sum("_n").over(w).alias("_end"),
+        )
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+    )
+    exploded = spans.select(
+        "shard", "id", "_start", "_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / L),
+                F.floor((F.col("_end") - 1) / L),
+            )
+        ).alias("bin_id"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("bin_id") * L)
+    hi = F.least(F.col("_end"), (F.col("bin_id") + 1) * L)
+    return exploded.select(
+        "shard",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        "id",
+        (lo - F.col("_start")).cast("long").alias("doc_offset"),
+        (lo - F.col("bin_id") * L).cast("long").alias("bin_offset"),
+        (hi - lo).cast("long").alias("take_tokens"),
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-shard packing summary over :func:`pack_sequences` output:
+    bins, documents, document slices, total tokens and fill ratio
+    (tokens / bins·seq_len — only the final bin of a shard can be
+    partial, so fill approaches 1 as shards grow). One aggregate."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_slices"),
+            F.sum("take_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * F.lit(int(seq_len))).cast("double"),
+        )
+    )

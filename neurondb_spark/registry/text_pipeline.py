@@ -1119,8 +1119,79 @@ SELECT doc_id, 0.5 + 0.5 * z / (1.0 + abs(z)) AS quality_prob,
 FROM z2"""
 
 
+_PACK_SEQ_LEN = 512
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-slice sequence packing
+    (operators/corpus.py pack_sequences): per-lang shards, doc_id
+    order, 512-token bins — one (document, bin) slice row per overlap.
+    Pure integer window arithmetic, so the oracle replays the layout
+    bit-for-bit."""
+    from neurondb_spark.operators.corpus import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, token_count("text"), "lang", "doc_id", _PACK_SEQ_LEN
+    )
+
+
+def _sql_pack_sequences() -> str:
+    L = _PACK_SEQ_LEN
+    toks = sql_tokenize("text")
+    return f"""WITH toks AS (
+  SELECT lang AS shard, doc_id AS id,
+         CAST(len({toks}) AS BIGINT) AS n
+  FROM documents),
+pos AS (
+  SELECT shard, id, n,
+         CAST(SUM(n) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS e
+  FROM toks WHERE n > 0),
+spans AS (SELECT shard, id, e - n AS s, e FROM pos),
+ex AS (
+  SELECT shard, id, s, e,
+         unnest(generate_series(s // {L}, (e - 1) // {L})) AS bin_id
+  FROM spans)
+SELECT shard, CAST(bin_id AS BIGINT) AS bin_id, id,
+  CAST(greatest(s, bin_id * {L}) - s AS BIGINT) AS doc_offset,
+  CAST(greatest(s, bin_id * {L}) - bin_id * {L} AS BIGINT) AS bin_offset,
+  CAST(least(e, (bin_id + 1) * {L}) - greatest(s, bin_id * {L}) AS BIGINT)
+    AS take_tokens
+FROM ex"""
+
+
+def _q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing summary (bins, docs, slices, tokens, fill
+    ratio) over the same 512-token packing — the number a pipeline
+    operator actually monitors (fill < 1 only from each shard's final
+    partial bin)."""
+    from neurondb_spark.operators.corpus import pack_sequences, packing_stats
+
+    docs = t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, token_count("text"), "lang", "doc_id", _PACK_SEQ_LEN
+    )
+    return packing_stats(packed, _PACK_SEQ_LEN)
+
+
+def _sql_packing_stats() -> str:
+    L = _PACK_SEQ_LEN
+    return f"""WITH packed AS ({_sql_pack_sequences()})
+SELECT shard,
+  CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_slices,
+  CAST(SUM(take_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(take_tokens) AS DOUBLE)
+    / CAST((MAX(bin_id) + 1) * {L} AS DOUBLE) AS fill_ratio
+FROM packed
+GROUP BY shard"""
+
+
 QUERIES = {
     "text_stats": (_q_text_stats, _sql_text_stats()),
+    "pack_sequences_spans": (_q_pack_sequences, _sql_pack_sequences()),
+    "pack_sequences_stats": (_q_packing_stats, _sql_packing_stats()),
     "substring_dup_stats": (_q_substring_dup, _sql_substring_dup()),
     "substring_dup_pairs": (_q_substring_pairs, _sql_substring_pairs()),
     "quality_classifier_scores": (_q_quality_classifier,

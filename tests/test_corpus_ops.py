@@ -205,3 +205,70 @@ def test_quality_classifier_separates_planted_classes(spark):
     probs = [r["quality_prob"] for r in rows]
     assert all(0.0 <= p <= 1.0 for p in probs)
     assert max(probs) - min(probs) > 0.2  # non-degenerate spread
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-slice packing must tile each shard's token stream
+    exactly: per-document slices sum to the doc's token count, every
+    bin except a shard's last is exactly full, offsets stay in range,
+    and slices within a bin are disjoint and contiguous."""
+    from collections import defaultdict
+
+    from neurondb_spark.functions.text import token_count
+    from neurondb_spark.operators.corpus import pack_sequences, packing_stats
+
+    L = 128
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    packed = pack_sequences(docs, token_count("text"), "lang", "doc_id", L)
+    rows = packed.collect()
+    assert rows
+
+    toks = {
+        (r["lang"], r["doc_id"]): r["n"]
+        for r in docs.select(
+            "lang", "doc_id", token_count("text").cast("long").alias("n")
+        ).collect()
+    }
+    per_doc = defaultdict(int)
+    bins = defaultdict(list)
+    for r in rows:
+        assert 0 < r["take_tokens"] <= L
+        assert 0 <= r["bin_offset"] < L
+        assert r["bin_offset"] + r["take_tokens"] <= L
+        assert 0 <= r["doc_offset"] < toks[(r["shard"], r["id"])]
+        per_doc[(r["shard"], r["id"])] += r["take_tokens"]
+        bins[(r["shard"], r["bin_id"])].append(
+            (r["bin_offset"], r["take_tokens"])
+        )
+    # every nonzero-token doc fully placed, nothing else
+    expect = {k: n for k, n in toks.items() if n > 0}
+    assert per_doc == expect
+    # bins tile [0, L) contiguously; only a shard's max bin may be short
+    last_bin = {}
+    for (shard, b) in bins:
+        last_bin[shard] = max(last_bin.get(shard, -1), b)
+    for (shard, b), slices in bins.items():
+        slices.sort()
+        pos = 0
+        for off, take in slices:
+            assert off == pos, f"gap in bin {(shard, b)}"
+            pos += take
+        if b < last_bin[shard]:
+            assert pos == L, f"non-final bin {(shard, b)} not full"
+    # stats agree with the exploded view
+    for s in packing_stats(packed, L).collect():
+        sh = s["shard"]
+        assert s["n_bins"] == last_bin[sh] + 1
+        assert s["total_tokens"] == sum(
+            n for (l, _d), n in expect.items() if l == sh
+        )
+        assert 0.0 < s["fill_ratio"] <= 1.0
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from neurondb_spark.functions.text import token_count
+    from neurondb_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, token_count("text"), "lang", "doc_id", 0)
