@@ -285,3 +285,44 @@ def test_vec_join_gemm_matches_fold_path(spark):
     key = lambda r: (r[0], r[1])  # noqa: E731
     assert sorted(map(tuple, got), key=key) == sorted(map(tuple, want), key=key)
     assert len(got) > 0
+
+
+def test_tpch_lite_plans_never_nested_loop(spark):
+    """The six -lite TPC-H queries must plan hash joins only: any
+    BroadcastNestedLoopJoin / CartesianProduct in these shapes means a
+    join condition degraded to a non-equi cross — the r11 PLANS.md
+    claim, pinned. (Q11-lite's 1-row threshold broadcast is exempt: a
+    scalar crossJoin is the intended plan there.)"""
+    from neurondb_spark.registry import core as c
+
+    checks = {
+        "q2_lite": c._q_tpch_q2_lite,
+        "q9_lite": c._q_tpch_q9_lite,
+        "q16_lite": c._q_tpch_q16_lite,
+        "q20_lite": c._q_tpch_q20_lite,
+        "q21_lite": c._q_tpch_q21_lite,
+    }
+    for name, fn in checks.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, name
+    # Q20-lite's date window must reach the lineitem scan
+    plan = c._q_tpch_q20_lite(spark, SF_DIR)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Packing's only shuffle is the per-shard window (plus the initial
+    read layout): the explode and slice arithmetic must not introduce
+    another Exchange."""
+    from neurondb_spark.functions.text import token_count
+    from neurondb_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    packed = pack_sequences(docs, token_count("text"), "lang", "doc_id", 256)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 1, f"expected one window shuffle, got:\n{plan}"
+    assert "Window" in plan
