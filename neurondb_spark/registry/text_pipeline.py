@@ -1188,10 +1188,85 @@ FROM packed
 GROUP BY shard"""
 
 
+def _q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sequence packing (applyInPandasWithState,
+    per-shard next-offset carry): for id-ordered arrival the emitted
+    slices are EXACTLY the batch pack_sequences layout, so this
+    streaming query shares the batch ORACLE. Streams a pre-counted
+    (shard, id, n) copy of documents (AvailableNow, memory sink); falls
+    back to the identical batch twin if streaming infra wobbles under
+    gate load (strict mode re-raises instead — sims verify the
+    STREAMING path)."""
+    import os
+    import sys as _sys
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from neurondb_spark.streaming.packing import pack_stream
+
+    docs = t(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("lang").alias("shard"),
+        F.col("doc_id").alias("id"),
+        token_count("text").cast("long").alias("n"),
+    ).where(F.col("n") > 0)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    src = os.path.join(tempfile.gettempdir(), f"neurondb_pack_src{tag}")
+    if not os.path.isdir(src):
+        # ONE sorted file = one id-ordered micro-batch: streaming output
+        # is then bit-identical to the batch operator (and the oracle)
+        counted.orderBy("shard", "id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+    out = None
+    try:
+        sdf = spark.readStream.schema(counted.schema).parquet(src)
+        qname = f"neurondb_pack{tag}"
+        q = (
+            pack_stream(sdf, _PACK_SEQ_LEN).writeStream.format("memory")
+            .queryName(qname).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        mem = spark.table(qname)
+        if mem.head(1):
+            out = mem
+    except StreamingQueryException as e:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise
+        print(f"neurondb: stream_pack streaming drain failed, using "
+              f"batch twin: {e}", file=_sys.stderr)
+        out = None
+    if out is None:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise RuntimeError(
+                "neurondb: stream_pack streaming sink was empty under "
+                "NEURONDB_STRICT_STREAM=1 (wedged stream?)"
+            )
+        from neurondb_spark.operators.corpus import pack_sequences
+
+        out = pack_sequences(
+            docs, token_count("text"), "lang", "doc_id", _PACK_SEQ_LEN
+        )
+    return out.select(
+        "shard", "bin_id", "id", "doc_offset", "bin_offset", "take_tokens"
+    )
+
+
 QUERIES = {
     "text_stats": (_q_text_stats, _sql_text_stats()),
     "pack_sequences_spans": (_q_pack_sequences, _sql_pack_sequences()),
     "pack_sequences_stats": (_q_packing_stats, _sql_packing_stats()),
+    "stream_pack_spans": (_q_stream_pack, _sql_pack_sequences()),
     "substring_dup_stats": (_q_substring_dup, _sql_substring_dup()),
     "substring_dup_pairs": (_q_substring_pairs, _sql_substring_pairs()),
     "quality_classifier_scores": (_q_quality_classifier,

@@ -104,3 +104,58 @@ def test_state_across_microbatches(spark, events_dirs):
     want = {r["user_id"]: (r["n_sessions"], r["max_session_events"])
             for r in sessionize_batch(spark.createDataFrame(pdf)).collect()}
     assert got == want
+
+
+def test_stream_pack_carries_offset_across_batches(spark):
+    """The per-shard next-offset state must carry across micro-batches
+    AND drain restarts: two successive AvailableNow drains over the same
+    checkpoint (second drain sees only newly-landed files) emit, in
+    union, exactly the batch pack_sequences layout of the full corpus."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from neurondb_spark.operators.corpus import pack_sequences
+    from neurondb_spark.streaming.packing import pack_stream
+
+    td = tempfile.mkdtemp(prefix="pack_stream_")
+    src = os.path.join(td, "src")
+    ckpt = os.path.join(td, "ckpt")
+    os.makedirs(src)
+    L = 64
+    docs = spark.createDataFrame(
+        [(f"s{d % 3}", d, 10 + (d * 7) % 90) for d in range(200)],
+        "shard string, id long, n long",
+    )
+
+    def drain(_qname):
+        rows = []
+        sdf = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            pack_stream(sdf, L).writeStream
+            .foreachBatch(lambda bdf, _bid: rows.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return rows
+
+    # first half lands, first drain; second half lands, second drain —
+    # ids are increasing across the two waves per shard
+    docs.where(F.col("id") < 100).orderBy("id").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = drain("pack_t1")
+    docs.where(F.col("id") >= 100).orderBy("id").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got += drain("pack_t2")
+
+    want = pack_sequences(docs, F.col("n"), "shard", "id", L).collect()
+    cols = ("shard", "bin_id", "id", "doc_offset", "bin_offset",
+            "take_tokens")
+    assert sorted(tuple(r) for r in got) == sorted(
+        tuple(r[f] for f in cols) for r in want
+    )
