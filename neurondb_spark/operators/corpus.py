@@ -139,7 +139,8 @@ def token_budget_mix(
 
 
 def neardup_resolve(
-    df: DataFrame, id_col: str, pairs: DataFrame
+    df: DataFrame, id_col: str, pairs: DataFrame,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate RESOLUTION: candidate pairs (from any of
     the dedup family's pair operators) → connected components → keep the
@@ -152,6 +153,14 @@ def neardup_resolve(
     Returns (id, cluster_rep, keep) for EVERY input row: singletons are
     their own rep and kept.
 
+    ``rank_col`` selects the SURVIVOR POLICY: None keeps each cluster's
+    lowest id (cheap, arbitrary); a column name keeps the cluster row
+    with the HIGHEST rank value (ties to the lower id) — the policy a
+    curation pipeline actually wants ("keep the longest / best-quality
+    copy"), one extra window over cluster-cardinality rows. cluster_rep
+    stays the min-id label either way (it is a cluster NAME, not the
+    survivor).
+
     Scale: components of a near-dup graph are small and numerous —
     min-label propagation converges in O(max component diameter)
     join+min rounds (operators/graph.connected_components), each one
@@ -161,14 +170,25 @@ def neardup_resolve(
     comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
         "node", id_col
     )
-    return (
-        df.select(id_col)
+    cols = [id_col] if rank_col is None else [id_col, rank_col]
+    labeled = (
+        df.select(*cols)
         .join(comp, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("comp", F.col(id_col)).alias("cluster_rep"),
-            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        .withColumn("cluster_rep", F.coalesce("comp", F.col(id_col)))
+    )
+    if rank_col is None:
+        return labeled.select(
+            id_col, "cluster_rep",
+            (F.col("cluster_rep") == F.col(id_col)).alias("keep"),
         )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_rep").orderBy(
+        F.col(rank_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.select(
+        id_col, "cluster_rep",
+        (F.row_number().over(w) == 1).alias("keep"),
     )
 
 

@@ -335,6 +335,50 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
 
 
+def _q_neardup_resolve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup resolution with the QUALITY survivor policy: same
+    MinHash-LSH pairs → components, but each cluster keeps its LONGEST
+    document (n_chars desc, ties to the lower id) instead of the min id
+    — the policy a curation pipeline actually applies (the shortest
+    copy is usually the truncated one). One extra window over
+    cluster-cardinality rows; cluster_rep stays the min-id label."""
+    from neurondb_spark.operators.corpus import neardup_resolve
+    from neurondb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+    out = neardup_resolve(docs, "doc_id", pairs, rank_col="n_chars")
+    return out.select(
+        "doc_id",
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def _sql_neardup_resolve_quality() -> str:
+    return f"""WITH RECURSIVE pairs AS ({_sql_minhash_lsh_pairs()}),
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node),
+comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.comp, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_rep AS BIGINT) AS cluster_rep,
+       CAST((ROW_NUMBER() OVER (PARTITION BY cluster_rep
+             ORDER BY n_chars DESC, doc_id ASC) = 1) AS INT) AS keep
+FROM labeled"""
+
+
 _DECON_N = 8  # 8-gram collision ≈ verbatim benchmark inclusion
 _DECON_BENCH_MAX = 20
 
@@ -1290,6 +1334,8 @@ QUERIES = {
     "corpus_mix_sample": (_q_corpus_mix, _sql_corpus_mix()),
     "token_budget_mix": (_q_token_budget_mix, _sql_token_budget_mix()),
     "neardup_resolve_survivors": (_q_neardup_resolve, _sql_neardup_resolve()),
+    "neardup_resolve_quality": (_q_neardup_resolve_quality,
+                                _sql_neardup_resolve_quality()),
     "trigram_lm_quality": (_q_trigram_lm, _sql_trigram_lm()),
     "benchmark_decontaminate": (_q_decontaminate, _sql_decontaminate()),
     "pii_redaction_stats": (_q_pii_stats, _sql_pii_stats()),
