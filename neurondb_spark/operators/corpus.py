@@ -417,3 +417,36 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
             / (F.col("n_bins") * F.lit(int(seq_len))).cast("double"),
         )
     )
+
+
+def split_corpus(
+    df: DataFrame, id_col: str, weights: dict[str, float], seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test splitting: each row gets the split
+    label whose cumulative-weight interval contains its
+    :func:`hash_uniform` draw. Pure function of (id, seed) — rows keep
+    their split across re-runs, backfills, partitionings and engines
+    (``randomSplit`` keeps none of that: it is partition-order
+    dependent), and disjointness/coverage hold by construction. Weights
+    must sum to 1 (±1e-9); labels are assigned in sorted(label) order so
+    the interval layout is itself deterministic.
+
+    Scale: a pure map — no shuffle, no state, nothing on the driver."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"neurondb: split weights must sum to 1, got {total}"
+        )
+    if not weights:
+        raise ValueError("neurondb: split weights must be non-empty")
+    u = hash_uniform(id_col, seed)
+    expr = None
+    acc = 0.0
+    labels = sorted(weights)
+    for name in labels[:-1]:
+        acc += float(weights[name])
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -379,6 +379,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM labeled"""
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 7
+
+
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/corpus.py
+    split_corpus): the split label is a pure function of (doc_id, seed)
+    — re-runs, backfills and engines agree row-by-row (randomSplit is
+    partition-order dependent and cannot be oracle-checked). Gate output
+    is the per-(split, lang) count table."""
+    from neurondb_spark.operators.corpus import split_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        split_corpus(docs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_corpus_split() -> str:
+    u = (
+        f"(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+        f"'#{_SPLIT_SEED}'), 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+    )
+    # identical float accumulation as split_corpus: thresholds are the
+    # exact doubles the Spark side compares against
+    labels = sorted(_SPLIT_WEIGHTS)
+    acc = 0.0
+    branches = []
+    for name in labels[:-1]:
+        acc += float(_SPLIT_WEIGHTS[name])
+        branches.append(f"WHEN {u} < {O.dlit(acc)} THEN '{name}'")
+    case = f"CASE {' '.join(branches)} ELSE '{labels[-1]}' END"
+    return f"""SELECT {case} AS split, lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, lang"""
+
+
 _DECON_N = 8  # 8-gram collision ≈ verbatim benchmark inclusion
 _DECON_BENCH_MAX = 20
 
@@ -1332,6 +1371,7 @@ QUERIES = {
     "repetition_quality_filters": (_q_repetition_filters,
                                    _sql_repetition_filters()),
     "corpus_mix_sample": (_q_corpus_mix, _sql_corpus_mix()),
+    "corpus_split_counts": (_q_corpus_split, _sql_corpus_split()),
     "token_budget_mix": (_q_token_budget_mix, _sql_token_budget_mix()),
     "neardup_resolve_survivors": (_q_neardup_resolve, _sql_neardup_resolve()),
     "neardup_resolve_quality": (_q_neardup_resolve_quality,

@@ -272,3 +272,28 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(docs, token_count("text"), "lang", "doc_id", 0)
+
+
+def test_split_corpus_disjoint_stable_and_weighted(spark):
+    """Splits must cover every row exactly once, be stable across
+    re-evaluation (pure function of id+seed), and land near the
+    requested weights."""
+    from neurondb_spark.operators.corpus import split_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_corpus(docs, "doc_id", w, seed=7)
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # total coverage, no dup/drop
+    for k, v in w.items():
+        assert abs(counts.get(k, 0) / n - v) < 0.08, (k, counts)
+    # stability: identical assignment on re-evaluation and other orders
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_corpus(docs.orderBy(F.desc("doc_id")), "doc_id",
+                               w, seed=7).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(docs, "doc_id", {"a": 0.5}, seed=1)
