@@ -450,3 +450,54 @@ def split_corpus(
     last = F.lit(labels[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def corpus_datacard(
+    df: DataFrame, text_col: str, id_col: str, lang_col: str,
+    source_col: str, short_tokens: int = 20,
+) -> DataFrame:
+    """Per-language corpus data card — the summary table a curation
+    pipeline publishes with a training set: document/source counts,
+    token and character mass, exact-duplicate count (docs whose
+    normalized-token fingerprint appears ≥2× within the language), short
+    -document count and mean tokens/doc. Composes the existing exact
+    primitives (token_count, doc_fingerprint, davg), so every cell is
+    deterministic and oracle-checkable.
+
+    Scale: two aggregates — one fingerprint groupBy (the exact-dedup
+    shuffle) and one per-language rollup; both map-side combined."""
+    from neurondb_spark.functions.text import doc_fingerprint, token_count
+
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("_src"),
+        F.col(id_col).alias("_id"),
+        token_count(text_col).cast("long").alias("_tok"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        doc_fingerprint(text_col).alias("_fp"),
+    )
+    dup_fp = (
+        base.groupBy("lang", "_fp")
+        .agg(F.count(F.lit(1)).alias("_nfp"))
+        .where(F.col("_nfp") >= 2)
+    )
+    dups = dup_fp.groupBy("lang").agg(
+        F.sum("_nfp").cast("long").alias("exact_dup_docs")
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_src").alias("n_sources"),
+            F.sum("_tok").cast("long").alias("total_tokens"),
+            F.sum("_chars").cast("long").alias("total_chars"),
+            F.sum(
+                F.when(F.col("_tok") < short_tokens, 1).otherwise(0)
+            ).cast("long").alias("short_docs"),
+            davg(F.col("_tok").cast("double")).alias("avg_tokens"),
+        )
+        .join(dups, "lang", "left")
+        .withColumn(
+            "exact_dup_docs", F.coalesce("exact_dup_docs", F.lit(0))
+        )
+    )

@@ -379,6 +379,49 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM labeled"""
 
 
+_DATACARD_SHORT = 20
+
+
+def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus data card (operators/corpus.py
+    corpus_datacard): doc/source counts, token/char mass, exact-dup and
+    short-doc counts, mean tokens — the summary table published with a
+    training set, composed from the oracle-proven primitives."""
+    from neurondb_spark.operators.corpus import corpus_datacard
+
+    docs = t(spark, sf_dir, "documents")
+    return corpus_datacard(
+        docs, "text", "doc_id", "lang", "source",
+        short_tokens=_DATACARD_SHORT,
+    )
+
+
+def _sql_corpus_datacard() -> str:
+    toks = sql_tokenize("text")
+    fp = sql_doc_fingerprint("text")
+    return f"""WITH base AS (
+  SELECT lang, source AS src,
+         CAST(len({toks}) AS BIGINT) AS tok,
+         CAST(length(text) AS BIGINT) AS chars,
+         {fp} AS fp
+  FROM documents),
+dups AS (
+  SELECT lang, CAST(SUM(nfp) AS BIGINT) AS exact_dup_docs FROM (
+    SELECT lang, fp, COUNT(*) AS nfp FROM base GROUP BY lang, fp
+    HAVING COUNT(*) >= 2)
+  GROUP BY lang)
+SELECT b.lang, COUNT(*) AS n_docs,
+  COUNT(DISTINCT b.src) AS n_sources,
+  CAST(SUM(b.tok) AS BIGINT) AS total_tokens,
+  CAST(SUM(b.chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN b.tok < {_DATACARD_SHORT} THEN 1 ELSE 0 END)
+    AS BIGINT) AS short_docs,
+  {O.davg('b.tok')} AS avg_tokens,
+  COALESCE(ANY_VALUE(d.exact_dup_docs), 0) AS exact_dup_docs
+FROM base b LEFT JOIN dups d ON b.lang = d.lang
+GROUP BY b.lang"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SPLIT_SEED = 7
 
@@ -1372,6 +1415,7 @@ QUERIES = {
                                    _sql_repetition_filters()),
     "corpus_mix_sample": (_q_corpus_mix, _sql_corpus_mix()),
     "corpus_split_counts": (_q_corpus_split, _sql_corpus_split()),
+    "corpus_datacard": (_q_corpus_datacard, _sql_corpus_datacard()),
     "token_budget_mix": (_q_token_budget_mix, _sql_token_budget_mix()),
     "neardup_resolve_survivors": (_q_neardup_resolve, _sql_neardup_resolve()),
     "neardup_resolve_quality": (_q_neardup_resolve_quality,
