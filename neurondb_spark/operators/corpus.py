@@ -344,7 +344,9 @@ def pack_sequences(
 
     i.e. tokens ``[doc_offset, doc_offset+take_tokens)`` of the document
     land in bin ``bin_id`` at position ``bin_offset``. Zero-token
-    documents are dropped (they occupy no stream positions).
+    documents are dropped (they occupy no stream positions). Caller
+    contract: ids must be unique within a shard (duplicates have no
+    well-defined stream position).
 
     Everything is integer arithmetic on a per-shard running sum — the
     layout is a pure function of (shard, id order, token counts), so
@@ -364,7 +366,15 @@ def pack_sequences(
         else token_count_col
     ).cast("long")
     L = F.lit(int(seq_len))
-    w = W.partitionBy("shard").orderBy("id")
+    # ROWS frame, not the default RANGE: RANGE gives ORDER-BY peers the
+    # SAME running sum, so duplicate ids would produce overlapping
+    # slices. Caller contract: ids must be unique within a shard (as
+    # with the streaming twin, where a duplicate's placement would
+    # depend on arrival order).
+    w = (
+        W.partitionBy("shard").orderBy("id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     spans = (
         df.select(
             F.col(shard_col).alias("shard"),
@@ -432,21 +442,23 @@ def split_corpus(
     the interval layout is itself deterministic.
 
     Scale: a pure map — no shuffle, no state, nothing on the driver."""
+    if not weights:
+        raise ValueError("neurondb: split weights must be non-empty")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(
             f"neurondb: split weights must sum to 1, got {total}"
         )
-    if not weights:
-        raise ValueError("neurondb: split weights must be non-empty")
     u = hash_uniform(id_col, seed)
     expr = None
     acc = 0.0
     labels = sorted(weights)
     for name in labels[:-1]:
         acc += float(weights[name])
-        branch = F.when(u < F.lit(acc), F.lit(name))
-        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
     last = F.lit(labels[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)

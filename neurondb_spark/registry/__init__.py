@@ -242,6 +242,9 @@ FORCE_RECHECK = frozenset({
     # corpus cache dir is now keyed by seed/noise/cap too (fresh build).
     "stream_ivf_cdc_knn", "ivf_knn_probe", "hnsw_insert_delete_knn",
     "lsh_recall_clustered",
+    # Round-11: neardup_resolve was restructured for the rank_col
+    # survivor policy — re-verify the r7-vintage min-id consumer too.
+    "neardup_resolve_survivors",
 })
 
 

@@ -241,7 +241,9 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that AnalysisException and the gate only ever ran the batch twin.
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
     src = os.path.join(tempfile.gettempdir(), f"neurondb_sess_src{tag}")
-    if not os.path.isdir(src):
+    # _SUCCESS, not bare isdir: a crashed first write leaves a partial
+    # dir that would silently feed every later run a truncated corpus
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
         ev.coalesce(1).write.mode("overwrite").parquet(src)
     out = None
     try:

@@ -1271,7 +1271,9 @@ def _sql_pack_sequences() -> str:
   FROM documents),
 pos AS (
   SELECT shard, id, n,
-         CAST(SUM(n) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS e
+         CAST(SUM(n) OVER (PARTITION BY shard ORDER BY id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS e
   FROM toks WHERE n > 0),
 spans AS (SELECT shard, id, e - n AS s, e FROM pos),
 ex AS (
@@ -1339,7 +1341,9 @@ def _q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n") > 0)
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
     src = os.path.join(tempfile.gettempdir(), f"neurondb_pack_src{tag}")
-    if not os.path.isdir(src):
+    # _SUCCESS, not bare isdir: a crashed first write leaves a partial
+    # dir that would silently feed every later run a truncated corpus
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
         # ONE sorted file = one id-ordered micro-batch: streaming output
         # is then bit-identical to the batch operator (and the oracle)
         counted.orderBy("shard", "id").coalesce(1).write.mode(

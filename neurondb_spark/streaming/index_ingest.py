@@ -72,8 +72,12 @@ def prune_ingest_journal(index_path: str, keep_last: int = 64) -> int:
     checkpoint's offset log replays AT MOST the most recent uncommitted
     batch after a restart — markers older than that can never be
     consulted again; they exist only to make that one replay idempotent.
-    Intent files (un-committed batches) are never pruned. Returns the
-    number of markers removed."""
+    Intent files (un-committed batches) are never pruned, and neither
+    are NEGATIVE batch ids: those are synthetic markers written outside
+    any checkpoint (index_cdc_batch uses -1), whose replay protection
+    has no offset log to fall back on — and being the smallest ids they
+    would otherwise always be pruned FIRST. Returns the number of
+    markers removed."""
     if keep_last < 1:
         raise ValueError("neurondb: journal keep_last must be >= 1")
     jdir = os.path.join(index_path, _JOURNAL_DIR)
@@ -84,12 +88,14 @@ def prune_ingest_journal(index_path: str, keep_last: int = 64) -> int:
         if (f.startswith("batch_") and f.endswith(".json")
                 and not f.endswith(".intent.json")):
             try:
-                markers.append((int(f[len("batch_"):-len(".json")]), f))
+                bid = int(f[len("batch_"):-len(".json")])
             except ValueError:
                 continue
+            if bid >= 0:
+                markers.append((bid, f))
     markers.sort()
     removed = 0
-    for _bid, f in markers[:-keep_last] if len(markers) > keep_last else []:
+    for _bid, f in markers[:-keep_last]:
         os.remove(os.path.join(jdir, f))
         removed += 1
     return removed

@@ -460,6 +460,15 @@ def test_cdc_cadence_constant_metadata_and_bounded_journal(
         os.path.join(td, "ivf_cad"), nlists=4, metric="l2", dim=DIM,
     )
 
+    # a pre-existing synthetic marker (index_cdc_batch uses batch_id=-1,
+    # the smallest id) must SURVIVE retention: its replay protection has
+    # no checkpoint offset log behind it
+    jdir = os.path.join(idx.path, "ingest_journal")
+    os.makedirs(jdir, exist_ok=True)
+    synth = os.path.join(jdir, "batch_-1.json")
+    with open(synth, "w") as fh:
+        fh.write('{"batch_id": -1}')
+
     def _boom(_path):
         raise AssertionError(
             "drain listed the journal on the per-batch path"
@@ -487,7 +496,10 @@ def test_cdc_cadence_constant_metadata_and_bounded_journal(
     assert prunes == [2, 2, 2]
     from neurondb_spark.streaming.index_ingest import _committed_batches
 
-    assert _committed_batches(idx.path) == 2  # newest 2 kept
+    # newest 2 checkpoint-batch markers kept + the pruning-exempt
+    # synthetic batch_-1 marker
+    assert _committed_batches(idx.path) == 3
+    assert os.path.exists(synth)
     # retention must not break exactly-once: replay the whole source
     # with a fresh checkpoint — the checkpoint has fully processed the
     # source, so availableNow finds nothing new and nothing re-applies
