@@ -379,6 +379,41 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM labeled"""
 
 
+_VOCAB_TOP = 200
+
+
+def _q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table (tokenizer-training primitive): token →
+    total occurrences and document frequency, top-K by count (ties to
+    token order) — the input a BPE/unigram tokenizer trainer starts
+    from. One explode + one combiner-heavy groupBy; at 100 TB the token
+    key-space is Heaps-law-bounded, far below the row count, so the
+    map-side combine does almost all the work."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(tokenize("text")).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(_VOCAB_TOP)
+    )
+
+
+def _sql_vocab_top_tokens() -> str:
+    toks = sql_tokenize("text")
+    return f"""SELECT token, COUNT(*) AS occurrences,
+  COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)
+GROUP BY token
+ORDER BY occurrences DESC, token ASC
+LIMIT {_VOCAB_TOP}"""
+
+
 _DATACARD_SHORT = 20
 
 
@@ -1420,6 +1455,7 @@ QUERIES = {
     "corpus_mix_sample": (_q_corpus_mix, _sql_corpus_mix()),
     "corpus_split_counts": (_q_corpus_split, _sql_corpus_split()),
     "corpus_datacard": (_q_corpus_datacard, _sql_corpus_datacard()),
+    "vocab_top_tokens": (_q_vocab_top_tokens, _sql_vocab_top_tokens()),
     "token_budget_mix": (_q_token_budget_mix, _sql_token_budget_mix()),
     "neardup_resolve_survivors": (_q_neardup_resolve, _sql_neardup_resolve()),
     "neardup_resolve_quality": (_q_neardup_resolve_quality,
