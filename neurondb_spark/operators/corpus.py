@@ -513,3 +513,50 @@ def corpus_datacard(
             "exact_dup_docs", F.coalesce("exact_dup_docs", F.lit(0))
         )
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame, val_col: str, by_col: str, qs: list[float],
+) -> DataFrame:
+    """EXACT nearest-rank quantiles per group, computed scalably: a
+    value histogram (groupBy count), one cumulative-count window per
+    group, then quantile q = the smallest value whose cumulative count
+    reaches ceil(q·n). No global sort, no per-group collect — the
+    shuffle is keyed by (group, value) and the window by group, so this
+    holds at any scale where the DISTINCT-value space per group is
+    bounded (token counts, lengths, scores — exactly the distribution
+    columns a data card reports). approx_percentile trades exactness
+    for a sketch; for integer-grained columns this is exact AND as
+    cheap.
+
+    Output: one row per group with a ``p{q}`` column per requested
+    quantile (q as percent, trailing zeros trimmed: 0.25 → p25,
+    0.999 → p99_9). Nearest-rank (no interpolation), matching the
+    vector percentile semantics (§2.2)."""
+    from pyspark.sql import Window as W
+
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(
+            f"neurondb: quantiles must be in (0, 1], got {qs}"
+        )
+    hist = df.groupBy(by_col, val_col).agg(F.count(F.lit(1)).alias("_c"))
+    wcum = (
+        W.partitionBy(by_col).orderBy(val_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy(by_col)
+    enriched = hist.select(
+        by_col, val_col,
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    aggs = []
+    for q in qs:
+        name = f"p{q * 100:g}".replace(".", "_")
+        rank = F.ceil(F.lit(float(q)) * F.col("_n").cast("double"))
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum") >= rank, F.col(val_col))
+            ).alias(name)
+        )
+    return enriched.groupBy(by_col).agg(*aggs)

@@ -379,6 +379,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM labeled"""
 
 
+_QUANTILES = [0.25, 0.5, 0.9, 0.99]
+
+
+def _q_token_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language token-length quantiles via the histogram +
+    cumulative-rank operator (operators/corpus.py exact_group_quantiles)
+    — no global sort, no per-group collect, no sketch: the 100 TB way
+    to put exact percentiles on a data card. Nearest-rank semantics."""
+    from neurondb_spark.operators.corpus import exact_group_quantiles
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang", token_count("text").cast("long").alias("tok")
+    )
+    return exact_group_quantiles(docs, "tok", "lang", _QUANTILES)
+
+
+def _sql_token_length_quantiles() -> str:
+    toks = sql_tokenize("text")
+    cols = []
+    for q in _QUANTILES:
+        name = f"p{q * 100:g}".replace(".", "_")
+        cols.append(
+            f"MIN(CASE WHEN cum >= CEIL({O.dlit(float(q))} * "
+            f"CAST(n AS DOUBLE)) THEN v END) AS {name}"
+        )
+    return f"""WITH hist AS (
+  SELECT lang, CAST(len({toks}) AS BIGINT) AS v, COUNT(*) AS c
+  FROM documents GROUP BY lang, v),
+enr AS (
+  SELECT lang, v,
+    SUM(c) OVER (PARTITION BY lang ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist)
+SELECT lang, {', '.join(cols)}
+FROM enr GROUP BY lang"""
+
+
 _VOCAB_TOP = 200
 
 
@@ -1456,6 +1494,8 @@ QUERIES = {
     "corpus_split_counts": (_q_corpus_split, _sql_corpus_split()),
     "corpus_datacard": (_q_corpus_datacard, _sql_corpus_datacard()),
     "vocab_top_tokens": (_q_vocab_top_tokens, _sql_vocab_top_tokens()),
+    "token_length_quantiles": (_q_token_length_quantiles,
+                               _sql_token_length_quantiles()),
     "token_budget_mix": (_q_token_budget_mix, _sql_token_budget_mix()),
     "neardup_resolve_survivors": (_q_neardup_resolve, _sql_neardup_resolve()),
     "neardup_resolve_quality": (_q_neardup_resolve_quality,

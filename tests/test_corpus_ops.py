@@ -297,3 +297,30 @@ def test_split_corpus_disjoint_stable_and_weighted(spark):
     assert a == b
     with pytest.raises(ValueError, match="sum to 1"):
         split_corpus(docs, "doc_id", {"a": 0.5}, seed=1)
+
+
+def test_exact_group_quantiles_matches_sorted_definition(spark):
+    """The histogram + cumulative-rank quantiles must equal the naive
+    sorted nearest-rank definition (value at index ceil(q*n) in the
+    1-indexed sorted list) for every group and q."""
+    import math
+
+    from neurondb_spark.operators.corpus import exact_group_quantiles
+
+    rows = [("a", v) for v in [5, 1, 9, 1, 7, 3, 3, 3]] + [
+        ("b", v) for v in [10, 20]] + [("c", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {r["g"]: r.asDict() for r in
+           exact_group_quantiles(df, "v", "g", qs).collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        for q in qs:
+            name = f"p{q * 100:g}".replace(".", "_")
+            want = vals[math.ceil(q * len(vals)) - 1]
+            assert got[g][name] == want, (g, q, got[g])
+    with pytest.raises(ValueError, match="quantiles"):
+        exact_group_quantiles(df, "v", "g", [0.0])
