@@ -560,3 +560,66 @@ def exact_group_quantiles(
             ).alias(name)
         )
     return enriched.groupBy(by_col).agg(*aggs)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    tau: float,
+    total: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual/multi-domain
+    rebalancing knob (mT5/XLM-R style; the measured-domain-weights idea
+    behind DoReMi): target share of stratum s is p_s^tau / Σ_t p_t^tau
+    where p_s is its corpus share. tau=1 keeps natural proportions,
+    tau→0 approaches uniform — low-resource strata are upsampled toward
+    ``total`` expected rows without an explicit per-stratum target list
+    (contrast :func:`stratified_mix`, which takes one). Selection is the
+    same md5-uniform hash filter, so the sample is replayable.
+
+    Determinism: stratum shares, tau-powers and the normalizing sum are
+    computed driver-side over the (bounded, ≤ #strata) count table in
+    SORTED stratum order — the oracle replays the identical left-assoc
+    float fold. tau=0.5 routes through sqrt (correctly rounded in IEEE,
+    so bit-equal across engines); other taus use pow, whose last-ulp
+    behavior is libm-specific (fine for production, not for a
+    value-hash gate).
+
+    Scale: one count aggregate (combiner-heavy, #strata rows to the
+    driver — same contract as the KMeans centroid table), a broadcast
+    rate join, then a pure-map filter."""
+    import math
+
+    if tau <= 0.0:
+        raise ValueError(f"neurondb: temperature tau must be > 0, got {tau}")
+    spark = df.sparkSession
+    counts = {
+        r[strata_col]: int(r["_n"])
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    n_total = float(sum(counts.values()))
+    if not counts:
+        return df.where(F.lit(False)).withColumn("_rate", F.lit(0.0)).drop("_rate")
+    weights = {}
+    for s in sorted(counts):
+        p = counts[s] / n_total
+        weights[s] = math.sqrt(p) if tau == 0.5 else math.pow(p, tau)
+    denom = 0.0
+    for s in sorted(weights):  # fixed fold order — oracle replays it
+        denom = denom + weights[s]
+    rows = []
+    for s in sorted(counts):
+        share = weights[s] / denom
+        rate = min(1.0, (share * float(total)) / float(counts[s]))
+        rows.append((s, rate))
+    rates = spark.createDataFrame(
+        rows, schema=f"{strata_col} string, _rate double"
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col, "inner")
+        .where(hash_uniform(id_col, seed) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -417,6 +417,45 @@ SELECT lang, {', '.join(cols)}
 FROM enr GROUP BY lang"""
 
 
+_TEMP_TAU, _TEMP_TOTAL, _TEMP_SEED = 0.5, 400, 11
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sample (operators/corpus.py
+    temperature_mix, tau=0.5): low-resource languages upsampled toward
+    p^tau-proportional shares — the mT5/XLM-R rebalancing knob. tau=0.5
+    routes through IEEE-exact sqrt and the normalizing sum is an
+    ordered fold, so membership is hash-exact against the oracle."""
+    from neurondb_spark.operators.corpus import temperature_mix
+
+    docs = t(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "lang", "doc_id", _TEMP_TAU, _TEMP_TOTAL, seed=_TEMP_SEED
+    ).select("doc_id", "lang")
+
+
+def _sql_temperature_mix() -> str:
+    u = (
+        f"(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || "
+        f"'#{_TEMP_SEED}'), 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+    )
+    return f"""WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM counts),
+w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE) / nt) AS w
+      FROM counts CROSS JOIN tot),
+den AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS dn
+        FROM w),
+rates AS (
+  SELECT lang,
+         least(1.0, ((w / dn) * {O.dlit(float(_TEMP_TOTAL))})
+               / CAST(n AS DOUBLE)) AS rate
+  FROM w CROSS JOIN den)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {u} < r.rate"""
+
+
 _VOCAB_TOP = 200
 
 
@@ -1491,6 +1530,7 @@ QUERIES = {
     "repetition_quality_filters": (_q_repetition_filters,
                                    _sql_repetition_filters()),
     "corpus_mix_sample": (_q_corpus_mix, _sql_corpus_mix()),
+    "temperature_mix_sample": (_q_temperature_mix, _sql_temperature_mix()),
     "corpus_split_counts": (_q_corpus_split, _sql_corpus_split()),
     "corpus_datacard": (_q_corpus_datacard, _sql_corpus_datacard()),
     "vocab_top_tokens": (_q_vocab_top_tokens, _sql_vocab_top_tokens()),

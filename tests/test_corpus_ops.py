@@ -324,3 +324,27 @@ def test_exact_group_quantiles_matches_sorted_definition(spark):
             assert got[g][name] == want, (g, q, got[g])
     with pytest.raises(ValueError, match="quantiles"):
         exact_group_quantiles(df, "v", "g", [0.0])
+
+
+def test_temperature_mix_upsamples_low_resource(spark):
+    """tau<1 must push shares toward uniform: the rarest stratum's share
+    of the sample exceeds its corpus share; tau=1 keeps ~natural
+    proportions; rates are deterministic (re-run equality)."""
+    from neurondb_spark.operators.corpus import temperature_mix
+
+    rows = [("big", i) for i in range(900)] + [("small", i + 1000)
+                                               for i in range(100)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = temperature_mix(df, "lang", "doc_id", 0.5, 500, seed=3)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = sum(counts.values())
+    # corpus share of 'small' is 0.1; sqrt-temperature target is
+    # sqrt(.1)/(sqrt(.9)+sqrt(.1)) ≈ 0.25
+    assert counts["small"] / tot > 0.15
+    again = {r["doc_id"] for r in
+             temperature_mix(df, "lang", "doc_id", 0.5, 500, seed=3)
+             .select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in out.select("doc_id").collect()}
+    with pytest.raises(ValueError, match="tau"):
+        temperature_mix(df, "lang", "doc_id", 0.0, 500)
