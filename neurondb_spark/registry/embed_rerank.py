@@ -65,6 +65,64 @@ SELECT top.vec_id, d.lang, d.source, top.distance
 FROM top JOIN documents d ON top.vec_id = d.doc_id"""
 
 
+def _q_rag_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingest + retrieve in ONE plan (round 11): chunk
+    the documents (120 chars, 20 overlap — the chunk_documents gate
+    shape), hash-embed every chunk to 16-d, cosine top-10 against the
+    embedded query, return (doc_id, chunk_idx, distance). This is the
+    composition a RAG system actually runs at ingest+query time; each
+    stage is individually gated (chunk_documents / hash_embed /
+    rag_query) and this row proves they COMPOSE exactly. The whole
+    chain is Column expressions — chunking, embedding and distance all
+    inside one whole-stage-codegen'd scan + TakeOrdered; nothing
+    materializes between stages. ASCII-safe id range (doc_id ≤ 50, the
+    bound the hash-embed oracle covers)."""
+    from neurondb_spark.functions.embed import hash_embed_expr
+    from neurondb_spark.functions.text import chunk_text
+    from neurondb_spark.operators.knn import knn
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    ch = chunk_text("text", 120, 20)
+    chunks = docs.select(
+        "doc_id", F.posexplode(ch).alias("chunk_idx0", "chunk")
+    ).select(
+        "doc_id",
+        (F.col("chunk_idx0") + 1).cast("int").alias("chunk_idx"),
+        hash_embed_expr("chunk", 16).alias("cemb"),
+    )
+    qv = hash_embed_py(RERANK_QUERY, 16)
+    top = knn(
+        chunks, "cemb", qv, k=10, metric="cosine", dim=16,
+        tiebreak=["doc_id", "chunk_idx"],
+    )
+    return top.select("doc_id", "chunk_idx", "distance")
+
+
+def _sql_rag_ingest_e2e() -> str:
+    qv = hash_embed_py(RERANK_QUERY, 16)
+    qlit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    ecols = sql_hash_embed_cols("chunk", 16)
+    arr = "[" + ", ".join(ecols) + "]"
+    d = O.sql_cosine_distance("c.cemb", "q.qe", 16)
+    return f"""WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 100)) AS s
+  FROM documents WHERE doc_id <= 50),
+chunks AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+              AS INTEGER) AS chunk_idx,
+         substr(text, s, 120) AS chunk
+  FROM starts),
+cemb AS (
+  SELECT doc_id, chunk_idx, {arr}::DOUBLE[] AS cemb FROM chunks),
+q AS (SELECT {qlit}::DOUBLE[] AS qe)
+SELECT c.doc_id, c.chunk_idx, {d} AS distance
+FROM cemb c CROSS JOIN q
+ORDER BY distance ASC, c.doc_id ASC, c.chunk_idx ASC
+LIMIT 10"""
+
+
 def _q_rerank_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return rerank_cross_encoder(
@@ -251,6 +309,7 @@ QUERIES = {
     "embed_cached": (_q_embed_cached, _sql_embed_cached()),
     "hash_embed": (_q_hash_embed, _sql_hash_embed()),
     "rag_query": (_q_rag_query, _sql_rag_query()),
+    "rag_ingest_e2e": (_q_rag_ingest_e2e, _sql_rag_ingest_e2e()),
     "rerank_lexical": (_q_rerank_lexical, _sql_rerank_lexical()),
     "ltr_rerank": (_q_ltr, _sql_ltr()),
     "sparse_search_tf": (_q_sparse_search, _sql_sparse_search()),
