@@ -686,7 +686,67 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
 FROM rows GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+_MRL_DIM, _MRL_K, _MRL_NQ = 16, 10, 8
+
+
+def _q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation: top-k agreement between
+    full-dim cosine ranking and the ranking over the FIRST 16 dims —
+    the measurement that decides whether truncated embeddings are good
+    enough for a cheap first-stage retrieve. Truncation costs nothing:
+    the unrolled distance kernel with dim=16 simply reads elements
+    1..16 of the same array (no slice, no copy — at 100 TB the scan
+    reads the same column either way; a column-pruned layout would
+    store prefixes separately). Exact on both sides, so the overlap
+    counts sit under the hash gate."""
+    from neurondb_spark.operators.knn import knn_batch
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    full = knn_batch(
+        emb, "embedding", queries, k=_MRL_K, metric="cosine",
+        dim=COMPILE_DIM, tiebreak=["vec_id"],
+    ).select("qid", "vec_id")
+    trunc = knn_batch(
+        emb, "embedding", queries, k=_MRL_K, metric="cosine",
+        dim=_MRL_DIM, tiebreak=["vec_id"],
+    ).select("qid", "vec_id")
+    return (
+        full.join(trunc, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("overlap_at_k"))
+    )
+
+
+def _sql_matryoshka_overlap() -> str:
+    df_full = O.sql_cosine_distance("e.embedding", "q.qvec", EMB_DIM)
+    df_tr = O.sql_cosine_distance("e.embedding", "q.qvec", _MRL_DIM)
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {_MRL_NQ}),
+fullr AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {df_full} ASC, e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN q)
+  WHERE rn <= {_MRL_K}),
+trunc AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {df_tr} ASC, e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN q)
+  WHERE rn <= {_MRL_K})
+SELECT f.qid, COUNT(*) AS overlap_at_k
+FROM fullr f JOIN trunc t ON f.qid = t.qid AND f.vec_id = t.vec_id
+GROUP BY f.qid"""
+
+
 QUERIES = {
+    "matryoshka_overlap": (_q_matryoshka_overlap, _sql_matryoshka_overlap()),
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),
     "ann_batch_topk": (_q_ann_batch_topk, _sql_ann_batch_topk()),
