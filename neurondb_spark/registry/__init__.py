@@ -224,27 +224,54 @@ CHECKED_BY_ROUND[10] = frozenset({
     "vector_cross_product3",
 })
 
+# the 50 rows in CORRECTNESS_r11.json — 47 hash-green + 3 rows-only by
+# design (lsh_recall_clustered IS the recall measurement with its 0.8
+# raise-floor; gmm_cluster_sizes/als_recommend_topk are the seed-unstable
+# MLlib production twins whose exact fixed-iteration counterparts
+# gmm_fixed_em/als_fixed_alternations ARE hash-gated). All five round-11
+# FORCE_RECHECK entries re-verified green and were pruned.
+CHECKED_BY_ROUND[11] = frozenset({
+    "als_recommend_topk", "benchmark_decontaminate", "bm25_topk",
+    "chunk_documents", "compact_roundtrip", "corpus_datacard",
+    "corpus_mix_sample", "corpus_split_counts", "embedding_neardup_pairs",
+    "fingerprint_dedup", "fp16_roundtrip_err", "gmm_cluster_sizes",
+    "halfvec_knn", "hnsw_insert_delete_knn", "ivf_knn_full_probe",
+    "ivf_knn_probe", "lang_detect_counts", "lsh_recall_clustered",
+    "matryoshka_overlap", "media_meta_stats", "minhash_signatures",
+    "neardup_resolve_quality", "neardup_resolve_survivors",
+    "ngram_jaccard_pairs", "pack_sequences_spans", "pack_sequences_stats",
+    "pca_top_component", "pii_redaction_stats", "rag_ingest_e2e",
+    "rls_quota_usage", "rrf_fusion", "simhash_neardup_pairs",
+    "simhash_signatures", "stream_ivf_cdc_knn", "stream_pack_spans",
+    "temperature_mix_sample", "tenant_knn_search", "text_stats",
+    "tier_cold_report", "token_length_quantiles",
+    "tpch_q2_lite_min_price", "tpch_q9_lite_nation_profit",
+    "tpch_q11_lite_important_parts", "tpch_q16_lite_supplier_counts",
+    "tpch_q20_lite_hot_parts", "tpch_q21_lite_waiting_orders",
+    "trigram_lm_quality", "vec_join_threshold", "video_frame_pixels",
+    "vocab_top_tokens",
+})
+
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # (All five round-10 entries got their hash-green re-check in
-    # CORRECTNESS_r10.json and were pruned. Add a query here whenever its
-    # implementation — or an index/stream path it consumes — is rewritten
-    # after its latest driver check.)
+    # (All five round-11 entries — the CDC-cadence/probe-rounding/HNSW
+    # empty-batch/corpus-cache rewrites plus the neardup_resolve
+    # restructure — got their green re-check in CORRECTNESS_r11.json and
+    # were pruned. Add a query here whenever its implementation — or an
+    # index/stream path it consumes — is rewritten after its latest
+    # driver check.)
     #
-    # Round-11 rewrites: the CDC drain's compaction cadence moved to an
-    # in-process commit counter (+ drain-start recover + journal
-    # retention); the fixed-point probe rounding switched from
-    # Decimal(repr(x)) to the exact Decimal(x) (repr-independent, same
-    # values by the boundary argument in _probe_clusters_fixed); HNSW
-    # insert gained the empty-batch early return; the planted-cluster
-    # corpus cache dir is now keyed by seed/noise/cap too (fresh build).
-    "stream_ivf_cdc_knn", "ivf_knn_probe", "hnsw_insert_delete_knn",
-    "lsh_recall_clustered",
-    # Round-11: neardup_resolve was restructured for the rank_col
-    # survivor policy — re-verify the r7-vintage min-id consumer too.
-    "neardup_resolve_survivors",
+    # Round-12 rewrites: pack_sequences gained salted sub-shard packing
+    # with offset stitching for skewed shards (default path unchanged but
+    # the fold was refactored); the streaming packing fold now concats
+    # all Arrow chunks per group before sorting (ADVICE r11 medium);
+    # temperature_mix now preserves the strata column's real DataType and
+    # raises on NULL strata; exact_group_quantiles validates generated
+    # p-column names for collisions.
+    "pack_sequences_spans", "pack_sequences_stats", "stream_pack_spans",
+    "temperature_mix_sample", "token_length_quantiles",
 })
 
 
