@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from neurondb_spark.functions.aggregates import davg
 from neurondb_spark.operators.dedup import _md5_long
@@ -539,6 +540,17 @@ def exact_group_quantiles(
         raise ValueError(
             f"neurondb: quantiles must be in (0, 1], got {qs}"
         )
+    # The %g rendering keeps 6 significant digits — two distinct qs that
+    # render identically (or literal duplicates) would alias two agg
+    # columns to the same name and yield an ambiguous frame with no error
+    # at call time. Refuse at the API boundary instead.
+    names = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"neurondb: quantile list {qs} produces colliding column "
+            f"names {dupes} — deduplicate or space the requested quantiles"
+        )
     hist = df.groupBy(by_col, val_col).agg(F.count(F.lit(1)).alias("_c"))
     wcum = (
         W.partitionBy(by_col).orderBy(val_col)
@@ -551,8 +563,7 @@ def exact_group_quantiles(
         F.sum("_c").over(wall).alias("_n"),
     )
     aggs = []
-    for q in qs:
-        name = f"p{q * 100:g}".replace(".", "_")
+    for q, name in zip(qs, names):
         rank = F.ceil(F.lit(float(q)) * F.col("_n").cast("double"))
         aggs.append(
             F.min(
@@ -595,11 +606,17 @@ def temperature_mix(
     if tau <= 0.0:
         raise ValueError(f"neurondb: temperature tau must be > 0, got {tau}")
     spark = df.sparkSession
-    counts = {
-        r[strata_col]: int(r["_n"])
-        for r in df.groupBy(strata_col)
-        .agg(F.count(F.lit(1)).alias("_n")).collect()
-    }
+    count_rows = (
+        df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    # NULL strata have no defined corpus share (p^tau of what?) and would
+    # otherwise vanish silently in the inner rate join — refuse loudly.
+    if any(r[strata_col] is None for r in count_rows):
+        raise ValueError(
+            f"neurondb: temperature_mix strata column {strata_col!r} "
+            "contains NULLs — filter or impute them first"
+        )
+    counts = {r[strata_col]: int(r["_n"]) for r in count_rows}
     if not counts:
         return df.where(F.lit(False))
     n_total = float(sum(counts.values()))
@@ -615,8 +632,15 @@ def temperature_mix(
         share = weights[s] / denom
         rate = min(1.0, (share * float(total)) / float(counts[s]))
         rows.append((s, rate))
+    # Keep the strata column's REAL DataType (an int domain id must not
+    # come back as string — it would mis-join or error).
+    strata_type = df.schema[strata_col].dataType
     rates = spark.createDataFrame(
-        rows, schema=f"{strata_col} string, _rate double"
+        rows,
+        schema=T.StructType([
+            T.StructField(strata_col, strata_type),
+            T.StructField("_rate", T.DoubleType()),
+        ]),
     )
     return (
         df.join(F.broadcast(rates), strata_col, "inner")

@@ -277,6 +277,14 @@ def index_cdc_drain(
     from neurondb_spark.data_management import recover
 
     recover(os.path.join(index.path, "data"))
+    # Retention must not REQUIRE compaction to be enabled: with
+    # compact_every=0 (the default) the in-batch hook below never fires,
+    # and a long-lived drain would accumulate batch markers without
+    # bound (r11 ADVICE #3). One listdir at drain start keeps every
+    # drain's journal bounded independently of the compaction knob;
+    # replay safety is unchanged (the checkpoint, not the journal, is
+    # what gates re-delivery — see prune_ingest_journal).
+    prune_ingest_journal(index.path, keep_last=journal_keep)
 
     def _apply(bdf: DataFrame, bid: int) -> None:
         nonlocal committed_n

@@ -49,8 +49,18 @@ def _pack_fold(seq_len: int):
             "shard": [], "bin_id": [], "id": [], "doc_offset": [],
             "bin_offset": [], "take_tokens": [],
         }
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id", kind="mergesort")
+        # Accumulate ALL Arrow chunks of the group before sorting: the
+        # iterator yields multiple pdfs per group (split at
+        # arrow.maxRecordsPerBatch, arriving in arbitrary shuffle-read
+        # order), so a per-chunk sort would fold a multi-chunk shard out
+        # of id order — silently diverging from the batch layout. The
+        # group is one shard of one micro-batch, so this concat is the
+        # same memory the per-chunk path already held transitively.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "id", kind="mergesort"
+            )
             for doc_id, n in zip(pdf["id"], pdf["n"]):
                 n = int(n)
                 if n <= 0:

@@ -396,3 +396,67 @@ def test_quantiles_and_packing_properties(spark):
             per_doc[(r["shard"], r["id"])] = per_doc.get(
                 (r["shard"], r["id"]), 0) + r["take_tokens"]
         assert per_doc == {(s, i): n for s, i, n in docs if n > 0}
+
+
+def test_temperature_mix_preserves_strata_dtype_and_rejects_null(spark):
+    """r11 ADVICE: the rates frame must use the strata column's REAL
+    DataType (an int domain id used to be built as string → mis-join),
+    and NULL strata must raise instead of silently vanishing in the
+    inner rate join."""
+    from neurondb_spark.operators.corpus import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(400)], "domain int, doc_id long"
+    )
+    out = temperature_mix(df, "domain", "doc_id", 0.5, 200, seed=1)
+    assert dict(out.dtypes)["domain"] == "int"
+    got = out.groupBy("domain").count().collect()
+    assert len(got) == 4  # every int stratum joined and sampled
+
+    with_null = df.union(
+        spark.createDataFrame([(None, 9999)], "domain int, doc_id long")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_mix(with_null, "domain", "doc_id", 0.5, 200)
+
+
+def test_temperature_mix_tau_monotonicity(spark):
+    """τ<1 must shift sampled shares toward uniform: the low-resource
+    stratum's share of the τ=0.3 sample exceeds its share of the τ=1
+    sample, which itself tracks the natural corpus share (verdict r11
+    #8 — covers the pow() branch the hash gate pins out at τ=0.5)."""
+    from neurondb_spark.operators.corpus import temperature_mix
+
+    rows = [("big", i) for i in range(1800)] + [
+        ("small", 10_000 + i) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+
+    def small_share(tau):
+        got = temperature_mix(df, "lang", "doc_id", tau, 600, seed=5)
+        counts = {r["lang"]: r["count"]
+                  for r in got.groupBy("lang").count().collect()}
+        tot = sum(counts.values())
+        return counts.get("small", 0) / tot
+
+    s_nat, s_t3 = small_share(1.0), small_share(0.3)
+    # natural share is 0.1; τ=0.3 target is p^0.3-normalized ≈ 0.33
+    assert s_nat < 0.2
+    assert s_t3 > s_nat + 0.1
+
+
+def test_exact_group_quantiles_rejects_colliding_names(spark):
+    """r11 ADVICE: two qs that render to the same p-column name (or
+    literal duplicates) must raise at the API boundary, not produce an
+    ambiguous frame."""
+    from neurondb_spark.operators.corpus import exact_group_quantiles
+
+    df = spark.createDataFrame([("g", 1), ("g", 2)], "g string, v long")
+    with pytest.raises(ValueError, match="colliding"):
+        exact_group_quantiles(df, "v", "g", [0.5, 0.5])
+    with pytest.raises(ValueError, match="colliding"):
+        # distinct qs, identical 6-sig-digit %g rendering
+        exact_group_quantiles(df, "v", "g", [0.123456, 0.1234561])
+    # sanity: a clean list still works
+    ok = exact_group_quantiles(df, "v", "g", [0.5, 1.0]).collect()
+    assert ok[0]["p50"] == 1 and ok[0]["p100"] == 2

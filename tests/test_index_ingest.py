@@ -443,9 +443,9 @@ def test_cdc_cadence_constant_metadata_and_bounded_journal(
     journal per batch (O(#all-ever-committed) metadata per batch), and
     the journal itself must stay bounded under retention. Asserted the
     strong way: _committed_batches is monkeypatched to raise, so ANY
-    per-batch listing sinks the drain; prune runs once per compaction
-    (3×), not per batch (6×); journal_keep=2 leaves exactly 2 markers
-    after 6 committed batches."""
+    per-batch listing sinks the drain; prune runs once at drain start
+    plus once per compaction (1+3), not per batch (6×); journal_keep=2
+    leaves exactly 2 markers after 6 committed batches."""
     spark, emb, td, _src = cdc_env
     from neurondb_spark.streaming import index_ingest as mod
 
@@ -492,8 +492,9 @@ def test_cdc_cadence_constant_metadata_and_bounded_journal(
     finally:
         spark.conf.unset("spark.neurondb.ingest.journal_keep")
     monkeypatch.undo()
-    # 6 committed batches, compact_every=2 -> exactly 3 compaction+prune
-    assert prunes == [2, 2, 2]
+    # one drain-start prune (r11 ADVICE #3) + 6 committed batches at
+    # compact_every=2 -> exactly 3 compaction prunes
+    assert prunes == [2, 2, 2, 2]
     from neurondb_spark.streaming.index_ingest import _committed_batches
 
     # newest 2 checkpoint-batch markers kept + the pruning-exempt
@@ -549,5 +550,50 @@ def test_drain_retry_recovers_crashed_compaction(cdc_env):
         for r in IVFIndex.load(idx.path).search(
             spark, q, k=10, nprobe=4, tiebreak=["vec_id"]
         ).collect()
+    ]
+    assert got == _brute_ids(spark, emb, q)
+
+
+def test_journal_retention_without_compaction(cdc_env):
+    """r11 ADVICE #3: with compact_every=0 (the default) retention must
+    still run — at drain start — so a long-lived drain's journal stays
+    bounded without requiring auto-compaction to be enabled. Two drains:
+    the first commits 6 batches (no compaction, 6 markers accumulate);
+    the second starts and prunes down to journal_keep."""
+    spark, emb, td, _src = cdc_env
+    from neurondb_spark.streaming.index_ingest import _committed_batches
+
+    src = os.path.join(td, "ops_ret")
+    _write_ops(emb, src, dead_mod=37)
+    spark.read.schema(_ops_schema(emb)).parquet(src).repartition(
+        6
+    ).write.mode("overwrite").parquet(src + "6")
+    idx = IVFIndex.build(
+        emb.where(F.col("vec_id") % 2 == 0), "embedding",
+        os.path.join(td, "ivf_ret"), nlists=4, metric="l2", dim=DIM,
+    )
+    spark.conf.set("spark.neurondb.ingest.journal_keep", "2")
+    try:
+        index_cdc_drain(
+            spark, src + "6", _ops_schema(emb), idx,
+            os.path.join(td, "work_ret"),
+            compact_every=0, max_files_per_trigger=1,
+        )
+        assert _committed_batches(idx.path) == 6  # no in-drain prune
+        # second drain over the same checkpoint: no new data, but the
+        # drain-start prune bounds the journal
+        index_cdc_drain(
+            spark, src + "6", _ops_schema(emb), idx,
+            os.path.join(td, "work_ret"),
+            compact_every=0, max_files_per_trigger=1,
+        )
+        assert _committed_batches(idx.path) == 2
+    finally:
+        spark.conf.unset("spark.neurondb.ingest.journal_keep")
+    q = _query(spark)
+    got = [
+        r["vec_id"]
+        for r in idx.search(spark, q, k=10, nprobe=4,
+                            tiebreak=["vec_id"]).collect()
     ]
     assert got == _brute_ids(spark, emb, q)

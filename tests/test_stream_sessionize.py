@@ -159,3 +159,57 @@ def test_stream_pack_carries_offset_across_batches(spark):
     assert sorted(tuple(r) for r in got) == sorted(
         tuple(r[f] for f in cols) for r in want
     )
+
+
+def test_stream_pack_sorts_across_arrow_chunks(spark):
+    """r11 ADVICE (medium): the stateful fold must sort the WHOLE
+    micro-batch group, not each Arrow chunk independently. Force
+    multi-chunk groups (tiny arrow.maxRecordsPerBatch) and land the
+    shard's rows across several files in DESCENDING id order so the
+    shuffle-read chunk order cannot accidentally be id order — the
+    emitted layout must still equal batch pack_sequences."""
+    import os
+    import tempfile
+
+    from neurondb_spark.operators.corpus import pack_sequences
+    from neurondb_spark.streaming.packing import pack_stream
+
+    td = tempfile.mkdtemp(prefix="pack_chunks_")
+    src = os.path.join(td, "src")
+    ckpt = os.path.join(td, "ckpt")
+    os.makedirs(src)
+    L = 50
+    docs = spark.createDataFrame(
+        [("s0", d, 5 + (d * 13) % 40) for d in range(120)],
+        "shard string, id long, n long",
+    )
+    # Three files, each a descending-id slice, all in ONE micro-batch.
+    for i, (lo, hi) in enumerate([(80, 120), (40, 80), (0, 40)]):
+        (docs.where((F.col("id") >= lo) & (F.col("id") < hi))
+         .orderBy(F.col("id").desc()).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        rows = []
+        sdf = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            pack_stream(sdf, L).writeStream
+            .foreachBatch(lambda bdf, _bid: rows.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+
+    want = pack_sequences(docs, F.col("n"), "shard", "id", L).collect()
+    cols = ("shard", "bin_id", "id", "doc_offset", "bin_offset",
+            "take_tokens")
+    assert sorted(tuple(r) for r in rows) == sorted(
+        tuple(r[f] for f in cols) for r in want
+    )
