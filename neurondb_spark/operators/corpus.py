@@ -465,6 +465,44 @@ def split_corpus(
     return df.withColumn("split", expr)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    shard_col: str,
+    epoch: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic epoch shuffle — the loader-side order that completes
+    the packing story: within each shard, rows are ordered by
+    md5(id, epoch, seed) (ties by id), giving every epoch a different
+    but REPLAYABLE permutation. A re-run, a backfill, or a resumed
+    training job recomputes the identical order with no stored
+    permutation table (``orderBy(rand())`` keeps none of that); epochs
+    differ because the epoch number is folded into the hash key.
+
+    Returns the input's (shard, id) plus ``epoch`` and ``position``
+    (1-based rank within the shard for that epoch).
+
+    Scale: one per-shard window — the same shuffle pack_sequences
+    already pays, and shards map to data-parallel loader workers, so no
+    global sort exists anywhere."""
+    from pyspark.sql import Window as W
+
+    key = _md5_long(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(f"#e{int(epoch)}#{int(seed)}"),
+        )
+    )
+    w = W.partitionBy(shard_col).orderBy(key.asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("id"),
+        F.lit(int(epoch)).cast("int").alias("epoch"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
 def corpus_datacard(
     df: DataFrame, text_col: str, id_col: str, lang_col: str,
     source_col: str, short_tokens: int = 20,

@@ -299,6 +299,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         search,
         text_pipeline,
         timeseries_rel,
+        tokenizer_queries,
         vector_ops_queries,
     )
 
@@ -307,7 +308,7 @@ def collect() -> dict[str, tuple[QueryFn, str | None]]:
         core, search, text_pipeline, events, index_queries, ml_queries,
         embed_rerank, quant_graph, timeseries_rel, vector_ops_queries,
         metrics_extra, misc_queries, composite_queries, quality_queries,
-        ops_queries,
+        ops_queries, tokenizer_queries,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:
