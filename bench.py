@@ -196,15 +196,25 @@ def main() -> None:
     for name in suspects[:20]:  # bound the retry pass
         gc.collect()
         q = registry[name]
-        best = timings[name]
+        samples = []
         for _ in range(2):
             t0 = time.perf_counter()
             q(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        retried[name] = [timings[name], round(best, 4)]
+            samples.append(time.perf_counter() - t0)
+        best = min([timings[name], *samples])
+        # Record the retry-pass MEDIAN next to the min (r11 verdict #1):
+        # the recorded number ratchets toward best-case over rounds (min
+        # over all samples, retries only ever lower it), so the median
+        # keeps true-latency drift visible in BENCH_SELF even though the
+        # headline stays the min.
+        samples.sort()
+        med = (samples[len(samples) // 2] if len(samples) % 2
+               else (samples[len(samples) // 2 - 1]
+                     + samples[len(samples) // 2]) / 2)
+        retried[name] = [timings[name], round(best, 4), round(med, 4)]
         timings[name] = round(best, 4)
-        print(f"# retry {name}: {retried[name][0]}s -> {best:.3f}s",
-              file=sys.stderr)
+        print(f"# retry {name}: {retried[name][0]}s -> min {best:.3f}s "
+              f"/ median {med:.3f}s", file=sys.stderr)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)

@@ -366,7 +366,6 @@ def pack_sequences(
         F.col(token_count_col) if isinstance(token_count_col, str)
         else token_count_col
     ).cast("long")
-    L = F.lit(int(seq_len))
     # ROWS frame, not the default RANGE: RANGE gives ORDER-BY peers the
     # SAME running sum, so duplicate ids would produce overlapping
     # slices. Caller contract: ids must be unique within a shard (as
@@ -388,6 +387,13 @@ def pack_sequences(
         )
         .withColumn("_start", F.col("_end") - F.col("_n"))
     )
+    return _slice_spans(spans, seq_len)
+
+
+def _slice_spans(spans: DataFrame, seq_len: int) -> DataFrame:
+    """Shared tail of the packing operators: (shard, id, _start, _end)
+    running-sum spans → exploded (document, bin) slice rows."""
+    L = F.lit(int(seq_len))
     exploded = spans.select(
         "shard", "id", "_start", "_end",
         F.explode(
@@ -407,6 +413,94 @@ def pack_sequences(
         (lo - F.col("bin_id") * L).cast("long").alias("bin_offset"),
         (hi - lo).cast("long").alias("take_tokens"),
     )
+
+
+def pack_sequences_balanced(
+    df: DataFrame,
+    token_count_col: Column | str,
+    shard_col: str,
+    id_col: str,
+    seq_len: int,
+    num_splits: int = 64,
+) -> DataFrame:
+    """Skew-hardened :func:`pack_sequences` — bit-identical output,
+    computed as a distributed prefix sum so one pathological shard never
+    serializes into a single window task (r11 verdict #3: per-shard
+    packing is the right semantics, but with USER-supplied skewed shards
+    the per-shard window is one task).
+
+    Two-level offset stitching:
+
+    1. range-repartition (shard, id) into ``num_splits`` sampled-balanced
+       splits and materialize once (the split id must be identical in
+       both passes, and range sampling is not replay-stable) — the
+       materialized projection is the narrow (shard, id, n) triple, not
+       the corpus;
+    2. per-(split, shard) token totals → driver (bounded: ≤ #shards +
+       num_splits groups, the same contract as the #strata tables),
+       prefix-summed in split order into each group's base offset;
+    3. per-(split, shard) running-sum window + broadcast base offset —
+       every window task is ~1/num_splits of a shard, whatever the shard
+       distribution.
+
+    The layout is a pure function of (shard, id order, token counts), so
+    this equals pack_sequences row-for-row; use it when shard sizes are
+    user-controlled, the plain window when shards are hash-balanced."""
+    if seq_len < 1:
+        raise ValueError("neurondb: pack_sequences seq_len must be >= 1")
+    if num_splits < 1:
+        raise ValueError("neurondb: pack num_splits must be >= 1")
+    from pyspark.sql import Window as W
+
+    tc = (
+        F.col(token_count_col) if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("long")
+    base = (
+        df.select(
+            F.col(shard_col).alias("shard"),
+            F.col(id_col).alias("id"),
+            tc.alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .repartitionByRange(int(num_splits), "shard", "id")
+        .sortWithinPartitions("shard", "id")
+        .withColumn("_split", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        base.groupBy("_split", "shard")
+        .agg(F.sum("_n").alias("_tot"))
+        .collect()
+    )
+    # split ids ascend with the range order, so a shard's base offset is
+    # the sum of its totals over all smaller splits
+    acc: dict[str, int] = {}
+    offsets = []
+    for r in sorted(totals, key=lambda r: (r["shard"], r["_split"])):
+        offsets.append((r["shard"], r["_split"], acc.get(r["shard"], 0)))
+        acc[r["shard"]] = acc.get(r["shard"], 0) + int(r["_tot"])
+    odf = df.sparkSession.createDataFrame(
+        offsets,
+        T.StructType([
+            T.StructField("shard", base.schema["shard"].dataType),
+            T.StructField("_split", T.IntegerType()),
+            T.StructField("_base", T.LongType()),
+        ]),
+    )
+    w = (
+        W.partitionBy("_split", "shard").orderBy("id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    spans = (
+        base.join(F.broadcast(odf), ["shard", "_split"], "inner")
+        .select(
+            "shard", "id", "_n",
+            (F.sum("_n").over(w) + F.col("_base")).alias("_end"),
+        )
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+    )
+    return _slice_spans(spans, seq_len)
 
 
 def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:

@@ -460,3 +460,36 @@ def test_exact_group_quantiles_rejects_colliding_names(spark):
     # sanity: a clean list still works
     ok = exact_group_quantiles(df, "v", "g", [0.5, 1.0]).collect()
     assert ok[0]["p50"] == 1 and ok[0]["p100"] == 2
+
+
+def test_pack_sequences_balanced_equals_window_under_skew(spark):
+    """r11 verdict #3: the distributed-prefix-sum packer must emit the
+    EXACT pack_sequences layout even when one shard holds 10x the rows
+    of the others (the case where the per-shard window serializes), for
+    several num_splits including splits that slice mid-shard."""
+    from neurondb_spark.operators.corpus import (
+        pack_sequences,
+        pack_sequences_balanced,
+    )
+
+    rows = [("big", i, 3 + (i * 11) % 60) for i in range(1000)]
+    rows += [(f"s{j}", 10_000 + j * 100 + i, 5 + i % 17)
+             for j in range(4) for i in range(100)]
+    # a zero-token doc must drop in both paths
+    rows.append(("big", 5000, 0))
+    df = spark.createDataFrame(rows, "shard string, id long, n long")
+    L = 128
+    want = sorted(
+        tuple(r) for r in pack_sequences(df, F.col("n"), "shard", "id", L)
+        .collect()
+    )
+    for splits in (1, 3, 16):
+        got = sorted(
+            tuple(r) for r in pack_sequences_balanced(
+                df, F.col("n"), "shard", "id", L, num_splits=splits
+            ).collect()
+        )
+        assert got == want, f"num_splits={splits}"
+
+    with pytest.raises(ValueError, match="num_splits"):
+        pack_sequences_balanced(df, F.col("n"), "shard", "id", L, 0)
