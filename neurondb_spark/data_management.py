@@ -322,3 +322,69 @@ def rebalance(spark: SparkSession, path: str, partition_col: str, n: int) -> str
     tmp = path.rstrip("/") + ".rebalance_tmp"
     df.repartition(n, partition_col).write.mode("overwrite").parquet(tmp)
     return _swap_in(spark, path, tmp)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Relational MERGE (last-writer-wins upsert/delete) — the table-level
+    twin of the index CDC drain (streaming/index_ingest.py applies the
+    same i/d semantics to index artifacts; reference analog: WAL-replayed
+    DML, NeuronDB/src/storage/vector_wal.c, and the UPDATE/DELETE surface
+    a PG table gets for free). Delta's ``MERGE INTO`` shape without the
+    Delta dependency:
+
+    - ``changes`` rows carry ``op_col`` ∈ {'i','u','d'} (insert, upsert,
+      delete — 'i' and 'u' are both upserts: last writer wins on key
+      collision, so a replayed batch is idempotent).
+    - With ``seq_col``, the highest-sequence change per key wins (the CDC
+      ordering column); without it the change batch must have one row per
+      key and raises otherwise, because "arbitrary row wins" is a silent
+      correctness bug at any scale.
+
+    Scale: one window (or validation aggregate) over the CHANGE batch —
+    typically tiny next to the table — and one shuffle-on-key anti-join
+    of base vs change keys. No full-table rewrite logic here: writers
+    pair this with snapshot()/dml_commit for atomicity."""
+    for c in (*key_cols, op_col, *([seq_col] if seq_col else [])):
+        if c not in changes.columns:
+            raise ValueError(f"neurondb: changes is missing column {c!r}")
+    bad_ops = changes.where(~F.col(op_col).isin("i", "u", "d")).limit(1)
+    if bad_ops.count() > 0:
+        raise ValueError(
+            f"neurondb: {op_col!r} must be one of 'i'/'u'/'d'"
+        )
+    if seq_col is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        latest = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        dupes = (
+            changes.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+        )
+        if dupes.count() > 0:
+            raise ValueError(
+                "neurondb: change batch has multiple rows per key and no "
+                "seq_col to order them — pass seq_col for last-writer-wins"
+            )
+        latest = changes
+    keys = latest.select(*key_cols)
+    survivors = base.join(keys, key_cols, "left_anti")
+    upserts = (
+        latest.where(F.col(op_col) != "d")
+        .drop(op_col, *([seq_col] if seq_col else []))
+        .select(*base.columns)
+    )
+    return survivors.unionByName(upserts)

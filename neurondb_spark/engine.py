@@ -119,10 +119,18 @@ class NeuronSparkEngine:
             idx = LSHIndex.build(df, vec_col, path, dim=dim, metric=metric, **params)
         else:
             raise ValueError(f"neurondb: unknown index method {method!r}")
+        # File set the index snapshot covers — the optimize() plan rewrite
+        # only fires when a candidate scan reads exactly these files
+        # (empty for in-memory sources → the rewrite never matches them).
+        try:
+            source_files = sorted(df.inputFiles())
+        except Exception:
+            source_files = []
         self.catalog.register(
             "indexes", name,
             {"method": method, "vec_col": vec_col, "metric": metric,
-             "dim": dim, "path": path, "rows": idx.meta.get("total_rows")},
+             "dim": dim, "path": path, "rows": idx.meta.get("total_rows"),
+             "source_files": source_files},
         )
         return idx
 
@@ -245,6 +253,26 @@ class NeuronSparkEngine:
     def explain_route(self, index_name: str | None = None, n_rows: int | None = None,
                       k: int = 10, **probe_params) -> dict:
         return self._route(index_name, n_rows, k=k, probe_params=probe_params)
+
+    # ------------------------------------------------------- plan rewrite
+
+    def optimize(self, df: DataFrame) -> DataFrame:
+        """SURVEY §4 plan-level rule: rewrite ``orderBy(dist).limit(k)``
+        over an indexed scan into the ANN probe (planner.c:49-91
+        auto_route_query analog; plans/knn_rewrite.py documents the exact
+        match conditions and why this is a DataFrame-boundary call rather
+        than an injected Catalyst rule in a pure-Python package). No
+        match → the input plan unchanged."""
+        from neurondb_spark.plans import rewrite_knn
+
+        return rewrite_knn(self, df)
+
+    def explain_rewrite(self, df: DataFrame) -> dict:
+        """Decision record for :meth:`optimize` — rewrite/no-rewrite,
+        which index matched, and the routing reason."""
+        from neurondb_spark.plans import explain_knn_rewrite
+
+        return explain_knn_rewrite(self, df)
 
     def knn(
         self, df: DataFrame, vec_col: str, query, k: int = 10,

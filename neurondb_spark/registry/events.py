@@ -292,8 +292,53 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_sessions", "max_session_events")
 
 
+_ZORDER_BITS = 6  # 64×64 cells over the two clustered dimensions
+
+
+def _q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (operators/layout.py zorder_key — the OPTIMIZE
+    ZORDER BY analog): cluster events on (user_id, event_id) low bits and
+    report per-cell file-skipping stats (row count + event_id min/max —
+    exactly the parquet footer stats a z-clustered write makes tight).
+    Pure integer bit arithmetic under the hash gate; the layout pass
+    itself (zorder_layout) is a range shuffle the gate can't observe, so
+    the key — the semantic content — is what's checked."""
+    from neurondb_spark.operators.layout import zorder_key
+
+    ev = load_events(spark, sf_dir)
+    mask = (1 << _ZORDER_BITS) - 1
+    z = zorder_key(
+        [F.col("user_id").bitwiseAND(mask), F.col("event_id").bitwiseAND(mask)],
+        bits=_ZORDER_BITS,
+    )
+    return (
+        ev.select(z.alias("zcell"), "event_id")
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+def _sql_zorder_cells() -> str:
+    from neurondb_spark.operators.layout import sql_zorder_key
+
+    mask = (1 << _ZORDER_BITS) - 1
+    key = sql_zorder_key(
+        [f"(user_id & {mask})", f"(event_id & {mask})"], bits=_ZORDER_BITS
+    )
+    return f"""WITH keyed AS (
+  SELECT ({key}) AS zcell, event_id FROM events)
+SELECT zcell, COUNT(*) AS n_rows,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM keyed GROUP BY zcell"""
+
+
 QUERIES = {
     "events_hourly": (_q_events_hourly, _SQL_EVENTS_HOURLY),
+    "zorder_cells": (_q_zorder_cells, _sql_zorder_cells()),
     "stream_sessionize": (_q_stream_sessionize, _SQL_EVENTS_SESSIONIZE),
     "drift_timeseries": (_q_drift_timeseries, _sql_drift_timeseries()),
     "feature_store_pit": (_q_feature_store_pit, _SQL_FEATURE_STORE_PIT),

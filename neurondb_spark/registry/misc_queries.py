@@ -745,7 +745,56 @@ FROM fullr f JOIN trunc t ON f.qid = t.qid AND f.vec_id = t.vec_id
 GROUP BY f.qid"""
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational MERGE / last-writer-wins CDC apply
+    (data_management.apply_changes — the table-level twin of the index
+    CDC drain; Delta MERGE INTO analog): base = orders with key%5>0; a
+    change batch inserts the missing %5==0 rows, upserts %5==1 with a
+    doubled price, and deletes %5==2. Output = the merged table, so the
+    oracle checks survivor selection, upsert override AND delete removal
+    row-for-row. One anti-join on key + a union — no full-table rewrite
+    logic, scale-independent of base size."""
+    from neurondb_spark.data_management import apply_changes
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 5 > 0)
+    changes = orders.where(F.col("o_orderkey") % 5 <= 2).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("i"))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit("u"))
+        .otherwise(F.lit("d"))
+        .alias("op"),
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 1, F.col("o_totalprice") * 2.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return apply_changes(base, changes, ["o_orderkey"])
+
+
+_SQL_MERGE_UPSERT = """WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 > 0),
+changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'i'
+              WHEN o_orderkey % 5 = 1 THEN 'u' ELSE 'd' END AS op,
+         o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <= 2)
+SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+FROM base b LEFT JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE c.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM changes WHERE op <> 'd'"""
+
+
 QUERIES = {
+    "merge_upsert_rows": (_q_merge_upsert, _SQL_MERGE_UPSERT),
     "matryoshka_overlap": (_q_matryoshka_overlap, _sql_matryoshka_overlap()),
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),

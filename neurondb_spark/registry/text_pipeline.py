@@ -1504,6 +1504,72 @@ def _q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (operators/corpus.py
+    ppl_bucket_assign, Wenzek et al. 2020): one trigram LM per language
+    scores its own documents; exact nearest-rank terciles split each
+    language into head/middle/tail. Output = the bucket accounting a
+    curation run reports (doc and trigram totals per (lang, bucket)) —
+    integer-exact, so it sits under the hash gate with no float
+    rounding in the aggregate."""
+    from neurondb_spark.operators.corpus import ppl_bucket_assign
+
+    docs = tp(spark, sf_dir, "documents")
+    b = ppl_bucket_assign(docs, "text", "doc_id", "lang")
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_trigrams").alias("sum_trigrams"),
+    )
+
+
+def _sql_ppl_buckets() -> str:
+    from neurondb_spark.operators.corpus import LM_VOCAB, PPL_BUCKET_CUTS
+
+    half_v = O.dlit(0.5 * LM_VOCAB)
+    q_lo, q_hi = (O.dlit(q) for q in PPL_BUCKET_CUTS)
+    return f"""WITH norm AS (
+  SELECT doc_id, lang, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS nt
+  FROM documents),
+tris AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, greatest(length(nt) - 2, 1)),
+           i -> substr(nt, i, 3))) AS tri
+  FROM norm),
+tc AS (SELECT lang, tri, COUNT(*) AS c FROM tris GROUP BY lang, tri),
+cc AS (SELECT lang, substr(tri, 1, 2) AS ctx, SUM(c) AS n
+       FROM tc GROUP BY lang, substr(tri, 1, 2)),
+model AS (
+  SELECT tc.lang, tc.tri,
+         (CAST(c AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + {half_v}) AS p
+  FROM tc JOIN cc ON tc.lang = cc.lang AND substr(tc.tri, 1, 2) = cc.ctx),
+scored AS (
+  SELECT t.lang, t.doc_id, COUNT(*) AS n_trigrams,
+         {O.davg('m.p')} AS mean_tri_prob
+  FROM tris t JOIN model m ON t.lang = m.lang AND t.tri = m.tri
+  GROUP BY t.lang, t.doc_id),
+hist AS (SELECT lang, mean_tri_prob AS v, COUNT(*) AS c
+         FROM scored GROUP BY lang, mean_tri_prob),
+enr AS (
+  SELECT lang, v,
+         SUM(c) OVER (PARTITION BY lang ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist),
+th AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= ceil({q_lo} * CAST(n AS DOUBLE)) THEN v END) AS t_lo,
+         MIN(CASE WHEN cum >= ceil({q_hi} * CAST(n AS DOUBLE)) THEN v END) AS t_hi
+  FROM enr GROUP BY lang)
+SELECT s.lang AS lang,
+       CASE WHEN s.mean_tri_prob <= th.t_lo THEN 'tail'
+            WHEN s.mean_tri_prob <= th.t_hi THEN 'middle'
+            ELSE 'head' END AS bucket,
+       COUNT(*) AS n_docs, CAST(SUM(n_trigrams) AS BIGINT) AS sum_trigrams
+FROM scored s JOIN th ON s.lang = th.lang
+GROUP BY s.lang, bucket"""
+
+
 QUERIES = {
     "text_stats": (_q_text_stats, _sql_text_stats()),
     "pack_sequences_spans": (_q_pack_sequences, _sql_pack_sequences()),
@@ -1541,6 +1607,7 @@ QUERIES = {
     "neardup_resolve_quality": (_q_neardup_resolve_quality,
                                 _sql_neardup_resolve_quality()),
     "trigram_lm_quality": (_q_trigram_lm, _sql_trigram_lm()),
+    "ppl_bucket_counts": (_q_ppl_buckets, _sql_ppl_buckets()),
     "benchmark_decontaminate": (_q_decontaminate, _sql_decontaminate()),
     "pii_redaction_stats": (_q_pii_stats, _sql_pii_stats()),
 }

@@ -1,0 +1,130 @@
+"""orderBy(dist).limit(k) → ANN-probe plan rewrite (SURVEY §4 custom rule;
+planner.c:49-91 auto_route_query analog; plans/knn_rewrite.py)."""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def rw(spark):
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.registry.common import qvec
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="rw_cat_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eng.create_index("rw_ivf", emb, "embedding", method="ivf", nlists=8, dim=64)
+    q = qvec(spark, SF_DIR, 3)
+    yield eng, emb, q
+    eng.set_config("route.mode", "auto")
+
+
+def _candidate(emb, q, k=5, dist_col="distance"):
+    from neurondb_spark.functions.distance import distance
+    from neurondb_spark.operators.knn import _query_lit
+
+    d = distance("embedding", _query_lit(q), "l2", dim=64, checked=False)
+    return emb.withColumn(dist_col, d).orderBy(dist_col).limit(k)
+
+
+def test_rewrite_fires_on_indexed_scan(rw, spark):
+    eng, emb, q = rw
+    cand = _candidate(emb, q)
+
+    # auto mode on a small table: pattern matches but the cost model
+    # routes exact — honest, and the plan must come back unchanged
+    eng.set_config("route.mode", "auto")
+    d = eng.explain_rewrite(cand)
+    assert d["rewrite"] is False and "routed exact" in d["reason"]
+    assert eng.optimize(cand) is cand
+
+    # forced index mode: the rewrite fires and the new plan scans the
+    # index artifact, not the base table
+    eng.set_config("route.mode", "index")
+    d = eng.explain_rewrite(cand)
+    assert d["rewrite"] is True and d["index"] == "rw_ivf" and d["k"] == 5
+    out = eng.optimize(cand)
+    assert out is not cand
+    assert out.columns == cand.columns
+    assert all("rw_ivf" in f for f in out.inputFiles())
+
+    # nprobe default (10) >= nlists (8) → full probe ≡ exact results
+    exact_ids = {r["vec_id"] for r in cand.collect()}
+    probe_ids = {r["vec_id"] for r in out.collect()}
+    assert probe_ids == exact_ids
+    top = out.collect()[0]
+    assert top["vec_id"] == 3 and top["distance"] == 0.0
+
+
+def test_rewrite_direct_expression_shape(rw):
+    """orderBy(distance_expr) with no projected alias also matches; the
+    output keeps the base schema (no distance column)."""
+    from neurondb_spark.functions.distance import distance
+    from neurondb_spark.operators.knn import _query_lit
+
+    eng, emb, q = rw
+    eng.set_config("route.mode", "index")
+    d = distance("embedding", _query_lit(q), "l2", dim=64, checked=False)
+    cand = emb.orderBy(d.asc()).limit(4)
+    dec = eng.explain_rewrite(cand)
+    assert dec["rewrite"] is True and dec["alias_name"] is None
+    out = eng.optimize(cand)
+    assert out.columns == emb.columns
+    assert out.collect()[0]["vec_id"] == 3
+
+
+def test_rewrite_fallbacks(rw, spark):
+    """Every non-matching shape must come back unchanged."""
+    eng, emb, q = rw
+    eng.set_config("route.mode", "index")
+
+    # a filter between sort and scan → the probe can't answer it
+    filtered = _candidate(emb.where(F.col("label") < 5), q)
+    assert eng.optimize(filtered) is filtered
+
+    # descending order is not a kNN
+    from neurondb_spark.functions.distance import distance
+    from neurondb_spark.operators.knn import _query_lit
+
+    d = distance("embedding", _query_lit(q), "l2", dim=64, checked=False)
+    desc = emb.withColumn("distance", d).orderBy(F.col("distance").desc()).limit(5)
+    assert eng.optimize(desc) is desc
+
+    # per-row (non-literal) query vector → no literal to probe with
+    perrow = (
+        emb.withColumn("distance",
+                       distance("embedding", F.col("embedding"), "l2",
+                                dim=64, checked=False))
+        .orderBy("distance").limit(5)
+    )
+    assert eng.optimize(perrow) is perrow
+
+    # a different file set than the index snapshot → stale-index guard
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    other = docs.orderBy(F.col("doc_id").asc()).limit(5)
+    assert eng.optimize(other) is other
+
+    # sortWithinPartitions + limit is NOT top-k
+    swp = (
+        emb.withColumn("distance", d)
+        .sortWithinPartitions("distance").limit(5)
+    )
+    assert eng.optimize(swp) is swp
+
+    # wrong metric: cosine sort key can't be served by an l2 index
+    dcos = distance("embedding", _query_lit(q), "cosine", dim=64, checked=False)
+    cosq = emb.withColumn("distance", dcos).orderBy("distance").limit(5)
+    assert eng.optimize(cosq) is cosq
+
+    # route.mode=exact disables the rule entirely
+    eng.set_config("route.mode", "exact")
+    cand = _candidate(emb, q)
+    assert eng.explain_rewrite(cand)["reason"] == "route.mode=exact"
+    assert eng.optimize(cand) is cand
