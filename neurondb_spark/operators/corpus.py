@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from neurondb_spark.functions.aggregates import davg
+from neurondb_spark.functions.aggregates import davg, dsum
 from neurondb_spark.operators.dedup import _md5_long
 
 # Smoothing vocabulary: 26 letters + space over the [a-z ] normalization.
@@ -883,4 +883,39 @@ def ppl_bucket_assign(
             .otherwise(F.lit("head"))
             .alias("bucket"),
         )
+    )
+
+
+def score_weighted_sample(
+    df: DataFrame,
+    score: Column | str,
+    id_col: str,
+    target: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability
+    PROPORTIONAL to its score, scaled so the expected kept count is
+    ``target`` (per-row rate capped at 1): rate = min(1, score·target/S)
+    with S the decimal-exact corpus score sum. The middle ground between
+    a hard quality threshold (drops everything below the line) and
+    uniform sampling (ignores quality) — the "sample good documents more
+    often" recipe quality-scored curation pipelines apply.
+
+    Determinism: selection is the same md5-uniform pure row function as
+    :func:`hash_sample`, and S is an exact decimal sum, so the sample is
+    bit-replayable across retries, partitionings and engines.
+
+    Scale: ONE map-side-combined aggregate (S — a single row) broadcast
+    back onto the corpus; the filter itself is a pure map. Scores must
+    be non-negative; rows with score 0 are never kept."""
+    w = F.col(score) if isinstance(score, str) else score
+    base = df.withColumn("_w", w)
+    totals = base.agg(dsum("_w").alias("_s"))
+    return (
+        base.crossJoin(F.broadcast(totals))
+        .where(
+            hash_uniform(id_col, seed)
+            < F.least(F.lit(1.0), F.col("_w") * F.lit(float(target)) / F.col("_s"))
+        )
+        .drop("_w", "_s")
     )

@@ -1504,6 +1504,52 @@ def _q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QWS_TARGET, _QWS_SEED = 200, 7
+
+
+def _q_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (operators/corpus.py score_weighted_sample):
+    keep probability proportional to the quality score, scaled to an
+    expected kept count — the middle ground between a hard threshold and
+    uniform sampling. Selection is md5-uniform and the normalizer is a
+    decimal-exact sum, so the sample is bit-replayable. Output keeps the
+    score so the oracle checks the weighting arithmetic, not just
+    membership."""
+    from neurondb_spark.operators.corpus import score_weighted_sample
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    )
+    return score_weighted_sample(
+        docs, "quality", "doc_id", _QWS_TARGET, seed=_QWS_SEED
+    )
+
+
+def _sql_quality_weighted() -> str:
+    toks = sql_tokenize("text")
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    stop = f"CAST(len(list_filter({toks}, x -> x IN ('the','and','of','to','in','a','is'))) AS DOUBLE)"
+    uniq = f"CAST(len(list_distinct({toks})) AS DOUBLE)"
+    len_score = f"least({n_tok} / 100.0, 1.0)"
+    alpha_ratio = f"(CASE WHEN {n_chars} = 0.0 THEN 0.0 ELSE {alpha} / {n_chars} END)"
+    stop_score = f"least({stop} / greatest({n_tok} * 0.05, 1.0), 1.0)"
+    rep_score = f"(CASE WHEN {n_tok} = 0.0 THEN 0.0 ELSE {uniq} / {n_tok} END)"
+    u = (
+        f"(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+        f"'#{_QWS_SEED}'), 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+    )
+    return f"""WITH scored AS (
+  SELECT doc_id, lang,
+         (({len_score}) + ({alpha_ratio}) + ({stop_score}) + ({rep_score})) / 4.0 AS quality
+  FROM documents),
+tot AS (SELECT {O.dsum('quality')} AS s FROM scored)
+SELECT doc_id, lang, quality
+FROM scored, tot
+WHERE {u} < least(1.0, quality * {O.dlit(float(_QWS_TARGET))} / s)"""
+
+
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language quality bucketing (operators/corpus.py
     ppl_bucket_assign, Wenzek et al. 2020): one trigram LM per language
@@ -1608,6 +1654,7 @@ QUERIES = {
                                 _sql_neardup_resolve_quality()),
     "trigram_lm_quality": (_q_trigram_lm, _sql_trigram_lm()),
     "ppl_bucket_counts": (_q_ppl_buckets, _sql_ppl_buckets()),
+    "quality_weighted_sample": (_q_quality_weighted, _sql_quality_weighted()),
     "benchmark_decontaminate": (_q_decontaminate, _sql_decontaminate()),
     "pii_redaction_stats": (_q_pii_stats, _sql_pii_stats()),
 }

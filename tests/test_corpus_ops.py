@@ -493,3 +493,42 @@ def test_pack_sequences_balanced_equals_window_under_skew(spark):
 
     with pytest.raises(ValueError, match="num_splits"):
         pack_sequences_balanced(df, F.col("n"), "shard", "id", L, 0)
+
+
+def test_score_weighted_sample_proportional_and_deterministic(spark):
+    """Soft quality filtering: keep-rate tracks the score (2x score →
+    ~2x keep-rate), score 0 is never kept, the expected kept count hits
+    the target, and the sample is identical under repartitioning."""
+    from neurondb_spark.operators.corpus import score_weighted_sample
+
+    rows = [(i, 0.2 if i % 2 else 0.4) for i in range(10_000)]
+    rows += [(100_000 + i, 0.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    target = 3000
+    kept = score_weighted_sample(df, "w", "id", target).cache()
+    n_low = kept.where(F.col("w") == 0.2).count()
+    n_high = kept.where(F.col("w") == 0.4).count()
+    assert kept.where(F.col("w") == 0.0).count() == 0
+    # rates: 0.2*3000/3000=0.2 and 0.4 → expect ~1000 and ~2000 (±10%)
+    assert abs(n_low - 1000) < 100 and abs(n_high - 2000) < 150
+    assert abs((n_low + n_high) - target) < 200
+    ids_a = {r["id"] for r in kept.collect()}
+    kept.unpersist()
+    ids_b = {
+        r["id"]
+        for r in score_weighted_sample(df.repartition(17), "w", "id", target)
+        .collect()
+    }
+    assert ids_a == ids_b
+
+
+def test_score_weighted_sample_caps_rate_at_one(spark):
+    """A score big enough to push rate past 1 keeps the row always but
+    never more than once (least(1, .) cap)."""
+    from neurondb_spark.operators.corpus import score_weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 100.0)] + [(i, 0.001) for i in range(2, 200)], "id long, w double"
+    )
+    kept = score_weighted_sample(df, "w", "id", 150)
+    assert kept.where(F.col("id") == 1).count() == 1
