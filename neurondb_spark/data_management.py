@@ -330,6 +330,7 @@ def apply_changes(
     key_cols: list[str],
     op_col: str = "op",
     seq_col: str | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Relational MERGE (last-writer-wins upsert/delete) — the table-level
     twin of the index CDC drain (streaming/index_ingest.py applies the
@@ -353,11 +354,16 @@ def apply_changes(
     for c in (*key_cols, op_col, *([seq_col] if seq_col else [])):
         if c not in changes.columns:
             raise ValueError(f"neurondb: changes is missing column {c!r}")
-    bad_ops = changes.where(~F.col(op_col).isin("i", "u", "d")).limit(1)
-    if bad_ops.count() > 0:
-        raise ValueError(
-            f"neurondb: {op_col!r} must be one of 'i'/'u'/'d'"
-        )
+    # validate=False skips the two bounded validation jobs — for callers
+    # that validate the batch once and then apply per-bucket slices of it
+    # (streaming/table_merge.py), where per-slice re-checks would multiply
+    # the job count for no new information.
+    if validate:
+        bad_ops = changes.where(~F.col(op_col).isin("i", "u", "d")).limit(1)
+        if bad_ops.count() > 0:
+            raise ValueError(
+                f"neurondb: {op_col!r} must be one of 'i'/'u'/'d'"
+            )
     if seq_col is not None:
         from pyspark.sql import Window as W
 
@@ -368,17 +374,19 @@ def apply_changes(
             .drop("_rn")
         )
     else:
-        dupes = (
-            changes.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > 1)
-            .limit(1)
-        )
-        if dupes.count() > 0:
-            raise ValueError(
-                "neurondb: change batch has multiple rows per key and no "
-                "seq_col to order them — pass seq_col for last-writer-wins"
+        if validate:
+            dupes = (
+                changes.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .limit(1)
             )
+            if dupes.count() > 0:
+                raise ValueError(
+                    "neurondb: change batch has multiple rows per key and "
+                    "no seq_col to order them — pass seq_col for "
+                    "last-writer-wins"
+                )
         latest = changes
     keys = latest.select(*key_cols)
     survivors = base.join(keys, key_cols, "left_anti")

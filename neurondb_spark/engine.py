@@ -254,6 +254,39 @@ class NeuronSparkEngine:
                       k: int = 10, **probe_params) -> dict:
         return self._route(index_name, n_rows, k=k, probe_params=probe_params)
 
+    # --------------------------------------------------- learned tuning
+
+    def log_query_feedback(self, index_name: str, params: dict,
+                           recall: float, latency_s: float) -> None:
+        """Record one observed (probe params, recall, latency) for the
+        SURVEY §4 recall-aware param pick (learn_from_query analog)."""
+        from neurondb_spark.index.tuning import log_query_feedback
+
+        log_query_feedback(self.catalog, index_name, params, recall, latency_s)
+
+    def learned_params(self, index_name: str,
+                       target_recall: float = 0.9) -> dict:
+        """Cheapest logged probe params that met the recall target, or an
+        escalated suggestion when nothing has; {} without history."""
+        from neurondb_spark.index.tuning import learn_query_params
+
+        return learn_query_params(self.catalog, index_name, target_recall)
+
+    def _maybe_learned(self, index: str | None, probe_params: dict) -> dict:
+        """Fill MISSING probe params from the learned history when
+        ``tuning.auto`` is on (off by default — learned params change
+        probe selectivity, so opting in is explicit, like the
+        reference's neurondb_tuner GUCs). Caller-passed params always
+        win."""
+        if index is None or self.get_config("tuning.auto", "false") != "true":
+            return probe_params
+        learned = self.learned_params(
+            index, float(self.get_config("tuning.target_recall", "0.9"))
+        ).get("params", {})
+        out = dict(learned)
+        out.update({k: v for k, v in probe_params.items() if v is not None})
+        return out
+
     # ------------------------------------------------------- plan rewrite
 
     def optimize(self, df: DataFrame) -> DataFrame:
@@ -296,6 +329,7 @@ class NeuronSparkEngine:
         exact path (per-row queries can't use a prebuilt probe).
         """
         with self.metrics.time("knn"):
+            probe_params = self._maybe_learned(index, probe_params)
             decision = self._route(index, None, k=k, probe_params=probe_params)
             if decision["route"] in ("ivf", "lsh", "hnsw"):
                 from pyspark.sql import Column
@@ -347,6 +381,7 @@ class NeuronSparkEngine:
         HNSW answers the whole batch in one graph pass per shard, and
         the exact route is the broadcast kNN join."""
         with self.metrics.time("knn_batch"):
+            probe_params = self._maybe_learned(index, probe_params)
             decision = self._route(index, None, k=k, probe_params=probe_params)
             if decision["route"] == "ivf":
                 from neurondb_spark.index.ivf import IVFIndex

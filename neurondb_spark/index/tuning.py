@@ -9,6 +9,8 @@ dim rules; ours are too, with Spark-specific layout advice.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,3 +58,72 @@ def validate_vectors(df: DataFrame, vec_col: str, dim: int) -> dict:
     d = row.asDict()
     d["valid"] = d["nulls"] == 0 and d["dim_mismatch"] == 0 and d["non_finite"] == 0
     return d
+
+
+# --------------------------------------------- learned query params (§4)
+
+# Probe-param keys the feedback loop is allowed to adapt, with their
+# escalation cap. Anything else in a feedback row is carried through
+# untouched (it identifies the measurement, it is not tuned).
+_TUNABLE = {"nprobe": 65536, "ef_search": 4096, "probe_hamming": 8}
+
+
+def log_query_feedback(
+    catalog, index_name: str, params: dict, recall: float, latency_s: float,
+) -> None:
+    """learn_from_query analog (planner.c:96-230): append one observed
+    (probe params, measured recall, latency) row to the index's tuning
+    history — an append-only JSONL in the catalog, the Spark stand-in
+    for the reference's query-fingerprint plan cache. Driver-side and
+    tiny; recall comes from the caller's own measurement (e.g.
+    ann_recall_report's exact-vs-probe comparison)."""
+    import json
+    import time
+
+    d = catalog.artifact_dir("tuning", index_name)
+    with open(os.path.join(d, "feedback.jsonl"), "a") as f:
+        f.write(json.dumps({
+            "params": dict(params), "recall": float(recall),
+            "latency_s": float(latency_s), "at": time.time(),
+        }) + "\n")
+
+
+def learn_query_params(
+    catalog, index_name: str, target_recall: float = 0.9,
+) -> dict:
+    """Pick probe params from the logged history: the CHEAPEST observed
+    params that met the recall target; if nothing has met it yet,
+    escalate from the highest-recall observation (double each tunable
+    probe knob, capped) — the same adapt-toward-target loop the
+    reference's worker_tuner runs against its GUCs. Deterministic: ties
+    on latency break toward the earlier observation. Returns {} when no
+    history exists (callers fall back to static ivf_tune/lsh_tune)."""
+    import json
+
+    path = os.path.join(
+        catalog.artifact_dir("tuning", index_name), "feedback.jsonl"
+    )
+    if not os.path.exists(path):
+        return {}
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    if not rows:
+        return {}
+    met = [r for r in rows if r["recall"] >= target_recall]
+    if met:
+        best = min(enumerate(met), key=lambda iv: (iv[1]["latency_s"], iv[0]))[1]
+        return {"params": dict(best["params"]), "met_target": True,
+                "observed_recall": best["recall"],
+                "observed_latency_s": best["latency_s"]}
+    best = max(enumerate(rows), key=lambda iv: (iv[1]["recall"], -iv[0]))[1]
+    escalated = dict(best["params"])
+    for k, cap in _TUNABLE.items():
+        if k in escalated and escalated[k] is not None:
+            escalated[k] = min(int(escalated[k]) * 2, cap)
+    return {"params": escalated, "met_target": False,
+            "observed_recall": best["recall"],
+            "observed_latency_s": best["latency_s"]}

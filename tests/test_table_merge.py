@@ -1,0 +1,107 @@
+"""Streaming CDC drain into a bucketed copy-on-write table
+(streaming/table_merge.py — the table-level twin of the index CDC drain)."""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+CHANGE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("seq", T.LongType()),
+])
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _setup(spark, tmp):
+    from neurondb_spark.streaming.table_merge import init_merge_table
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, v string"
+    )
+    table = os.path.join(tmp, "table")
+    src = os.path.join(tmp, "changes")
+    os.makedirs(src, exist_ok=True)
+    init_merge_table(spark, base, table, ["id"], n_buckets=4)
+    return base, table, src
+
+
+def test_merge_drain_matches_batch_apply(spark):
+    from neurondb_spark.data_management import apply_changes
+    from neurondb_spark.streaming.table_merge import (
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tmerge_")
+    base, table, src = _setup(spark, tmp)
+    # batch 1: upsert 3 (twice — seq decides), delete 7, insert 100
+    c1 = spark.createDataFrame(
+        [(3, "x", "u", 1), (3, "y", "u", 2), (7, None, "d", 1),
+         (100, "new", "i", 1)],
+        CHANGE_SCHEMA,
+    )
+    # batch 2 (separate file): re-update 3, delete 100, insert 101
+    c2 = spark.createDataFrame(
+        [(3, "z", "u", 1), (100, None, "d", 1), (101, "n2", "i", 1)],
+        CHANGE_SCHEMA,
+    )
+    c1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4)
+    mid = read_merge_table(spark, table)
+    assert _rows(mid.where(F.col("id").isin(3, 7, 100))) == [
+        (3, "y"), (100, "new")
+    ]
+    c2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4)
+    got = read_merge_table(spark, table)
+    want = apply_changes(
+        apply_changes(base, c1, ["id"], seq_col="seq"), c2, ["id"],
+        seq_col="seq",
+    )
+    assert _rows(got) == _rows(want)
+    # re-running the drain with no new files is a no-op
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4)
+    assert _rows(read_merge_table(spark, table)) == _rows(want)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_drain_heals_crash_leftovers(spark):
+    from neurondb_spark.streaming.table_merge import (
+        _heal_table,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tmerge_heal_")
+    base, table, src = _setup(spark, tmp)
+    before = _rows(read_merge_table(spark, table))
+    # crash A: swap renamed bucket away but tmp never landed → .old holds it
+    os.rename(os.path.join(table, "bucket=1"), os.path.join(table, "bucket=1.old"))
+    # crash B: incomplete tmp write next to a healthy bucket
+    os.makedirs(os.path.join(table, "bucket=2.merge_tmp"))
+    _heal_table(table)
+    assert os.path.isdir(os.path.join(table, "bucket=1"))
+    assert not os.path.exists(os.path.join(table, "bucket=1.old"))
+    assert not os.path.exists(os.path.join(table, "bucket=2.merge_tmp"))
+    assert _rows(read_merge_table(spark, table)) == before
+    # crash C: swap completed but stale backup remained → reader unaffected,
+    # heal drops it
+    shutil.copytree(os.path.join(table, "bucket=3"),
+                    os.path.join(table, "bucket=3.old"))
+    assert _rows(read_merge_table(spark, table)) == before
+    _heal_table(table)
+    assert not os.path.exists(os.path.join(table, "bucket=3.old"))
+    shutil.rmtree(tmp, ignore_errors=True)
