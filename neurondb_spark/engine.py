@@ -183,6 +183,51 @@ class NeuronSparkEngine:
         )
         return idx
 
+    # ------------------------------------------------- merge tables (CDC)
+
+    def create_merge_table(
+        self, name: str, df: DataFrame, key_cols: list[str],
+        n_buckets: int = 16,
+    ) -> str:
+        """Seed a bucketed copy-on-write table (streaming/table_merge.py)
+        and register it — the relational twin of ``create_index`` +
+        ``cdc_ingest`` for plain tables."""
+        from neurondb_spark.streaming.table_merge import init_merge_table
+
+        path = self.catalog.artifact_dir("tables", name)
+        init_merge_table(self.spark, df, path, key_cols, n_buckets=n_buckets)
+        self.catalog.register(
+            "tables", name,
+            {"path": path, "key_cols": list(key_cols), "n_buckets": n_buckets},
+        )
+        return path
+
+    def merge_cdc(self, name: str, src_dir: str, schema, **kw) -> DataFrame:
+        """Drain change files (i/u/d + seq) into a registered merge table
+        (AvailableNow run-once; idempotent last-writer-wins apply) and
+        return the resulting table state."""
+        from neurondb_spark.streaming.table_merge import (
+            merge_stream_drain,
+            read_merge_table,
+        )
+
+        meta = self.catalog.get("tables", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown merge table {name!r}")
+        merge_stream_drain(
+            self.spark, src_dir, schema, meta["path"], meta["key_cols"],
+            n_buckets=meta["n_buckets"], **kw,
+        )
+        return read_merge_table(self.spark, meta["path"])
+
+    def read_table(self, name: str) -> DataFrame:
+        from neurondb_spark.streaming.table_merge import read_merge_table
+
+        meta = self.catalog.get("tables", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown merge table {name!r}")
+        return read_merge_table(self.spark, meta["path"])
+
     def _index_build_meta(self, meta: dict) -> dict:
         """The index's OWN meta.json (nlists / num_shards / m / nbits —
         the build parameters the cost model needs, which the catalog row

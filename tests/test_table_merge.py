@@ -105,3 +105,22 @@ def test_merge_drain_heals_crash_leftovers(spark):
     _heal_table(table)
     assert not os.path.exists(os.path.join(table, "bucket=3.old"))
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_engine_merge_table_facade(spark):
+    """create_merge_table / merge_cdc / read_table through the engine."""
+    from neurondb_spark.engine import NeuronSparkEngine
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="tmerge_eng_"))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.create_merge_table("t1", base, ["id"], n_buckets=2)
+    assert _rows(eng.read_table("t1")) == [(1, "a"), (2, "b")]
+    src = tempfile.mkdtemp(prefix="tmerge_eng_src_")
+    spark.createDataFrame(
+        [(2, "B", "u", 1), (3, "c", "i", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    got = eng.merge_cdc("t1", src + "/*/", CHANGE_SCHEMA)
+    assert _rows(got) == [(1, "a"), (2, "B"), (3, "c")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown merge table"):
+        eng.read_table("nope")
