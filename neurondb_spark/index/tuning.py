@@ -68,6 +68,13 @@ def validate_vectors(df: DataFrame, vec_col: str, dim: int) -> dict:
 _TUNABLE = {"nprobe": 65536, "ef_search": 4096, "probe_hamming": 8}
 
 
+# Feedback-history retention: the learner only needs recent behavior
+# (index contents drift, so ancient observations mislead), and an
+# unbounded journal is the r10 CDC-journal bug all over again. The log
+# compacts to the newest FEEDBACK_KEEP_LAST rows whenever it doubles.
+FEEDBACK_KEEP_LAST = 256
+
+
 def log_query_feedback(
     catalog, index_name: str, params: dict, recall: float, latency_s: float,
 ) -> None:
@@ -76,16 +83,26 @@ def log_query_feedback(
     history — an append-only JSONL in the catalog, the Spark stand-in
     for the reference's query-fingerprint plan cache. Driver-side and
     tiny; recall comes from the caller's own measurement (e.g.
-    ann_recall_report's exact-vs-probe comparison)."""
+    ann_recall_report's exact-vs-probe comparison). Retention: the file
+    self-compacts to the newest FEEDBACK_KEEP_LAST rows once it exceeds
+    twice that."""
     import json
     import time
 
     d = catalog.artifact_dir("tuning", index_name)
-    with open(os.path.join(d, "feedback.jsonl"), "a") as f:
+    path = os.path.join(d, "feedback.jsonl")
+    with open(path, "a") as f:
         f.write(json.dumps({
             "params": dict(params), "recall": float(recall),
             "latency_s": float(latency_s), "at": time.time(),
         }) + "\n")
+    with open(path) as f:
+        lines = [ln for ln in f if ln.strip()]
+    if len(lines) > 2 * FEEDBACK_KEEP_LAST:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(lines[-FEEDBACK_KEEP_LAST:])
+        os.replace(tmp, path)
 
 
 def learn_query_params(

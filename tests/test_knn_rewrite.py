@@ -153,3 +153,27 @@ def test_learned_query_params(rw):
         assert eng._maybe_learned("rw_ivf", {"nprobe": 7}) == {"nprobe": 7}
     finally:
         eng.set_config("tuning.auto", "false")
+
+
+def test_feedback_log_retention(rw):
+    """The tuning history self-compacts: an unbounded feedback journal is
+    the same bug class as the r10 CDC journal."""
+    import os
+
+    from neurondb_spark.index import tuning as TU
+
+    eng, _emb, _q = rw
+    keep = TU.FEEDBACK_KEEP_LAST
+    for i in range(2 * keep + 5):
+        eng.log_query_feedback("ret_idx", {"nprobe": i}, 0.9, 1.0)
+    path = os.path.join(
+        eng.catalog.artifact_dir("tuning", "ret_idx"), "feedback.jsonl"
+    )
+    import json
+
+    with open(path) as f:
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+    assert len(rows) <= 2 * keep
+    # the NEWEST observations survive compaction (oldest are dropped)
+    assert min(r["params"]["nprobe"] for r in rows) >= keep
+    assert max(r["params"]["nprobe"] for r in rows) == 2 * keep + 4
