@@ -367,7 +367,17 @@ def apply_changes(
     if seq_col is not None:
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        # Highest seq wins; ties on seq within a batch break on a stable
+        # hash of the row's op + payload so the winner is DETERMINISTIC
+        # across re-runs/replays (the docstring's idempotency claim). A
+        # tie between fully-identical rows is harmless either way; a tie
+        # between differing rows is a malformed feed, and picking the
+        # same one every time is the best recoverable behavior.
+        payload = [c for c in changes.columns
+                   if c not in (*key_cols, seq_col)]
+        w = W.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), F.xxhash64(*payload).desc()
+        )
         latest = (
             changes.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)

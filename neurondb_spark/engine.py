@@ -65,6 +65,28 @@ def _probe_cost(method: str, imeta: dict, rows: int, k: int,
     return math.inf
 
 
+_ROW_PRESERVING_NODES = frozenset({"Project", "SubqueryAlias"})
+
+
+def _snapshot_source_files(df: DataFrame) -> list[str]:
+    """Input files of ``df`` IF its analyzed plan is a single leaf scan
+    under row-preserving wrappers only (every scanned row has an index
+    entry); ``[]`` otherwise — a Filter/Join/Sample/Limit between scan
+    and build input means the index holds a row subset and must never be
+    matched by the snapshot-equality guard in plans/knn_rewrite.py."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while node.getClass().getSimpleName() in _ROW_PRESERVING_NODES:
+            if node.children().size() != 1:
+                return []
+            node = node.children().apply(0)
+        if node.children().size() != 0:
+            return []
+        return sorted(df.inputFiles())
+    except Exception:
+        return []
+
+
 class NeuronSparkEngine:
     def __init__(self, spark: SparkSession | None = None, catalog_dir: str | None = None):
         self.spark = spark or get_spark()
@@ -120,12 +142,17 @@ class NeuronSparkEngine:
         else:
             raise ValueError(f"neurondb: unknown index method {method!r}")
         # File set the index snapshot covers — the optimize() plan rewrite
-        # only fires when a candidate scan reads exactly these files
-        # (empty for in-memory sources → the rewrite never matches them).
-        try:
-            source_files = sorted(df.inputFiles())
-        except Exception:
-            source_files = []
+        # only fires when a candidate scan reads exactly these files.
+        # Recorded ONLY when the build frame is a row-preserving view of
+        # the scan (bare leaf, optionally under Project/SubqueryAlias —
+        # nodes that cannot drop or add rows): an index built over
+        # df.where(...) covers a SUBSET of the files' rows, so letting the
+        # rewrite match a full-table orderBy/limit over those files would
+        # silently lose rows beyond the ANN approximation contract. Empty
+        # for filtered/joined builds and in-memory sources → the rewrite
+        # never matches them; engine.knn(index=...) still probes them
+        # explicitly under the documented snapshot semantics.
+        source_files = _snapshot_source_files(df)
         self.catalog.register(
             "indexes", name,
             {"method": method, "vec_col": vec_col, "metric": metric,
@@ -214,6 +241,12 @@ class NeuronSparkEngine:
         meta = self.catalog.get("tables", name)
         if meta is None:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
+        if "n_buckets" in kw:
+            raise ValueError(
+                "neurondb: bucket count is fixed at create_merge_table "
+                f"(this table uses n_buckets={meta['n_buckets']}); "
+                "re-bucketing is a rebuild, not a drain parameter"
+            )
         merge_stream_drain(
             self.spark, src_dir, schema, meta["path"], meta["key_cols"],
             n_buckets=meta["n_buckets"], **kw,

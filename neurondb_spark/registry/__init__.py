@@ -252,26 +252,45 @@ CHECKED_BY_ROUND[11] = frozenset({
     "vocab_top_tokens",
 })
 
+# the 50 rows in CORRECTNESS_r12.json — all 50 hash-green (second perfect
+# round). The five round-12 FORCE_RECHECK entries (pack/stream-pack/
+# temperature-mix/quantile rewrites) re-verified green and were pruned;
+# the 8 brand-new round-12 rows (bpe_*, epoch_shuffle, zorder, ppl,
+# quality-weighted sample, merge tables) all hash-matched first try.
+CHECKED_BY_ROUND[12] = frozenset({
+    "pack_sequences_spans", "pack_sequences_stats", "stream_pack_spans",
+    "temperature_mix_sample", "token_length_quantiles", "ppl_bucket_counts",
+    "quality_weighted_sample", "zorder_cells", "merge_upsert_rows",
+    "stream_merge_upsert", "bpe_merges_topk", "bpe_tokenize_counts",
+    "epoch_shuffle_order", "pq_adc_topk", "linreg_closed_form",
+    "zscore_outliers", "ts_seasonal_decompose", "ts_moving_stats",
+    "ts_rolling_anomalies", "ts_ar1_forecast", "rollup_lineitem",
+    "semi_anti_join", "set_ops_users", "vector_arith_ops",
+    "sparse_vector_dot", "knn_canberra", "knn_braycurtis",
+    "knn_minkowski3", "knn_jaccard_sign", "knn_dice_sign",
+    "binary_metrics4", "vec_route_counts", "ann_batch_topk",
+    "detokenize_roundtrip", "stream_job_queue", "rerank_ensemble_weighted",
+    "rerank_ensemble_borda", "vector_casts", "knn_mahalanobis",
+    "davies_bouldin", "similarity_histogram", "recommend_content_based",
+    "knn_l2", "knn_cosine", "knn_ip", "knn_l1", "knn_chebyshev",
+    "knn_squared_l2", "knn_hamming", "vector_norms",
+})
+
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # (All five round-11 entries — the CDC-cadence/probe-rounding/HNSW
-    # empty-batch/corpus-cache rewrites plus the neardup_resolve
-    # restructure — got their green re-check in CORRECTNESS_r11.json and
-    # were pruned. Add a query here whenever its implementation — or an
-    # index/stream path it consumes — is rewritten after its latest
-    # driver check.)
+    # (All five round-12 entries — the packing/streaming-packing/
+    # temperature-mix/quantile rewrites — got their green re-check in
+    # CORRECTNESS_r12.json and were pruned. Add a query here whenever its
+    # implementation — or an index/stream path it consumes — is rewritten
+    # after its latest driver check.)
     #
-    # Round-12 rewrites: pack_sequences gained salted sub-shard packing
-    # with offset stitching for skewed shards (default path unchanged but
-    # the fold was refactored); the streaming packing fold now concats
-    # all Arrow chunks per group before sorting (ADVICE r11 medium);
-    # temperature_mix now preserves the strata column's real DataType and
-    # raises on NULL strata; exact_group_quantiles validates generated
-    # p-column names for collisions.
-    "pack_sequences_spans", "pack_sequences_stats", "stream_pack_spans",
-    "temperature_mix_sample", "token_length_quantiles",
+    # Round-13 rewrites (ADVICE r12): apply_changes gained a
+    # deterministic seq-tie tiebreak (hash of op+payload); table_merge
+    # persists+verifies _table_meta.json; _q_stream_merge stages its
+    # change files atomically.
+    "merge_upsert_rows", "stream_merge_upsert",
 })
 
 

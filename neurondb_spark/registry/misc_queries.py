@@ -843,13 +843,22 @@ def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         if not os.path.isdir(src):
-            os.makedirs(src, exist_ok=True)
+            # stage both change files, then one atomic rename: a crash
+            # between the f1 and f2 writes must not leave a half-populated
+            # src that every later run's isdir() skip treats as complete
+            import shutil
+
+            staging = src + ".staging"
+            if os.path.isdir(staging):
+                shutil.rmtree(staging)
+            os.makedirs(staging)
             c1.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(src, "f1")
+                os.path.join(staging, "f1")
             )
             c2.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(src, "f2")
+                os.path.join(staging, "f2")
             )
+            os.rename(staging, src)
         if not os.path.isdir(table):
             init_merge_table(spark, base, table, ["o_orderkey"], n_buckets=8)
         merge_stream_drain(

@@ -27,6 +27,7 @@ table-format upgrade path (README "Deliberate descopes": Delta/Iceberg).
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -37,6 +38,43 @@ from pyspark.sql import functions as F
 from neurondb_spark.data_management import _swap_in, apply_changes, recover
 
 _BUCKET_DIR_RE = re.compile(r"^bucket=\d+$")
+_META_FILE = "_table_meta.json"
+
+
+def _write_table_meta(table_dir: str, key_cols: list[str],
+                      n_buckets: int) -> None:
+    """Persist the table's immutable layout parameters next to the data
+    (tmp + atomic rename). Without this, a drain called with a different
+    n_buckets than the table was bucketed with hashes a key's change to
+    the WRONG bucket — the upsert lands as an insert elsewhere while the
+    stale row survives, silent duplicate keys on read."""
+    tmp = os.path.join(table_dir, _META_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"key_cols": list(key_cols), "n_buckets": int(n_buckets)}, f)
+    os.replace(tmp, os.path.join(table_dir, _META_FILE))
+
+
+def _load_table_meta(table_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(table_dir, _META_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None  # pre-meta table (legacy layout) — caller can't verify
+
+
+def _check_table_meta(table_dir: str, key_cols: list[str],
+                      n_buckets: int) -> None:
+    meta = _load_table_meta(table_dir)
+    if meta is None:
+        return
+    if meta["n_buckets"] != int(n_buckets) or meta["key_cols"] != list(key_cols):
+        raise ValueError(
+            f"neurondb: merge table at {table_dir!r} was initialized with "
+            f"key_cols={meta['key_cols']} n_buckets={meta['n_buckets']}, "
+            f"but this call passed key_cols={list(key_cols)} "
+            f"n_buckets={int(n_buckets)} — mismatched bucketing would "
+            "silently duplicate keys; use the table's own parameters"
+        )
 
 
 def _heal_table(table_dir: str) -> None:
@@ -74,6 +112,7 @@ def init_merge_table(
         df.withColumn("bucket", _bucket_of(key_cols, n_buckets))
         .write.mode("overwrite").partitionBy("bucket").parquet(table_dir)
     )
+    _write_table_meta(table_dir, key_cols, n_buckets)
 
 
 def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -113,7 +152,11 @@ def merge_stream_drain(
     after new files land continues from the checkpoint. ``seq_col`` is
     REQUIRED: a CDC batch legitimately carries several changes per key
     and "arbitrary row wins" is a silent bug — the drain refuses to
-    guess (apply_changes's last-writer-wins window orders them)."""
+    guess (apply_changes's last-writer-wins window orders them).
+    ``key_cols``/``n_buckets`` are verified against the layout recorded
+    at ``init_merge_table`` — a mismatch errors instead of silently
+    scattering changes across the wrong buckets."""
+    _check_table_meta(table_dir, key_cols, n_buckets)
     _heal_table(table_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -177,3 +177,112 @@ def test_feedback_log_retention(rw):
     # the NEWEST observations survive compaction (oldest are dropped)
     assert min(r["params"]["nprobe"] for r in rows) >= keep
     assert max(r["params"]["nprobe"] for r in rows) == 2 * keep + 4
+
+
+def test_create_index_snapshot_guard(spark):
+    """ADVICE r12 (medium): an index built over a FILTERED frame records
+    source_files=[] so the rewrite's snapshot-equality guard can never
+    match a full-table scan against a row-subset index; row-preserving
+    builds (bare scan, select projection) still record the file set."""
+    import tempfile as _tf
+
+    from neurondb_spark.engine import NeuronSparkEngine, _snapshot_source_files
+
+    eng = NeuronSparkEngine(spark, _tf.mkdtemp(prefix="rw_guard_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert _snapshot_source_files(emb) == sorted(emb.inputFiles())
+    assert _snapshot_source_files(emb.select("vec_id", "embedding")) \
+        == sorted(emb.inputFiles())
+    assert _snapshot_source_files(emb.where(F.col("label") < 5)) == []
+    assert _snapshot_source_files(
+        emb.join(emb.select("vec_id"), "vec_id")) == []
+
+    eng.create_index("g_filt", emb.where(F.col("label") < 5), "embedding",
+                     method="ivf", nlists=4, dim=64)
+    assert eng.catalog.get("indexes", "g_filt")["source_files"] == []
+    # a full-table orderBy/limit over those files must NOT probe g_filt
+    from neurondb_spark.registry.common import qvec
+
+    eng.set_config("route.mode", "index")
+    cand = _candidate(emb, qvec(spark, SF_DIR, 3))
+    d = eng.explain_rewrite(cand)
+    assert d["rewrite"] is False and "no registered index matches" in d["reason"]
+    # explicit engine.knn(index=...) still probes it under the documented
+    # build-time snapshot semantics
+    sub = emb.where(F.col("label") < 5)
+    got = eng.knn(sub, "embedding", qvec(spark, SF_DIR, 3), k=3,
+                  index="g_filt", nprobe=4)
+    assert got.count() == 3
+
+
+def test_learned_params_end_to_end_loop(spark):
+    """SURVEY §4 end-to-end: measure recall exact-vs-probe per nprobe
+    (the ann_recall_report playbook), log each observation, then assert
+    the learner converges to the cheapest params meeting the target and
+    that engine.knn under tuning.auto actually probes with them; an
+    unreachable target escalates from the best observation."""
+    import tempfile as _tf
+    import pytest as _pytest
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.index.ivf import IVFIndex
+    from neurondb_spark.registry.common import qvec
+
+    eng = NeuronSparkEngine(spark, _tf.mkdtemp(prefix="rw_e2e_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eng.create_index("e2e_ivf", emb, "embedding", method="ivf",
+                     nlists=8, dim=64)
+    q = qvec(spark, SF_DIR, 7)
+    k = 10
+    exact = {r["vec_id"]
+             for r in eng.knn(emb, "embedding", q, k=k, metric="l2",
+                              dim=64, tiebreak=["vec_id"]).collect()}
+    idx = IVFIndex.load(eng.catalog.get("indexes", "e2e_ivf")["path"])
+    recalls = {}
+    for nprobe in (1, 2, 4, 8):
+        got = {r["vec_id"]
+               for r in idx.search(spark, q, k=k, nprobe=nprobe,
+                                   tiebreak=["vec_id"]).collect()}
+        recalls[nprobe] = len(got & exact) / k
+        # cost proxy = the routing model's own unit (distance evals ~
+        # nprobe) so "cheapest" is deterministic under test contention
+        eng.log_query_feedback("e2e_ivf", {"nprobe": nprobe},
+                               recall=recalls[nprobe],
+                               latency_s=float(nprobe))
+    assert recalls[8] == 1.0  # nprobe = nlists ≡ full probe ≡ exact
+    # convergence: cheapest observation meeting the target wins
+    target = 0.95 if min(recalls.values()) < 0.95 else 1.0
+    got = eng.learned_params("e2e_ivf", target_recall=target)
+    want_nprobe = min(p for p, r in recalls.items() if r >= target)
+    assert got["met_target"] and got["params"] == {"nprobe": want_nprobe}
+    # the engine consumes the learned params only under tuning.auto
+    assert eng._maybe_learned("e2e_ivf", {}) == {}
+    eng.set_config("tuning.auto", "true")
+    eng.set_config("tuning.target_recall", str(target))
+    try:
+        assert eng._maybe_learned("e2e_ivf", {}) == {"nprobe": want_nprobe}
+        eng.set_config("route.mode", "index")
+        res = {r["vec_id"]
+               for r in eng.knn(emb, "embedding", q, k=k,
+                                tiebreak=["vec_id"], index="e2e_ivf")
+               .collect()}
+        probe = {r["vec_id"]
+                 for r in idx.search(spark, q, k=k, nprobe=want_nprobe,
+                                     tiebreak=["vec_id"]).collect()}
+        assert res == probe
+    finally:
+        eng.set_config("tuning.auto", "false")
+        eng.set_config("route.mode", "auto")
+    # escalation: a journal whose history misses the target doubles the
+    # best observation's knobs (skip only if every probe was perfect)
+    below = [(p, r) for p, r in recalls.items() if r < 1.0]
+    if not below:
+        _pytest.skip("every nprobe hit recall 1.0 on this data")
+    best_p, best_r = max(below, key=lambda pr: pr[1])
+    for p, r in below:
+        eng.log_query_feedback("e2e_esc", {"nprobe": p}, recall=r,
+                               latency_s=float(p))
+    esc = eng.learned_params("e2e_esc", target_recall=1.0)
+    assert not esc["met_target"]
+    assert esc["params"] == {"nprobe": best_p * 2}
+    assert esc["observed_recall"] == best_r

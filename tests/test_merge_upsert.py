@@ -70,3 +70,29 @@ def test_apply_changes_contracts(spark):
     missing = spark.createDataFrame([(1, "x")], "id long, v string")
     with pytest.raises(ValueError, match="missing column"):
         apply_changes(base, missing, ["id"])
+
+
+def test_apply_changes_seq_tie_deterministic(spark):
+    """Ties on seq break on a stable hash of op+payload (ADVICE r12):
+    the winner is the same row on every evaluation and replay, honoring
+    the docstring's determinism/idempotency claims."""
+    from neurondb_spark.data_management import apply_changes
+
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    tied = spark.createDataFrame(
+        [(1, "u", "x", 7), (1, "u", "y", 7), (1, "u", "older", 3)],
+        "id long, op string, v string, seq long",
+    )
+    winners = {
+        tuple(sorted(tuple(r) for r in
+                     apply_changes(base, tied, ["id"], seq_col="seq")
+                     .collect()))
+        for _ in range(3)
+    }
+    assert len(winners) == 1
+    ((row,),) = winners
+    assert row[0] == 1 and row[1] in ("x", "y")  # a max-seq row, stably
+    # replay over own result converges (idempotency with the tie present)
+    once = apply_changes(base, tied, ["id"], seq_col="seq")
+    twice = apply_changes(once, tied, ["id"], seq_col="seq")
+    assert _rows(once) == _rows(twice)

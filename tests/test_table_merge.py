@@ -124,3 +124,51 @@ def test_engine_merge_table_facade(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown merge table"):
         eng.read_table("nope")
+
+
+def test_table_meta_guards_bucketing(spark):
+    """_table_meta.json (ADVICE r12): a drain with mismatched n_buckets
+    or key_cols errors instead of silently scattering keys across the
+    wrong buckets; legacy tables without meta still drain."""
+    import pytest
+
+    from neurondb_spark.streaming.table_merge import (
+        _load_table_meta,
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tmerge_meta_")
+    base, table, src = _setup(spark, tmp)
+    assert _load_table_meta(table) == {"key_cols": ["id"], "n_buckets": 4}
+    spark.createDataFrame(
+        [(3, "x", "u", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                           n_buckets=8)
+    with pytest.raises(ValueError, match="key_cols="):
+        merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["v"],
+                           n_buckets=4)
+    # matching params drain fine; legacy (meta-less) tables are tolerated
+    os.remove(os.path.join(table, "_table_meta.json"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4)
+    got = read_merge_table(spark, table)
+    assert sorted(r["v"] for r in got.where(F.col("id") == 3).collect()) == ["x"]
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_engine_merge_cdc_rejects_n_buckets(spark):
+    """Bucket count is fixed at create_merge_table; passing it to
+    merge_cdc gets a clear neurondb error, not a duplicate-kwarg
+    TypeError (ADVICE r12)."""
+    import pytest
+
+    from neurondb_spark.engine import NeuronSparkEngine
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="tmerge_kw_"))
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    eng.create_merge_table("tkw", base, ["id"], n_buckets=2)
+    with pytest.raises(ValueError, match="fixed at create_merge_table"):
+        eng.merge_cdc("tkw", "/nonexistent", CHANGE_SCHEMA, n_buckets=4)
