@@ -261,6 +261,16 @@ class NeuronSparkEngine:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
         return read_merge_table(self.spark, meta["path"])
 
+    def compact_table(self, name: str) -> int:
+        """Fold a merge-on-read table's change log into its base buckets
+        (compact_merge_table); no-op (0) for copy-on-write tables."""
+        from neurondb_spark.streaming.table_merge import compact_merge_table
+
+        meta = self.catalog.get("tables", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown merge table {name!r}")
+        return compact_merge_table(self.spark, meta["path"])
+
     def _index_build_meta(self, meta: dict) -> dict:
         """The index's OWN meta.json (nlists / num_shards / m / nbits —
         the build parameters the cost model needs, which the catalog row

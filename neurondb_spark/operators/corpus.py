@@ -844,6 +844,8 @@ PPL_BUCKET_CUTS = (1.0 / 3.0, 2.0 / 3.0)
 
 def ppl_bucket_assign(
     df: DataFrame, text_col: str, id_col: str, lang_col: str,
+    threshold_sample_frac: float | None = None,
+    threshold_sample_seed: int = 0,
 ) -> DataFrame:
     """CCNet-style statistical-quality bucketing (Wenzek et al. 2020):
     score every document with its language's trigram LM, then split each
@@ -859,10 +861,21 @@ def ppl_bucket_assign(
     values, so boundary docs land on the lower bucket in both engines).
 
     Scale: the thresholds are an :func:`exact_group_quantiles` pass (the
-    heavy leg — CCNet computes its cutoffs once on a sample; pass a
-    :func:`hash_sample` of df for the threshold fit at extreme scale),
-    then a #langs-row broadcast join and a pure-map CASE. Returns one
-    row per document: (lang, id, n_trigrams, mean_tri_prob, bucket)."""
+    heavy leg), then a #langs-row broadcast join and a pure-map CASE.
+    ``threshold_sample_frac`` fits the cutoffs on a deterministic
+    :func:`hash_sample` of the SCORED frame instead of all of it —
+    CCNet's own recipe (it computes cutoffs once on a corpus sample);
+    every document is still scored and assigned, only the quantile fit
+    is sampled. Default None = exact fit (the hash-gated path). Returns
+    one row per document: (lang, id, n_trigrams, mean_tri_prob,
+    bucket)."""
+    if threshold_sample_frac is not None and not (
+        0.0 < float(threshold_sample_frac) <= 1.0
+    ):
+        raise ValueError(
+            "neurondb: threshold_sample_frac must be in (0, 1], got "
+            f"{threshold_sample_frac!r}"
+        )
     # One row per document — materialize ONCE (eager): the threshold pass
     # (histogram + two windows) and the assignment join both consume it,
     # and without the checkpoint each re-runs the full LM fit + explode
@@ -870,8 +883,28 @@ def ppl_bucket_assign(
     scored = trigram_lm_scores_grouped(
         df, text_col, id_col, lang_col
     ).localCheckpoint(eager=True)
+    fit = scored
+    if threshold_sample_frac is not None and float(threshold_sample_frac) < 1.0:
+        fit = hash_sample(
+            scored, id_col, float(threshold_sample_frac),
+            seed=threshold_sample_seed,
+        )
+        # a language the sample missed entirely would silently drop all
+        # its documents at the assignment join — refuse instead (one
+        # #langs-bounded check, only on the sampled path)
+        missing = (
+            scored.select(lang_col).distinct()
+            .join(fit.select(lang_col).distinct(), lang_col, "left_anti")
+            .limit(1).count()
+        )
+        if missing:
+            raise ValueError(
+                "neurondb: threshold_sample_frac "
+                f"{threshold_sample_frac} left at least one language "
+                "with zero sampled documents — raise the fraction"
+            )
     th = exact_group_quantiles(
-        scored, "mean_tri_prob", lang_col, list(PPL_BUCKET_CUTS)
+        fit, "mean_tri_prob", lang_col, list(PPL_BUCKET_CUTS)
     )
     lo, hi = th.columns[1], th.columns[2]
     return (

@@ -66,20 +66,55 @@ def sql_zorder_key(cols: Sequence[str], bits: int = 16) -> str:
     return " | ".join(terms)
 
 
+def zorder_overflow_counts(
+    df: DataFrame, cols: Sequence[Column | str], bits: int = 16,
+) -> dict:
+    """Per-column count of values OUTSIDE [0, 2^bits) — the values
+    :func:`zorder_key` masks to their low bits, silently aliasing them
+    into distant cells and degrading clustering quality. One aggregate
+    (the validate_vectors pattern); keys are positional
+    (``col_0``…) so Column expressions don't need printable names."""
+    hi = 1 << bits
+    aggs = []
+    for i, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        aggs.append(
+            F.sum(
+                F.when((col < 0) | (col >= hi), 1).otherwise(0)
+            ).alias(f"col_{i}")
+        )
+    return {k: int(v or 0) for k, v in df.agg(*aggs).head().asDict().items()}
+
+
 def zorder_layout(
     df: DataFrame,
     cols: Sequence[Column | str],
     bits: int = 16,
     num_partitions: int | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """``OPTIMIZE ZORDER BY`` analog: range-partition on the Morton key
     and sort within partitions, so a subsequent parquet write produces
     files whose per-column min/max stats are tight on EVERY clustered
     column — multi-dimensional data skipping from one layout pass.
 
+    ``validate=True`` runs one :func:`zorder_overflow_counts` aggregate
+    first and raises when any clustered column has values outside
+    [0, 2^bits) — the silent-masking degradation made observable;
+    default off because layout keys order data, they don't validate it.
+
     Cost: exactly one range shuffle (sampled boundaries — skew-robust)
     plus a per-partition sort; the key column is dropped before write.
     At 100 TB this is the standard nightly compaction job shape."""
+    if validate:
+        over = zorder_overflow_counts(df, cols, bits=bits)
+        bad = {k: v for k, v in over.items() if v > 0}
+        if bad:
+            raise ValueError(
+                f"neurondb: zorder columns have values outside "
+                f"[0, 2^{bits}) — masked aliasing would degrade "
+                f"clustering: {bad} (scale inputs or raise bits)"
+            )
     z = zorder_key(cols, bits=bits)
     out = df.withColumn("_zorder", z)
     out = (

@@ -33,7 +33,10 @@ Match conditions (all must hold, else the DataFrame is returned unchanged):
 
 The rewrite changes exact top-k into the index's probe semantics — the
 same contract as the reference, where creating a vector index makes ORDER
-BY/LIMIT queries approximate (hnsw_am.c amsearch).
+BY/LIMIT queries approximate (hnsw_am.c amsearch). IVF/LSH probes return
+table rows directly; an HNSW probe returns (id, distance), so its arm
+reconstructs the rows with a k-row broadcast join back onto the verified
+scan before projecting the same output columns.
 
 At 100 TB: the match itself is driver-only plan inspection (no job); the
 payoff is the probe's partition-pruned scan (nprobe/nlists of the data)
@@ -194,8 +197,8 @@ def explain_knn_rewrite(engine, df: DataFrame) -> dict:
                 "reason": "scan has no stable file set (in-memory source)"}
     spark = df.sparkSession
     for meta in engine.catalog.list("indexes"):
-        if meta.get("method") not in ("ivf", "lsh"):
-            continue  # hnsw search returns (id, distance), not table rows
+        if meta.get("method") not in ("ivf", "lsh", "hnsw"):
+            continue
         src = meta.get("source_files")
         if not src or set(src) != scan_files:
             continue
@@ -228,19 +231,43 @@ def rewrite_knn(engine, df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     meta = engine.catalog.get("indexes", d["index"])
     dist_name = d["alias_name"] or "__neurondb_dist"
+    out_cols = list(d["base_cols"])
+    if d["alias_name"] is not None:
+        out_cols.append(d["alias_name"])
     if d["method"] == "ivf":
         from neurondb_spark.index.ivf import IVFIndex
 
         idx = IVFIndex.load(meta["path"])
         res = idx.search(spark, d["query"], k=d["k"], dist_col=dist_name)
-    else:
+    elif d["method"] == "lsh":
         from neurondb_spark.index.lsh import LSHIndex
 
         idx = LSHIndex.load(meta["path"])
         res = idx.search(spark, d["query"], k=d["k"], dist_col=dist_name)
-    out_cols = list(d["base_cols"])
-    if d["alias_name"] is not None:
-        out_cols.append(d["alias_name"])
+    else:
+        # HNSW returns (vec_id, distance), not table rows — reconstruct
+        # them by joining the k-row result (broadcast) back to the scan
+        # whose file set the snapshot guard just verified equals the
+        # index's build input. Probe cost + a k-row broadcast join.
+        from neurondb_spark.index.hnsw import HNSWIndex
+
+        idx = HNSWIndex.load(meta["path"], spark)
+        id_col = idx.meta["id_col"]
+        top = idx.search(spark, d["query"], k=d["k"], dist_col=dist_name)
+        base = spark.read.parquet(*meta["source_files"])
+        if id_col not in base.columns or not set(d["base_cols"]) <= set(
+            base.columns
+        ):
+            return df  # scan schema drifted from the build → keep exact
+        res = (
+            base.join(
+                F.broadcast(top.withColumnRenamed("vec_id", "__nb_id")),
+                base[id_col].cast("long") == F.col("__nb_id"),
+            )
+            .drop("__nb_id")
+            .orderBy(F.col(dist_name).asc(), F.col(id_col).asc())
+            .limit(d["k"])
+        )
     if not set(out_cols) <= set(res.columns):
         return df  # index artifact lacks a projected column → keep exact
     return res.select(*out_cols)

@@ -291,6 +291,9 @@ FORCE_RECHECK = frozenset({
     # persists+verifies _table_meta.json; _q_stream_merge stages its
     # change files atomically.
     "merge_upsert_rows", "stream_merge_upsert",
+    # Round 13: ppl_bucket_assign gained the threshold_sample_frac knob
+    # (default path unchanged, but the function body was edited).
+    "ppl_bucket_counts",
 })
 
 

@@ -793,20 +793,11 @@ SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM changes WHERE op <> 'd'"""
 
 
-def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC drain into a bucketed copy-on-write table
-    (streaming/table_merge.py — Hudi-style: only TOUCHED buckets are
-    rewritten per micro-batch, with verified backup-keeping swaps):
-    two change files drained as two micro-batches (maxFilesPerTrigger=1)
-    over an orders-derived base — batch 1 inserts the %5==0 rows,
-    doubles %5==1 prices and deletes %5==2; batch 2 re-updates %5==1 to
-    3x and deletes the %10==0 half of the batch-1 inserts. The final
-    table state must hash-equal the oracle's closed form — proving
-    cross-batch ordering, idempotent replay safety and the bucketed
-    layout all at once. Same infra-only batch fallback contract as the
-    other stream rows."""
-    from neurondb_spark.data_management import apply_changes
-
+def _stream_merge_frames(spark: SparkSession, sf_dir: str):
+    """Shared base + two change batches for the CDC merge-table rows:
+    batch 1 inserts the %5==0 keys, doubles %5==1 prices, deletes %5==2;
+    batch 2 re-updates %5==1 to 3x and deletes the %10==0 half of the
+    batch-1 inserts. The closed form is _SQL_STREAM_MERGE."""
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -829,9 +820,65 @@ def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 5 == 1, F.lit("u")).otherwise(F.lit("d")).alias("op"),
         F.lit(1).cast("long").alias("seq"),
     )
+    return base, c1, c2
+
+
+def _write_staged_changes(src: str, c1: DataFrame, c2: DataFrame) -> None:
+    """Stage both change files, then one atomic rename: a crash between
+    the f1 and f2 writes must not leave a half-populated src that every
+    later run's isdir() skip treats as complete."""
+    import shutil
+
+    staging = src + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+    c1.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "f1"))
+    c2.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "f2"))
+    os.rename(staging, src)
+
+
+def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC drain into a bucketed copy-on-write table
+    (streaming/table_merge.py — Hudi-style: only TOUCHED buckets are
+    rewritten per micro-batch, with verified backup-keeping swaps):
+    two change files drained as two micro-batches (maxFilesPerTrigger=1)
+    over an orders-derived base — batch 1 inserts the %5==0 rows,
+    doubles %5==1 prices and deletes %5==2; batch 2 re-updates %5==1 to
+    3x and deletes the %10==0 half of the batch-1 inserts. The final
+    table state must hash-equal the oracle's closed form — proving
+    cross-batch ordering, idempotent replay safety and the bucketed
+    layout all at once. Same infra-only batch fallback contract as the
+    other stream rows."""
+    return _run_merge_scenario(spark, sf_dir, "stream_merge_upsert",
+                               "neurondb_smerge_v1", merge_on_read=False)
+
+
+def _q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read tier of the same CDC scenario
+    (streaming/table_merge.py merge_on_read=True — Hudi MOR shape: each
+    micro-batch appends one bucketed change-log directory instead of
+    rewriting buckets; compact_every=2 folds the log into the base at
+    batch 2, so this row exercises log accumulation, the cadence-driven
+    compaction AND the folded read in one pass; the unfolded-read leg is
+    pytest-covered). Final state must hash-equal the identical closed
+    form as the copy-on-write drain — read semantics are the same, only
+    the physical write/read trade differs."""
+    return _run_merge_scenario(spark, sf_dir, "merge_on_read_rows",
+                               "neurondb_mor_v1", merge_on_read=True,
+                               compact_every=2)
+
+
+def _run_merge_scenario(
+    spark: SparkSession, sf_dir: str, row_name: str, tag_prefix: str,
+    merge_on_read: bool, compact_every: int = 0,
+) -> DataFrame:
+    from neurondb_spark.data_management import apply_changes
+
+    base, c1, c2 = _stream_merge_frames(spark, sf_dir)
     schema = c1.schema
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), f"neurondb_smerge_v1_{tag}")
+    root = os.path.join(tempfile.gettempdir(), f"{tag_prefix}_{tag}")
     src = os.path.join(root, "changes")
     table = os.path.join(root, "table")
     out = None
@@ -843,27 +890,13 @@ def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         if not os.path.isdir(src):
-            # stage both change files, then one atomic rename: a crash
-            # between the f1 and f2 writes must not leave a half-populated
-            # src that every later run's isdir() skip treats as complete
-            import shutil
-
-            staging = src + ".staging"
-            if os.path.isdir(staging):
-                shutil.rmtree(staging)
-            os.makedirs(staging)
-            c1.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(staging, "f1")
-            )
-            c2.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(staging, "f2")
-            )
-            os.rename(staging, src)
+            _write_staged_changes(src, c1, c2)
         if not os.path.isdir(table):
             init_merge_table(spark, base, table, ["o_orderkey"], n_buckets=8)
         merge_stream_drain(
             spark, src + "/*/", schema, table, ["o_orderkey"],
             n_buckets=8, max_files_per_trigger=1,
+            merge_on_read=merge_on_read, compact_every=compact_every,
         )
         out = read_merge_table(spark, table)
         if not out.head(1):
@@ -873,7 +906,7 @@ def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if strict_stream():
             raise  # sims verify the STREAMING path; no silent batch twin
-        print(f"neurondb: stream_merge_upsert streaming drain failed, "
+        print(f"neurondb: {row_name} streaming drain failed, "
               f"using batch twin: {e}", file=sys.stderr)
         out = None
     if out is None:
@@ -881,7 +914,7 @@ def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if strict_stream():
             raise RuntimeError(
-                "neurondb: stream_merge_upsert table was empty under "
+                f"neurondb: {row_name} table was empty under "
                 "NEURONDB_STRICT_STREAM=1 (wedged stream?)"
             )
         out = apply_changes(
@@ -904,6 +937,7 @@ FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0"""
 QUERIES = {
     "merge_upsert_rows": (_q_merge_upsert, _SQL_MERGE_UPSERT),
     "stream_merge_upsert": (_q_stream_merge, _SQL_STREAM_MERGE),
+    "merge_on_read_rows": (_q_merge_on_read, _SQL_STREAM_MERGE),
     "matryoshka_overlap": (_q_matryoshka_overlap, _sql_matryoshka_overlap()),
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),

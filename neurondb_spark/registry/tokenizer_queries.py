@@ -118,6 +118,60 @@ ORDER BY occurrences DESC, token ASC
 LIMIT {_BPE_TOP}"""
 
 
+def _q_bpe_hybrid_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HYBRID trainer's merge table (operators/bpe_local.py —
+    distributed word count + driver-side heap merge loop) under the SAME
+    chained-CTE oracle as bpe_merges_topk: the driver gate itself proves
+    the production-scale path is bit-equal to the distributed loop."""
+    from neurondb_spark.operators.bpe import bpe_word_table
+    from neurondb_spark.operators.bpe_local import bpe_train_hybrid
+
+    docs = t(spark, sf_dir, "documents")
+    merges, _ = bpe_train_hybrid(bpe_word_table(docs, "text"), _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, pair_left string, pair_right string, pair_count long",
+    )
+
+
+_BPE_PROD_K = 2000
+
+
+def _q_bpe_hybrid_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-vocab training run (K=2000) through the hybrid loop —
+    the bench row proving tokenizer training no longer pays one Spark
+    job per merge (the distributed loop would be 2000 sequential jobs).
+    The synthetic documents corpus's natural-language vocabulary
+    exhausts after <100 merges (early-stop, hash-gated elsewhere), so
+    this row trains on a symbol-rich DETERMINISTIC word table derived
+    from the corpus — md5 hex of each doc id (32 symbols over a 16-char
+    alphabet, all counts tied → the total-order argmax is exercised
+    every round). No oracle by design: the K=10 replay IS hash-gated
+    twice (bpe_merges_topk distributed / bpe_hybrid_merges hybrid, same
+    chained-CTE oracle); a 2000-round CTE chain is the same construction
+    at a size DuckDB cannot plan. Output: one summary row, deterministic
+    (integer counts, total-order argmax)."""
+    from neurondb_spark.operators.bpe import bpe_token_counts, char_symbols
+    from neurondb_spark.operators.bpe_local import bpe_train_hybrid
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.md5(F.col("doc_id").cast("string")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("symbols", char_symbols("word"))
+    )
+    merges, final = bpe_train_hybrid(words, _BPE_PROD_K)
+    vocab = bpe_token_counts(final).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("occurrences").alias("total_occurrences"),
+    )
+    return vocab.select(
+        F.lit(len(merges)).cast("int").alias("n_merges"),
+        F.col("n_tokens").cast("long"),
+        F.col("total_occurrences").cast("long"),
+    )
+
+
 _EPOCH_SEED = 0
 
 
@@ -133,12 +187,15 @@ def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e0.unionByName(e1)
 
 
+def _epoch_key_sql(epoch: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+        f"'#e{epoch}#{_EPOCH_SEED}'), 1, 15)) AS BIGINT)"
+    )
+
+
 def _sql_epoch_shuffle() -> str:
-    def key(epoch: int) -> str:
-        return (
-            f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
-            f"'#e{epoch}#{_EPOCH_SEED}'), 1, 15)) AS BIGINT)"
-        )
+    key = _epoch_key_sql
 
     def one(epoch: int) -> str:
         return f"""SELECT lang AS shard, doc_id AS id,
@@ -151,8 +208,78 @@ FROM documents"""
     return f"{one(0)}\nUNION ALL\n{one(1)}"
 
 
+_EPP_SEQ_LEN = 512
+_EPP_EPOCH = 1
+
+
+def _q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-order composite: epoch_shuffle fixes each shard's epoch-1
+    document order, pack_sequences packs the token stream IN THAT ORDER
+    into 512-token bins — the two newest pipeline operators chained as
+    one deterministic layout (the rag_ingest composite playbook). The
+    oracle replays the md5 ranks AND the running-sum slicing, so a
+    hash match proves the composition end to end."""
+    from neurondb_spark.functions.text import token_count
+    from neurondb_spark.operators.corpus import epoch_shuffle, pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    order = epoch_shuffle(docs, "doc_id", "lang",
+                          epoch=_EPP_EPOCH, seed=_EPOCH_SEED)
+    toks = docs.select(
+        F.col("lang").alias("shard"), F.col("doc_id").alias("id"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    seq = toks.join(order, ["shard", "id"]).select(
+        "shard", F.col("id").alias("doc_id"), "position", "n_tokens"
+    )
+    packed = pack_sequences(seq, "n_tokens", "shard", "position",
+                            _EPP_SEQ_LEN)
+    # map the pack's id (= epoch position) back to the document id —
+    # co-partitioned on (shard, position), no extra exchange shape
+    return packed.join(
+        seq.select("shard", F.col("position").alias("id"), "doc_id"),
+        ["shard", "id"],
+    ).select(
+        "shard", "bin_id", "doc_id", F.col("id").alias("position"),
+        "doc_offset", "bin_offset", "take_tokens",
+    )
+
+
+def _sql_epoch_pack() -> str:
+    from neurondb_spark.functions.text import sql_tokenize
+
+    L, key = _EPP_SEQ_LEN, _epoch_key_sql(_EPP_EPOCH)
+    toks = sql_tokenize("text")
+    return f"""WITH ord AS (
+  SELECT lang AS shard, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY {key} ASC, doc_id ASC) AS BIGINT) AS position,
+         CAST(len({toks}) AS BIGINT) AS n
+  FROM documents),
+pos AS (
+  SELECT shard, doc_id, position, n,
+         CAST(SUM(n) OVER (PARTITION BY shard ORDER BY position
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS e
+  FROM ord WHERE n > 0),
+spans AS (SELECT shard, doc_id, position, e - n AS s, e FROM pos),
+ex AS (
+  SELECT shard, doc_id, position, s, e,
+         unnest(generate_series(s // {L}, (e - 1) // {L})) AS bin_id
+  FROM spans)
+SELECT shard, CAST(bin_id AS BIGINT) AS bin_id, doc_id, position,
+  CAST(greatest(s, bin_id * {L}) - s AS BIGINT) AS doc_offset,
+  CAST(greatest(s, bin_id * {L}) - bin_id * {L} AS BIGINT) AS bin_offset,
+  CAST(least(e, (bin_id + 1) * {L}) - greatest(s, bin_id * {L}) AS BIGINT)
+    AS take_tokens
+FROM ex"""
+
+
 QUERIES = {
     "bpe_merges_topk": (_q_bpe_merges, _sql_bpe_merges()),
     "bpe_tokenize_counts": (_q_bpe_token_counts, _sql_bpe_token_counts()),
+    "bpe_hybrid_merges": (_q_bpe_hybrid_merges, _sql_bpe_merges()),
+    "bpe_hybrid_train_k2000": (_q_bpe_hybrid_prod, None),
     "epoch_shuffle_order": (_q_epoch_shuffle, _sql_epoch_shuffle()),
+    "epoch_pack_spans": (_q_epoch_pack, _sql_epoch_pack()),
 }

@@ -21,8 +21,13 @@ copy-on-write shape without the table-format dependency:
 
 At 100 TB: buckets = thousands (a few GB each); a micro-batch touching
 k buckets reads and rewrites ~k·(table/n_buckets) bytes — the standard
-copy-on-write cost, with merge-on-read (change-log + compaction) as the
-table-format upgrade path (README "Deliberate descopes": Delta/Iceberg).
+copy-on-write cost. The MERGE-ON-READ tier (``merge_on_read=True`` +
+``compact_merge_table``) is the other half of the Hudi/Delta shape:
+each micro-batch appends one bucketed change-log directory (write cost
+= the batch itself), reads union base + log with last-writer-wins, and
+a cadence-driven compactor folds the log back into the base — the
+write-heavy/read-light trade every streaming-ingest table format
+offers, without the format dependency.
 """
 
 from __future__ import annotations
@@ -39,6 +44,9 @@ from neurondb_spark.data_management import _swap_in, apply_changes, recover
 
 _BUCKET_DIR_RE = re.compile(r"^bucket=\d+$")
 _META_FILE = "_table_meta.json"
+_LOG_DIR = "_log"
+_LOG_META_FILE = "_log_meta.json"
+_LOG_BATCH_RE = re.compile(r"^logbatch=\d+$")
 
 
 def _write_table_meta(table_dir: str, key_cols: list[str],
@@ -115,10 +123,150 @@ def init_merge_table(
     _write_table_meta(table_dir, key_cols, n_buckets)
 
 
+# ------------------------------------------------- merge-on-read tier
+
+
+def _log_batch_dirs(table_dir: str) -> list[str]:
+    """Unfolded change-log batch directories, oldest batch first."""
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return []
+    dirs = [d for d in os.listdir(log_dir) if _LOG_BATCH_RE.match(d)]
+    dirs.sort(key=lambda d: int(d.split("=", 1)[1]))
+    return [os.path.join(log_dir, d) for d in dirs]
+
+
+def _write_log_meta(table_dir: str, op_col: str, seq_col: str) -> None:
+    """Persist (and verify on re-drain) which columns of the log files
+    are the CDC op/seq — the reader and compactor need them, and mixing
+    drains with different names against one log would mis-order it."""
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, _LOG_META_FILE)
+    want = {"op_col": op_col, "seq_col": seq_col}
+    if os.path.exists(path):
+        with open(path) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"neurondb: merge-on-read log at {log_dir!r} was written "
+                f"with {have}, this drain passed {want} — one log, one "
+                "op/seq naming"
+            )
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, path)
+
+
+def _load_log_meta(table_dir: str) -> dict:
+    with open(os.path.join(table_dir, _LOG_DIR, _LOG_META_FILE)) as f:
+        return json.load(f)
+
+
+def _latest_log_changes(
+    log: DataFrame, key_cols: list[str], op_col: str, seq_col: str,
+) -> DataFrame:
+    """Cross-batch last-writer-wins reduction of the change log to ONE
+    row per key: newest batch wins, then highest seq within the batch,
+    then the same stable payload-hash tiebreak as apply_changes. One
+    window over the LOG (bounded by the compaction cadence), never over
+    the table."""
+    from pyspark.sql import Window as W
+
+    payload = [c for c in log.columns
+               if c not in (*key_cols, seq_col, "logbatch", "bucket")]
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col("logbatch").desc(), F.col(seq_col).desc(),
+        F.xxhash64(*payload).desc(),
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def compact_merge_table(
+    spark: SparkSession,
+    table_dir: str,
+    files_per_bucket: int = 8,
+) -> int:
+    """Fold the unfolded change log into the base buckets (the
+    merge-on-read table's compaction job — Hudi's compactor / the
+    reference's background defrag worker, NeuronDB/src/worker/
+    worker_init.c:127-176). Reduces the log once (last-writer-wins),
+    rewrites only the TOUCHED buckets via the same verified
+    backup-keeping swap as the copy-on-write drain, then drops the
+    folded batch directories. Returns the number of batches folded.
+
+    Crash-safe without its own journal: a crash after some bucket swaps
+    leaves those changes BOTH in the base and in the log — re-applying
+    identical last-writer-wins changes is idempotent, so the retry (or
+    any read, which unions base + log) converges to the same state; a
+    crash mid-swap is healed by the bucket's own recover()."""
+    batch_dirs = _log_batch_dirs(table_dir)
+    if not batch_dirs:
+        return 0
+    meta = _load_table_meta(table_dir)
+    if meta is None:
+        raise ValueError(
+            f"neurondb: {table_dir!r} has a change log but no "
+            "_table_meta.json — not an init_merge_table layout"
+        )
+    key_cols, n_buckets = meta["key_cols"], meta["n_buckets"]
+    lmeta = _load_log_meta(table_dir)
+    op_col, seq_col = lmeta["op_col"], lmeta["seq_col"]
+    log = spark.read.option(
+        "basePath", os.path.join(table_dir, _LOG_DIR)
+    ).parquet(*batch_dirs)
+    latest = _latest_log_changes(
+        log, key_cols, op_col, seq_col
+    ).localCheckpoint(eager=True)  # one log reduce, reused per bucket
+    touched = sorted(
+        r["bucket"] for r in latest.select("bucket").distinct().collect()
+    )  # bounded collect: ≤ n_buckets rows
+    for b in touched:
+        bdir = os.path.join(table_dir, f"bucket={b}")
+        recover(bdir)
+        ch = latest.where(F.col("bucket") == b).drop(
+            "bucket", "logbatch", seq_col
+        )
+        if os.path.isdir(bdir):
+            cur = spark.read.parquet(bdir)
+            merged = apply_changes(
+                cur, ch, key_cols, op_col=op_col, seq_col=None,
+                validate=False,
+            )
+            tmp = bdir + ".merge_tmp"
+            merged.coalesce(files_per_bucket).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            _swap_in(spark, bdir, tmp)
+        else:
+            merged = apply_changes(
+                ch.where(F.col(op_col) != "d").drop(op_col).limit(0),
+                ch, key_cols, op_col=op_col, seq_col=None, validate=False,
+            )
+            merged.coalesce(files_per_bucket).write.mode(
+                "overwrite"
+            ).parquet(bdir)
+    for d in batch_dirs:
+        shutil.rmtree(d)
+    return len(batch_dirs)
+
+
 def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """Current table state (all buckets, layout column dropped). Reads
     by explicit ``bucket=N`` paths so a crash leftover the drain has not
-    healed yet can never poison partition discovery."""
+    healed yet can never poison partition discovery.
+
+    Merge-on-read: when unfolded change-log batches exist, the read
+    unions base + log with the same last-writer-wins semantics the
+    compactor folds with — a read between drains/compactions sees every
+    landed change, at the cost of one window over the (cadence-bounded)
+    log."""
     paths = sorted(
         os.path.join(table_dir, d)
         for d in os.listdir(table_dir)
@@ -129,9 +277,29 @@ def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
             f"neurondb: {table_dir!r} has no bucket=N partitions — "
             "not an init_merge_table layout"
         )
-    return (
+    base = (
         spark.read.option("basePath", table_dir).parquet(*paths).drop("bucket")
     )
+    batch_dirs = _log_batch_dirs(table_dir)
+    if not batch_dirs:
+        return base
+    meta = _load_table_meta(table_dir)
+    if meta is None:
+        raise ValueError(
+            f"neurondb: {table_dir!r} has a change log but no "
+            "_table_meta.json — not an init_merge_table layout"
+        )
+    lmeta = _load_log_meta(table_dir)
+    op_col, seq_col = lmeta["op_col"], lmeta["seq_col"]
+    log = spark.read.option(
+        "basePath", os.path.join(table_dir, _LOG_DIR)
+    ).parquet(*batch_dirs)
+    latest = _latest_log_changes(log, meta["key_cols"], op_col, seq_col)
+    survivors = base.join(
+        latest.select(*meta["key_cols"]), meta["key_cols"], "left_anti"
+    )
+    upserts = latest.where(F.col(op_col) != "d").select(*base.columns)
+    return survivors.unionByName(upserts)
 
 
 def merge_stream_drain(
@@ -146,6 +314,8 @@ def merge_stream_drain(
     n_buckets: int = 16,
     max_files_per_trigger: int | None = None,
     files_per_bucket: int = 8,
+    merge_on_read: bool = False,
+    compact_every: int = 0,
 ) -> None:
     """Drain change files (rows = table columns + op i/u/d + seq) into
     the bucketed table, AvailableNow run-once semantics; re-invoking
@@ -155,21 +325,51 @@ def merge_stream_drain(
     guess (apply_changes's last-writer-wins window orders them).
     ``key_cols``/``n_buckets`` are verified against the layout recorded
     at ``init_merge_table`` — a mismatch errors instead of silently
-    scattering changes across the wrong buckets."""
+    scattering changes across the wrong buckets.
+
+    ``merge_on_read=True`` switches the drain to the Hudi MOR shape:
+    each micro-batch is ONE bucketed append into the table's change log
+    (``_log/logbatch=<id>/bucket=<b>``) — no base read, no bucket
+    rewrite — and reads union base + log with last-writer-wins
+    (read_merge_table). Replay-idempotent because each batch overwrites
+    its OWN logbatch directory. ``compact_every=N`` folds the log into
+    the base after every Nth batch (compact_merge_table — the CDC-index
+    drain's compaction-cadence shape); 0 = never, compaction is then an
+    explicit job. Write amplification per batch drops from
+    k·(table/n_buckets) to the batch's own bytes; the read pays one
+    window over the cadence-bounded log."""
     _check_table_meta(table_dir, key_cols, n_buckets)
     _heal_table(table_dir)
+    if merge_on_read:
+        _write_log_meta(table_dir, op_col, seq_col)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = reader.parquet(src_dir)
+    committed_n = 0  # in-process cadence counter (index_ingest playbook)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal committed_n
         # one bounded validation job per BATCH (then validate=False per
         # bucket slice)
         if batch_df.where(~F.col(op_col).isin("i", "u", "d")).limit(1).count():
             raise ValueError(
                 f"neurondb: {op_col!r} must be one of 'i'/'u'/'d'"
             )
+        if merge_on_read:
+            (
+                batch_df.withColumn("bucket", _bucket_of(key_cols, n_buckets))
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(os.path.join(
+                    table_dir, _LOG_DIR, f"logbatch={int(batch_id)}"
+                ))
+            )
+            committed_n += 1
+            if compact_every and committed_n % int(compact_every) == 0:
+                compact_merge_table(
+                    spark, table_dir, files_per_bucket=files_per_bucket
+                )
+            return
         changes = batch_df.withColumn(
             "bucket", _bucket_of(key_cols, n_buckets)
         ).localCheckpoint(eager=True)  # one source read, reused per bucket

@@ -286,3 +286,50 @@ def test_learned_params_end_to_end_loop(spark):
     assert not esc["met_target"]
     assert esc["params"] == {"nprobe": best_p * 2}
     assert esc["observed_recall"] == best_r
+
+
+def test_rewrite_fires_on_hnsw_index(spark):
+    """HNSW arm of the plan rewrite: fires on an HNSW-indexed scan,
+    reconstructs table rows via the id join-back, and with shard-sized
+    ef (ef >= nodes per shard => every shard beam is exhaustive) the
+    result equals exact top-k."""
+    import tempfile as _tf
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.registry.common import qvec
+
+    eng = NeuronSparkEngine(spark, _tf.mkdtemp(prefix="rw_hnsw_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eng.create_index("rw_hnsw", emb, "embedding", method="hnsw",
+                     id_col="vec_id", dim=64, num_shards=8)
+    q = qvec(spark, SF_DIR, 3)
+    eng.set_config("route.mode", "index")
+    try:
+        cand = _candidate(emb, q, k=5)
+        d = eng.explain_rewrite(cand)
+        assert d["rewrite"] is True and d["index"] == "rw_hnsw"
+        assert d["method"] == "hnsw" and d["k"] == 5
+        out = eng.optimize(cand)
+        assert out is not cand
+        assert out.columns == cand.columns
+        exact = [(r["vec_id"], r["distance"]) for r in cand.collect()]
+        probe = [(r["vec_id"], r["distance"]) for r in out.collect()]
+        # same rows in the same order; the probe's distance is computed
+        # by the shard beam (numpy accumulation) and may differ from the
+        # Spark fold by float ulps
+        assert [p[0] for p in probe] == [e[0] for e in exact]
+        for (_, dp), (_, de) in zip(probe, exact):
+            assert abs(dp - de) <= 1e-9 * max(1.0, abs(de))
+        # direct-expression shape: output keeps the base schema
+        from neurondb_spark.functions.distance import distance
+        from neurondb_spark.operators.knn import _query_lit
+
+        dexpr = distance("embedding", _query_lit(q), "l2", dim=64,
+                         checked=False)
+        cand2 = emb.orderBy(dexpr.asc()).limit(4)
+        out2 = eng.optimize(cand2)
+        assert out2.columns == emb.columns
+        assert [r["vec_id"] for r in out2.collect()] == \
+            [r["vec_id"] for r in cand2.select("vec_id").collect()]
+    finally:
+        eng.set_config("route.mode", "auto")

@@ -115,3 +115,79 @@ def test_grouped_lm_conditions_on_group_only(spark):
     s2 = {r["doc_id"]: r["mean_tri_prob"]
           for r in trigram_lm_scores_grouped(df_all, "text", "doc_id", "lang").collect()}
     assert s1[1] == s2[1] and s1[2] == s2[2]
+
+
+def test_ppl_threshold_sample_frac(spark):
+    """Sampled threshold fit (CCNet's own recipe): full-fit and
+    sampled-fit agree on per-(lang, bucket) counts at sf0.01 tolerances;
+    a fraction that misses a whole language refuses instead of silently
+    dropping its documents; bad fractions raise."""
+    import pytest
+
+    from neurondb_spark.operators.corpus import ppl_bucket_assign
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = ppl_bucket_assign(docs, "text", "doc_id", "lang")
+    sampled = ppl_bucket_assign(docs, "text", "doc_id", "lang",
+                                threshold_sample_frac=0.5)
+    def counts(b):
+        return {(r["lang"], r["bucket"]): r["n"]
+                for r in b.groupBy("lang", "bucket")
+                .agg(F.count("*").alias("n")).collect()}
+    cf, cs = counts(full), counts(sampled)
+    assert set(k[0] for k in cf) == set(k[0] for k in cs)
+    # every document still assigned, and bucket shares stay close to the
+    # exact terciles (sampled cutoffs shift boundaries only)
+    for lang in {k[0] for k in cf}:
+        n_full = sum(v for k, v in cf.items() if k[0] == lang)
+        n_samp = sum(v for k, v in cs.items() if k[0] == lang)
+        assert n_full == n_samp, lang
+        for bk in ("head", "middle", "tail"):
+            share_f = cf.get((lang, bk), 0) / n_full
+            share_s = cs.get((lang, bk), 0) / n_samp
+            assert abs(share_f - share_s) < 0.15, (lang, bk, share_f, share_s)
+    with pytest.raises(ValueError, match="threshold_sample_frac"):
+        ppl_bucket_assign(docs, "text", "doc_id", "lang",
+                          threshold_sample_frac=1.5)
+    # a one-doc language cannot survive a tiny sample fraction: hash of
+    # a single id either keeps it (fine) or the guard must refuse
+    tiny = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd", "zz")] +
+        [(i, f"text number {i} common words here", "en")
+         for i in range(2, 200)],
+        "doc_id long, text string, lang string",
+    )
+    try:
+        out = ppl_bucket_assign(tiny, "text", "doc_id", "lang",
+                                threshold_sample_frac=0.02)
+        assert out.where(F.col("lang") == "zz").count() == 1
+    except ValueError as e:
+        assert "zero sampled documents" in str(e)
+
+
+def test_zorder_overflow_validation(spark):
+    """validate=True surfaces the silent low-bit masking: an
+    out-of-range column raises with its overflow count; in-range data
+    passes; zorder_overflow_counts reports per column."""
+    import pytest
+
+    from neurondb_spark.operators.layout import (
+        zorder_layout,
+        zorder_overflow_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 300), (-3, 7), (4, 2)], "x long, y long"
+    )
+    over = zorder_overflow_counts(df, ["x", "y"], bits=8)
+    assert over == {"col_0": 1, "col_1": 1}  # -3 and 300 alias at 8 bits
+    with pytest.raises(ValueError, match="outside"):
+        zorder_layout(df, ["x", "y"], bits=8, validate=True)
+    ok = spark.createDataFrame([(1, 5), (2, 250)], "x long, y long")
+    assert zorder_overflow_counts(ok, ["x", "y"], bits=8) == {
+        "col_0": 0, "col_1": 0
+    }
+    assert zorder_layout(ok, ["x", "y"], bits=8, validate=True).count() == 2
+    # default stays permissive (layout keys order data, not validate it)
+    assert zorder_layout(df, ["x", "y"], bits=8).count() == 4

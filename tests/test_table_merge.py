@@ -172,3 +172,121 @@ def test_engine_merge_cdc_rejects_n_buckets(spark):
     eng.create_merge_table("tkw", base, ["id"], n_buckets=2)
     with pytest.raises(ValueError, match="fixed at create_merge_table"):
         eng.merge_cdc("tkw", "/nonexistent", CHANGE_SCHEMA, n_buckets=4)
+
+
+def test_merge_on_read_drain_and_compaction(spark):
+    """MOR tier: drains append to the change log only; a read BETWEEN
+    drains sees unfolded changes (union base+log, last-writer-wins);
+    compaction folds the log into the base and the visible state is
+    unchanged; the compaction cadence fires inside the drain."""
+    from neurondb_spark.data_management import apply_changes
+    from neurondb_spark.streaming.table_merge import (
+        _log_batch_dirs,
+        compact_merge_table,
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tmor_")
+    base, table, src = _setup(spark, tmp)
+    c1 = spark.createDataFrame(
+        [(3, "x", "u", 1), (3, "y", "u", 2), (7, None, "d", 1),
+         (100, "new", "i", 1)],
+        CHANGE_SCHEMA,
+    )
+    c2 = spark.createDataFrame(
+        [(3, "z", "u", 1), (100, None, "d", 1), (101, "n2", "i", 1)],
+        CHANGE_SCHEMA,
+    )
+    c1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    # the change landed in the LOG, not the base — and the read sees it
+    assert len(_log_batch_dirs(table)) == 1
+    mid = read_merge_table(spark, table)
+    assert _rows(mid.where(F.col("id").isin(3, 7, 100))) == [
+        (3, "y"), (100, "new")
+    ]
+    # second batch: cross-batch last-writer-wins at read, still unfolded
+    c2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    assert len(_log_batch_dirs(table)) == 2
+    want = apply_changes(
+        apply_changes(base, c1, ["id"], seq_col="seq"), c2, ["id"],
+        seq_col="seq",
+    )
+    assert _rows(read_merge_table(spark, table)) == _rows(want)
+    # explicit compaction folds both batches; state is unchanged
+    assert compact_merge_table(spark, table) == 2
+    assert _log_batch_dirs(table) == []
+    assert _rows(read_merge_table(spark, table)) == _rows(want)
+    assert compact_merge_table(spark, table) == 0  # idempotent no-op
+    # cadence: a third batch under compact_every=1 folds inside the drain
+    c3 = spark.createDataFrame([(101, "n3", "u", 1)], CHANGE_SCHEMA)
+    c3.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f3"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True, compact_every=1)
+    assert _log_batch_dirs(table) == []
+    want2 = apply_changes(want, c3, ["id"], seq_col="seq")
+    assert _rows(read_merge_table(spark, table)) == _rows(want2)
+    # replaying with no new files is a no-op
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    assert _rows(read_merge_table(spark, table)) == _rows(want2)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_on_read_matches_cow(spark):
+    """The same change stream through MOR and COW drains produces the
+    same table — read semantics are identical, only the physical
+    write/read trade differs."""
+    from neurondb_spark.streaming.table_merge import (
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tmor_eq_")
+    changes = spark.createDataFrame(
+        [(1, "A", "u", 1), (5, None, "d", 1), (100, "new", "i", 1),
+         (100, "newer", "u", 2)],
+        CHANGE_SCHEMA,
+    )
+    states = {}
+    for mode in ("cow", "mor"):
+        base, table, src = _setup(spark, os.path.join(tmp, mode))
+        changes.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "f1"))
+        merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table,
+                           ["id"], n_buckets=4,
+                           merge_on_read=(mode == "mor"))
+        states[mode] = _rows(read_merge_table(spark, table))
+    assert states["mor"] == states["cow"]
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_on_read_log_meta_guard(spark):
+    """A MOR drain with different op/seq column names than the existing
+    log errors instead of mis-ordering it; engine.compact_table folds
+    through the facade."""
+    import pytest
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.streaming.table_merge import merge_stream_drain
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="tmor_eng_"))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.create_merge_table("tm", base, ["id"], n_buckets=2)
+    src = tempfile.mkdtemp(prefix="tmor_eng_src_")
+    spark.createDataFrame(
+        [(2, "B", "u", 1), (3, "c", "i", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    got = eng.merge_cdc("tm", src + "/*/", CHANGE_SCHEMA, merge_on_read=True)
+    assert _rows(got) == [(1, "a"), (2, "B"), (3, "c")]
+    table = eng.catalog.get("tables", "tm")["path"]
+    with pytest.raises(ValueError, match="one log, one op/seq naming"):
+        merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table,
+                           ["id"], n_buckets=2, merge_on_read=True,
+                           op_col="operation")
+    assert eng.compact_table("tm") == 1
+    assert _rows(eng.read_table("tm")) == [(1, "a"), (2, "B"), (3, "c")]
