@@ -271,6 +271,30 @@ class NeuronSparkEngine:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
         return compact_merge_table(self.spark, meta["path"])
 
+    def lookup_table(self, name: str, key: dict) -> DataFrame:
+        """Bucket-pruned point read of one key (lookup_merge_table):
+        scans 1/n_buckets of the base plus that bucket's log slices."""
+        from neurondb_spark.streaming.table_merge import lookup_merge_table
+
+        meta = self.catalog.get("tables", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown merge table {name!r}")
+        return lookup_merge_table(self.spark, meta["path"], key)
+
+    def rebalance_table(self, name: str, n_buckets: int) -> None:
+        """Re-bucket a merge table (offline full-table rewrite,
+        rebalance_merge_table) and update the catalog's recorded
+        bucketing so subsequent merge_cdc drains use the new layout."""
+        from neurondb_spark.streaming.table_merge import rebalance_merge_table
+
+        meta = self.catalog.get("tables", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown merge table {name!r}")
+        rebalance_merge_table(self.spark, meta["path"], int(n_buckets))
+        self.catalog.register(
+            "tables", name, dict(meta, n_buckets=int(n_buckets))
+        )
+
     def _index_build_meta(self, meta: dict) -> dict:
         """The index's OWN meta.json (nlists / num_shards / m / nbits —
         the build parameters the cost model needs, which the catalog row

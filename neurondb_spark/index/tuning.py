@@ -67,6 +67,16 @@ def validate_vectors(df: DataFrame, vec_col: str, dim: int) -> dict:
 # untouched (it identifies the measurement, it is not tuned).
 _TUNABLE = {"nprobe": 65536, "ef_search": 4096, "probe_hamming": 8}
 
+# Which tunable knob belongs to which index method — the escalation path
+# drops tunables foreign to the index's own AM (a journal can only mix
+# methods via caller error, but doubling a knob the probe will never
+# read is still wrong; r12 verdict note #2).
+_METHOD_TUNABLES = {
+    "ivf": {"nprobe"},
+    "hnsw": {"ef_search"},
+    "lsh": {"probe_hamming"},
+}
+
 
 # Feedback-history retention: the learner only needs recent behavior
 # (index contents drift, so ancient observations mislead), and an
@@ -138,8 +148,17 @@ def learn_query_params(
                 "observed_latency_s": best["latency_s"]}
     best = max(enumerate(rows), key=lambda iv: (iv[1]["recall"], -iv[0]))[1]
     escalated = dict(best["params"])
+    # restrict escalation to the index's OWN tunables when the catalog
+    # knows its method — a knob foreign to the AM (journal mixed via
+    # caller error) is dropped, not doubled-and-carried
+    meta = catalog.get("indexes", index_name)
+    allowed = _METHOD_TUNABLES.get((meta or {}).get("method"))
     for k, cap in _TUNABLE.items():
-        if k in escalated and escalated[k] is not None:
+        if k not in escalated:
+            continue
+        if allowed is not None and k not in allowed:
+            escalated.pop(k)
+        elif escalated[k] is not None:
             escalated[k] = min(int(escalated[k]) * 2, cap)
     return {"params": escalated, "met_target": False,
             "observed_recall": best["recall"],

@@ -257,6 +257,123 @@ def compact_merge_table(
     return len(batch_dirs)
 
 
+def rebalance_merge_table(
+    spark: SparkSession, table_dir: str, n_buckets: int,
+) -> None:
+    """Re-bucket a merge table to a new bucket count — the rebalance job
+    ``init_merge_table`` names as the only way bucket count changes
+    (growing tables outgrow their bucketing; the reference's analog is
+    rebalance_index). Folds the change log first (a log written under
+    the old bucketing would be mis-sliced by the new one), rewrites the
+    whole table once into a staging dir with the new layout + meta,
+    carries the streaming checkpoint and log meta across, then swaps via
+    the verified backup-keeping rename — a crash mid-swap is recover()'d
+    by the next drain's healing pass, and the checkpoint carry means
+    drains continue from where they were instead of replaying history.
+    One full-table shuffle by construction; run it as the offline
+    maintenance job it is."""
+    meta = _load_table_meta(table_dir)
+    if meta is None:
+        raise ValueError(
+            f"neurondb: {table_dir!r} has no _table_meta.json — "
+            "re-init legacy tables before rebalancing"
+        )
+    if int(n_buckets) < 1:
+        raise ValueError("neurondb: n_buckets must be >= 1")
+    compact_merge_table(spark, table_dir)
+    df = read_merge_table(spark, table_dir)
+    tmp = table_dir.rstrip("/") + ".rebalance_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (
+        df.withColumn("bucket", _bucket_of(meta["key_cols"], int(n_buckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    )
+    _write_table_meta(tmp, meta["key_cols"], int(n_buckets))
+    for aux in ("_merge_checkpoint", _LOG_DIR):
+        p = os.path.join(table_dir, aux)
+        if os.path.isdir(p):
+            shutil.copytree(p, os.path.join(tmp, aux))
+    _swap_in(spark, table_dir, tmp)
+
+
+def lookup_merge_table(
+    spark: SparkSession, table_dir: str, key: dict,
+) -> DataFrame:
+    """Bucket-pruned point read: the current row(s) for ONE key, reading
+    only that key's ``bucket=N`` slice of the base (1/n_buckets of the
+    table) plus the same bucket's change-log slices — the 100 TB key
+    lookup a full read_merge_table (all buckets + whole-log window)
+    would pay the entire table for. ``key`` must bind every key column.
+
+    Cost: one 1-row job to evaluate the bucket hash with Spark's own
+    function (never reimplemented driver-side — a Python Murmur3 that
+    drifted from F.hash would silently read the wrong bucket), then a
+    single-bucket scan with the key predicate pushed down."""
+    meta = _load_table_meta(table_dir)
+    if meta is None:
+        raise ValueError(
+            f"neurondb: {table_dir!r} has no _table_meta.json — "
+            "lookup needs the recorded bucketing"
+        )
+    key_cols, n_buckets = meta["key_cols"], meta["n_buckets"]
+    if set(key) != set(key_cols):
+        raise ValueError(
+            f"neurondb: lookup key must bind exactly {key_cols}, got "
+            f"{sorted(key)}"
+        )
+    bucket_paths = sorted(
+        os.path.join(table_dir, d)
+        for d in os.listdir(table_dir)
+        if _BUCKET_DIR_RE.match(d)
+    )
+    if not bucket_paths:
+        raise ValueError(
+            f"neurondb: {table_dir!r} has no bucket=N partitions — "
+            "not an init_merge_table layout"
+        )
+    schema_src = spark.read.option("basePath", table_dir).parquet(
+        bucket_paths[0]
+    ).drop("bucket")
+    types = dict(schema_src.dtypes)
+    kdf = spark.createDataFrame([tuple(key[c] for c in key_cols)],
+                                key_cols)
+    kdf = kdf.select(*[F.col(c).cast(types[c]) for c in key_cols])
+    b = int(
+        kdf.select(_bucket_of(key_cols, n_buckets).alias("b")).head()["b"]
+    )
+    pred = None
+    for c in key_cols:
+        cond = F.col(c).eqNullSafe(F.lit(key[c]).cast(types[c]))
+        pred = cond if pred is None else (pred & cond)
+    bdir = os.path.join(table_dir, f"bucket={b}")
+    base = None
+    if os.path.isdir(bdir):
+        base = (
+            spark.read.option("basePath", table_dir).parquet(bdir)
+            .drop("bucket").where(pred)
+        )
+    log_slices = [
+        p for d in _log_batch_dirs(table_dir)
+        if os.path.isdir(p := os.path.join(d, f"bucket={b}"))
+    ]
+    if not log_slices:
+        return base if base is not None else schema_src.limit(0)
+    lmeta = _load_log_meta(table_dir)
+    op_col, seq_col = lmeta["op_col"], lmeta["seq_col"]
+    log = spark.read.option(
+        "basePath", os.path.join(table_dir, _LOG_DIR)
+    ).parquet(*log_slices).where(pred)
+    latest = _latest_log_changes(log, key_cols, op_col, seq_col)
+    out_cols = schema_src.columns
+    upserts = latest.where(F.col(op_col) != "d").select(*out_cols)
+    if base is None:
+        return upserts
+    return base.join(
+        latest.select(*key_cols), key_cols, "left_anti"
+    ).unionByName(upserts)
+
+
 def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """Current table state (all buckets, layout column dropped). Reads
     by explicit ``bucket=N`` paths so a crash leftover the drain has not

@@ -333,3 +333,30 @@ def test_rewrite_fires_on_hnsw_index(spark):
             [r["vec_id"] for r in cand2.select("vec_id").collect()]
     finally:
         eng.set_config("route.mode", "auto")
+
+
+def test_escalation_filters_foreign_tunables(spark):
+    """Escalation only doubles knobs the index's own AM reads: a journal
+    row carrying a foreign tunable (caller error) gets it dropped, while
+    non-tunable measurement keys still pass through untouched."""
+    import tempfile as _tf
+
+    from neurondb_spark.engine import NeuronSparkEngine
+
+    eng = NeuronSparkEngine(spark, _tf.mkdtemp(prefix="rw_tun_"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eng.create_index("tun_ivf", emb, "embedding", method="ivf",
+                     nlists=8, dim=64)
+    eng.log_query_feedback(
+        "tun_ivf", {"nprobe": 4, "ef_search": 32, "note": "mixed"},
+        recall=0.5, latency_s=1.0,
+    )
+    esc = eng.learned_params("tun_ivf", target_recall=0.99)
+    assert not esc["met_target"]
+    assert esc["params"] == {"nprobe": 8, "note": "mixed"}
+    # unregistered journal (no catalog method) keeps the old behavior
+    eng.log_query_feedback(
+        "unreg", {"nprobe": 4, "ef_search": 32}, recall=0.5, latency_s=1.0,
+    )
+    esc2 = eng.learned_params("unreg", target_recall=0.99)
+    assert esc2["params"] == {"nprobe": 8, "ef_search": 64}

@@ -290,3 +290,94 @@ def test_merge_on_read_log_meta_guard(spark):
                            op_col="operation")
     assert eng.compact_table("tm") == 1
     assert _rows(eng.read_table("tm")) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_lookup_merge_table_bucket_pruned(spark):
+    """Point lookup reads ONLY the key's bucket slice (base + log) and
+    returns the same row the full read would: present key, log-upserted
+    key, log-deleted key, log-only-inserted key, absent key."""
+    from neurondb_spark.streaming.table_merge import (
+        lookup_merge_table,
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tlook_")
+    base, table, src = _setup(spark, tmp)
+    changes = spark.createDataFrame(
+        [(3, "x", "u", 1), (3, "y", "u", 2), (7, None, "d", 1),
+         (100, "new", "i", 1)],
+        CHANGE_SCHEMA,
+    )
+    changes.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    full = {r["id"]: r["v"] for r in read_merge_table(spark, table).collect()}
+    for kid in (1, 3, 7, 100, 999):
+        got = lookup_merge_table(spark, table, {"id": kid}).collect()
+        if kid in full:
+            assert len(got) == 1 and got[0]["v"] == full[kid], kid
+            # pruning: the plan reads only this key's bucket slice(s)
+            df = lookup_merge_table(spark, table, {"id": kid})
+            buckets = {f.split("bucket=")[1].split("/")[0]
+                       for f in df.inputFiles() if "bucket=" in f}
+            assert len(buckets) == 1, (kid, buckets)
+        else:
+            assert got == [], kid
+    import pytest
+    with pytest.raises(ValueError, match="bind exactly"):
+        lookup_merge_table(spark, table, {"id": 1, "v": "a"})
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rebalance_merge_table(spark):
+    """Re-bucketing: same visible rows under the new layout, new meta
+    enforced on subsequent drains, unfolded log folded first, and the
+    streaming checkpoint carried (a re-drain of old files is a no-op,
+    not a replay)."""
+    import pytest
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.streaming.table_merge import (
+        _load_table_meta,
+        _log_batch_dirs,
+        merge_stream_drain,
+        read_merge_table,
+        rebalance_merge_table,
+    )
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="treb_cat_"))
+    tmp = tempfile.mkdtemp(prefix="treb_")
+    base, table, src = _setup(spark, tmp)
+    eng.catalog.register("tables", "reb",
+                         {"path": table, "key_cols": ["id"], "n_buckets": 4})
+    spark.createDataFrame(
+        [(3, "x", "u", 1), (100, "new", "i", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    assert len(_log_batch_dirs(table)) == 1  # unfolded on purpose
+    before = _rows(read_merge_table(spark, table))
+    eng.rebalance_table("reb", 9)
+    assert _load_table_meta(table) == {"key_cols": ["id"], "n_buckets": 9}
+    assert _log_batch_dirs(table) == []  # folded before the rewrite
+    assert len([d for d in os.listdir(table) if d.startswith("bucket=")]) <= 9
+    assert _rows(read_merge_table(spark, table)) == before
+    assert eng.catalog.get("tables", "reb")["n_buckets"] == 9
+    # old bucketing now rejected; new accepted; checkpoint carried so the
+    # already-drained file is NOT replayed (state unchanged)
+    with pytest.raises(ValueError, match="n_buckets=9"):
+        merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                           n_buckets=4, merge_on_read=True)
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=9, merge_on_read=True)
+    assert _log_batch_dirs(table) == []
+    assert _rows(read_merge_table(spark, table)) == before
+    # and a genuinely new change lands in the new layout end-to-end
+    spark.createDataFrame(
+        [(100, "upd", "u", 2)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    got = eng.merge_cdc("reb", src + "/*/", CHANGE_SCHEMA)
+    assert dict(_rows(got))[100] == "upd"
+    shutil.rmtree(tmp, ignore_errors=True)
