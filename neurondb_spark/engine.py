@@ -73,7 +73,12 @@ def _snapshot_source_files(df: DataFrame) -> list[str]:
     under row-preserving wrappers only (every scanned row has an index
     entry); ``[]`` otherwise — a Filter/Join/Sample/Limit between scan
     and build input means the index holds a row subset and must never be
-    matched by the snapshot-equality guard in plans/knn_rewrite.py."""
+    matched by the snapshot-equality guard in plans/knn_rewrite.py.
+    Files come from the ANALYZED leaf (cache-proof — df.inputFiles()
+    reports nothing for a cached frame), falling back to
+    df.inputFiles() for leaf types without the file accessor."""
+    from neurondb_spark.plans.knn_rewrite import _leaf_input_files
+
     try:
         node = df._jdf.queryExecution().analyzed()
         while node.getClass().getSimpleName() in _ROW_PRESERVING_NODES:
@@ -82,7 +87,8 @@ def _snapshot_source_files(df: DataFrame) -> list[str]:
             node = node.children().apply(0)
         if node.children().size() != 0:
             return []
-        return sorted(df.inputFiles())
+        files = _leaf_input_files(node)
+        return files if files is not None else sorted(df.inputFiles())
     except Exception:
         return []
 

@@ -16,10 +16,14 @@ already shared with ``engine.knn()``.
 Match conditions (all must hold, else the DataFrame is returned unchanged):
 
 1. Plan shape is ``GlobalLimit(k) → LocalLimit → Sort(single ASC key,
-   global) → [Project(base outputs + one alias)] → leaf scan``. Any
-   filter, join, or extra projection between the sort and the scan makes
-   the probe unable to reproduce the query → no match (an index answers
-   unpredicated top-k only, exactly like the reference's index path).
+   global) → [Project(base outputs + one alias)] → leaf scan``, where
+   pass-through wrappers (SubqueryAlias / Projects of bare attribute
+   references — pure column selection, e.g. a select() under the
+   withColumn) are allowed between the Project and the scan. Any
+   filter, join, or computing/renaming projection between the sort and
+   the scan makes the probe unable to reproduce the query → no match
+   (an index answers unpredicated top-k only, exactly like the
+   reference's index path).
 2. The sort key is bit-identical to this package's distance expression for
    the index's (vec_col, metric) over a LITERAL query vector — verified by
    re-compiling the candidate distance with the extracted vector and
@@ -63,6 +67,19 @@ _DOUBLE_TOK_RE = re.compile(
 
 def _cls(jnode) -> str:
     return jnode.getClass().getSimpleName()
+
+
+def _leaf_input_files(jleaf) -> list[str] | None:
+    """File set of an ANALYZED-plan leaf relation, or None if the leaf
+    is not file-backed. ``df.inputFiles()`` walks the OPTIMIZED plan,
+    where a cached frame has been substituted by InMemoryRelation and
+    reports NO files — which silently disabled both snapshot recording
+    and the rewrite match for cached frames. The analyzed plan is never
+    cache-substituted, so this accessor sees the real scan."""
+    try:
+        return sorted(str(f) for f in jleaf.relation().location().inputFiles())
+    except Exception:
+        return None
 
 
 def _jiter(jseq):
@@ -110,9 +127,31 @@ def _expected_dist_sqls(
     return out
 
 
+def _descend_passthrough(node):
+    """Walk below ``node`` through row-preserving pass-through wrappers —
+    SubqueryAlias, and Projects whose every entry is a bare
+    AttributeReference (pure column selection/reordering; an Alias would
+    rename or compute, which the expression-SQL compare downstream could
+    not see through) — to the underlying node. select().withColumn()
+    chains stack Projects in the ANALYZED plan (the optimizer collapses
+    them later, but this match runs pre-optimizer)."""
+    while True:
+        c = _cls(node)
+        if c == "SubqueryAlias":
+            node = node.children().apply(0)
+        elif c == "Project" and all(
+            _cls(ne) == "AttributeReference"
+            for ne in _jiter(node.projectList())
+        ):
+            node = node.children().apply(0)
+        else:
+            return node
+
+
 def _match_plan(df: DataFrame) -> dict | None:
-    """Structural match of GlobalLimit→LocalLimit→Sort→[Project]→leaf.
-    Returns {k, expr_sql, alias_name, base_cols} or None."""
+    """Structural match of GlobalLimit→LocalLimit→Sort→[Project]→leaf
+    (pass-through projections/aliases allowed between Project and leaf).
+    Returns {k, expr_sql, alias_name, base_cols, scan_files} or None."""
     node = df._jdf.queryExecution().analyzed()
     if _cls(node) != "GlobalLimit":
         return None
@@ -141,12 +180,11 @@ def _match_plan(df: DataFrame) -> dict | None:
 
     if _cls(sort_expr) == "AttributeReference":
         # withColumn shape: the sort key is an alias defined by a Project
-        # of exactly [base outputs..., the alias] over a leaf scan
+        # of exactly [base outputs..., the alias] over a (pass-through-
+        # wrapped) leaf scan
         if _cls(child) != "Project":
             return None
         base = child.children().apply(0)
-        if base.children().size() != 0:
-            return None
         base_ids = {a.exprId().id() for a in _jiter(base.output())}
         base_cols = [a.name() for a in _jiter(base.output())]
         alias_name, expr_sql, n_alias = None, None, 0
@@ -163,17 +201,24 @@ def _match_plan(df: DataFrame) -> dict | None:
                 return None
         if n_alias != 1 or expr_sql is None:
             return None
+        leaf = _descend_passthrough(base)
+        if leaf.children().size() != 0:
+            return None
         return {"k": k, "expr_sql": expr_sql, "alias_name": alias_name,
-                "base_cols": base_cols}
+                "base_cols": base_cols,
+                "scan_files": _leaf_input_files(leaf)}
 
     # direct-expression shape: orderBy(dist_expr) with no projected alias
-    if child.children().size() != 0:
+    base_cols = [a.name() for a in _jiter(child.output())]
+    leaf = _descend_passthrough(child)
+    if leaf.children().size() != 0:
         return None
     return {
         "k": k,
         "expr_sql": sort_expr.sql(),
         "alias_name": None,
-        "base_cols": [a.name() for a in _jiter(child.output())],
+        "base_cols": base_cols,
+        "scan_files": _leaf_input_files(leaf),
     }
 
 
@@ -191,7 +236,7 @@ def explain_knn_rewrite(engine, df: DataFrame) -> dict:
     if qvec is None:
         return {"rewrite": False,
                 "reason": "sort key has no (single, literal) query vector"}
-    scan_files = set(df.inputFiles())
+    scan_files = set(m["scan_files"] or ())
     if not scan_files:
         return {"rewrite": False,
                 "reason": "scan has no stable file set (in-memory source)"}

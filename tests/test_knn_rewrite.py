@@ -360,3 +360,37 @@ def test_escalation_filters_foreign_tunables(spark):
     )
     esc2 = eng.learned_params("unreg", target_recall=0.99)
     assert esc2["params"] == {"nprobe": 8, "ef_search": 64}
+
+
+def test_snapshot_guard_and_rewrite_survive_caching(spark):
+    """df.inputFiles() reports NOTHING for a cached frame (the optimized
+    plan serves from InMemoryRelation) — the full pytest suite caught
+    the guard recording [] whenever an earlier test had cached the same
+    frame. Files must come from the ANALYZED leaf: snapshot recording
+    and the rewrite match both work on cached frames."""
+    import tempfile as _tf
+
+    from neurondb_spark.engine import NeuronSparkEngine, _snapshot_source_files
+    from neurondb_spark.registry.common import qvec
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sel = emb.select("vec_id", "embedding", "label")
+    sel.cache()
+    try:
+        sel.count()
+        assert sel.inputFiles() == []  # the trap this test pins
+        # (emb.inputFiles() is poisoned too — the cache manager
+        # substitutes the cached projection into the unprojected plan —
+        # so the expectation must be the literal path)
+        want = [f"file://{SF_DIR}/embeddings.parquet"]
+        assert _snapshot_source_files(sel) == want
+        eng = NeuronSparkEngine(spark, _tf.mkdtemp(prefix="rw_cache_"))
+        eng.create_index("c_ivf", sel, "embedding", method="ivf",
+                         nlists=8, dim=64)
+        assert eng.catalog.get("indexes", "c_ivf")["source_files"] == want
+        eng.set_config("route.mode", "index")
+        cand = _candidate(sel, qvec(spark, SF_DIR, 3))
+        d = eng.explain_rewrite(cand)
+        assert d["rewrite"] is True and d["index"] == "c_ivf"
+    finally:
+        sel.unpersist()
