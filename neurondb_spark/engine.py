@@ -563,6 +563,63 @@ class NeuronSparkEngine:
 
         return rerank_llm(df, text_col, query, **kw)
 
+    # -------------------------------------------------------- tokenizers
+
+    def train_tokenizer(
+        self, name: str, df: DataFrame, text_col: str, num_merges: int,
+        max_words: int | None = None,
+    ) -> list[tuple[str, str, int]]:
+        """Train a BPE tokenizer on a corpus and persist it as a catalog
+        artifact: distributed word count (bpe_word_table) + the
+        production-scale hybrid merge loop (operators/bpe_local.py),
+        saved via operators/tokenizer_io — the training-side counterpart
+        of the reference's pretrained-tokenizer loading surface
+        (neurondb--1.0.sql:5117-5157). Returns the learned merge table
+        (may be shorter than ``num_merges`` if pairs exhaust)."""
+        from neurondb_spark.operators.bpe import bpe_word_table
+        from neurondb_spark.operators.bpe_local import bpe_train_hybrid
+        from neurondb_spark.operators.tokenizer_io import save_tokenizer
+
+        words = bpe_word_table(df, text_col, max_words=max_words)
+        merges, _final = bpe_train_hybrid(words, num_merges)
+        path = os.path.join(
+            self.catalog.artifact_dir("tokenizers", name), "tokenizer.json"
+        )
+        save_tokenizer(path, merges,
+                       {"text_col": text_col, "max_words": max_words})
+        self.catalog.register(
+            "tokenizers", name,
+            {"path": path, "num_merges": len(merges)},
+        )
+        return merges
+
+    def tokenize_with(
+        self, name: str, df: DataFrame, text_col: str,
+        out_col: str = "tokens", id_col: str | None = None,
+    ) -> DataFrame:
+        """Apply a saved tokenizer. With ``id_col`` (a unique row id):
+        the corpus-scale vocabulary-join path — each DISTINCT word folds
+        once, broadcast back (bpe_local.bpe_tokenize_via_vocab). Without:
+        the pure Column expression (bpe.bpe_tokenize) — shuffle-free but
+        the K folds run per word occurrence; fine for small frames or
+        pipeline expressions, measured unusable corpus-wide at sf0.1."""
+        from neurondb_spark.operators.tokenizer_io import load_tokenizer
+
+        meta = self.catalog.get("tokenizers", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown tokenizer {name!r}")
+        merges, _ = load_tokenizer(meta["path"])
+        if id_col is not None:
+            from neurondb_spark.operators.bpe_local import (
+                bpe_tokenize_via_vocab,
+            )
+
+            return bpe_tokenize_via_vocab(df, text_col, id_col, merges,
+                                          out_col=out_col)
+        from neurondb_spark.operators.bpe import bpe_tokenize
+
+        return df.withColumn(out_col, bpe_tokenize(text_col, merges))
+
     def user_similarity(self, ratings, target_user, **kw):
         from neurondb_spark.ml.recommender import user_similarity
 

@@ -42,7 +42,86 @@ from __future__ import annotations
 import heapq
 from collections import defaultdict
 
+import pandas as pd
 from pyspark.sql import DataFrame
+
+
+def word_symbols_udf(word_col, merges: list[tuple[str, str, int]]):
+    """All K merges applied to a word column in ONE Arrow-batched pandas
+    UDF (the verbatim greedy fold, so output is bit-equal to
+    ``bpe.apply_merges``). This is a genuine built-ins-can't-express
+    case: nesting ``merge_pair_expr`` K deep duplicates its child
+    expression ~4× per level — an O(4^K) expression TREE that hangs
+    analysis around K≈10 (the reason bpe_train localCheckpoints every
+    round). The UDF is linear: O(K · word length) per word."""
+    from pyspark.sql import functions as F
+
+    pairs = [(l, r) for l, r, _ in merges]
+
+    @F.pandas_udf("array<string>")
+    def _apply(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            syms = list(w) if w else []
+            for left, right in pairs:
+                if len(syms) > 1:
+                    syms = _merge_word(syms, left, right)
+            out.append(syms)
+        return pd.Series(out)
+
+    return _apply(word_col)
+
+
+def bpe_tokenize_via_vocab(
+    df: DataFrame, text_col: str, id_col: str,
+    merges: list[tuple[str, str, int]], out_col: str = "tokens",
+) -> DataFrame:
+    """Corpus-scale tokenizer APPLY: fold each DISTINCT word once (the
+    Arrow-batched :func:`word_symbols_udf`) and broadcast the
+    word→subwords mapping back, instead of replaying the K merge folds
+    per word OCCURRENCE (``bpe.bpe_tokenize`` — a pure Column
+    expression, correct for small K, but exponential in expression size
+    and measured unusable corpus-wide at sf0.1). Zipf does the work:
+    the fold runs |vocabulary| times total.
+
+    Cost: one corpus explode, one broadcast join (vocabulary is
+    Heaps-bounded; swap to a shuffle join past broadcast size), one
+    groupBy(id) to reassemble token arrays in word order (position
+    carried through the join, array_sort restores it). Rows whose text
+    has no tokens get an empty array — same as the expression form.
+    ``id_col`` must be unique per row (it keys the reassembly)."""
+    from pyspark.sql import functions as F
+
+    from neurondb_spark.functions.text import tokenize
+
+    words = df.select(
+        F.col(id_col).alias("_tid"),
+        F.posexplode(tokenize(text_col)).alias("_pos", "_w"),
+    )
+    vocab = (
+        words.select(F.col("_w").alias("_word")).distinct()
+        .withColumn("_sub", word_symbols_udf(F.col("_word"), merges))
+    )
+    assembled = (
+        words.join(F.broadcast(vocab), words["_w"] == vocab["_word"])
+        .groupBy("_tid")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_sub"))),
+                    lambda s: s["_sub"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return (
+        df.join(assembled, df[id_col] == assembled["_tid"], "left")
+        .drop("_tid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+        )
+    )
 
 
 def _adjacent_pairs(symbols: list[str]) -> list[tuple[str, str]]:

@@ -208,6 +208,46 @@ FROM documents"""
     return f"{one(0)}\nUNION ALL\n{one(1)}"
 
 
+def _q_bpe_saved_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer PERSISTENCE round-trip under the hash gate: train K=10
+    through the engine facade (hybrid loop), save the artifact to the
+    catalog (operators/tokenizer_io), load it back, and re-tokenize the
+    corpus AT VOCABULARY COST (the loaded merges fold once per distinct
+    word via word_symbols_udf — the same Zipf trick
+    bpe_tokenize_via_vocab uses corpus-wide; nesting the expression form
+    K=10 deep is an O(4^K) expression tree that hangs analysis). Must
+    hash-equal the same chained-CTE replay as bpe_tokenize_counts: a
+    drifted save/load — a dropped merge, reordered table, lossy
+    roundtrip — breaks the hash."""
+    import os
+    import tempfile
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.operators.bpe import bpe_token_counts, bpe_word_table
+    from neurondb_spark.operators.bpe_local import word_symbols_udf
+    from neurondb_spark.operators.tokenizer_io import load_tokenizer
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    cat = os.path.join(tempfile.gettempdir(), f"neurondb_tok_v1_{tag}")
+    eng = NeuronSparkEngine(spark, cat)
+    docs = t(spark, sf_dir, "documents")
+    if eng.catalog.get("tokenizers", "gate_bpe") is None:
+        eng.train_tokenizer("gate_bpe", docs, "text",
+                            num_merges=_BPE_MERGES)
+    merges, _meta = load_tokenizer(
+        eng.catalog.get("tokenizers", "gate_bpe")["path"]
+    )
+    words = bpe_word_table(docs, "text")
+    final = words.withColumn(
+        "symbols", word_symbols_udf(F.col("word"), merges)
+    )
+    return (
+        bpe_token_counts(final)
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(_BPE_TOP)
+    )
+
+
 _EPP_SEQ_LEN = 512
 _EPP_EPOCH = 1
 
@@ -280,6 +320,8 @@ QUERIES = {
     "bpe_tokenize_counts": (_q_bpe_token_counts, _sql_bpe_token_counts()),
     "bpe_hybrid_merges": (_q_bpe_hybrid_merges, _sql_bpe_merges()),
     "bpe_hybrid_train_k2000": (_q_bpe_hybrid_prod, None),
+    "bpe_saved_tokenize_counts": (_q_bpe_saved_counts,
+                                  _sql_bpe_token_counts()),
     "epoch_shuffle_order": (_q_epoch_shuffle, _sql_epoch_shuffle()),
     "epoch_pack_spans": (_q_epoch_pack, _sql_epoch_pack()),
 }
