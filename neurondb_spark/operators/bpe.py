@@ -162,7 +162,13 @@ def bpe_train(
 
 def apply_merges(symbols: Column, merges: list[tuple[str, str, int]]) -> Column:
     """Apply a learned merge table (in training order) to a symbol
-    array — the tokenizer's encode step as one Column expression."""
+    array — the tokenizer's encode step as one Column expression.
+
+    Expression-size warning: each nested fold references its child
+    ~4×, so the expression TREE is O(4^K) in the number of merges —
+    plan analysis hangs around K≈10. For larger K use
+    ``bpe_local.word_symbols_udf`` (one Arrow-batched linear fold,
+    bit-equal) or ``bpe_local.bpe_tokenize_via_vocab`` corpus-wide."""
     out = symbols
     for left, right, _ in merges:
         out = merge_pair_expr(out, left, right)
@@ -174,7 +180,11 @@ def bpe_tokenize(
 ) -> Column:
     """Tokenize text with a learned BPE table: alnum-run word split, each
     word char-split then merged, flattened to one subword-token array.
-    Expression-only — usable in any pipeline stage, no UDF."""
+    Expression-only — usable in any pipeline stage, no UDF — but
+    O(4^K) in expression size (see :func:`apply_merges`): for K beyond
+    ~8, or any corpus-wide apply, use
+    ``bpe_local.bpe_tokenize_via_vocab`` (each DISTINCT word folds once;
+    measured 4s vs unusable at sf0.1)."""
     from neurondb_spark.functions.text import tokenize
 
     c = F.col(text) if isinstance(text, str) else text
