@@ -276,24 +276,41 @@ CHECKED_BY_ROUND[12] = frozenset({
     "knn_squared_l2", "knn_hamming", "vector_norms",
 })
 
+# the 50 rows in CORRECTNESS_r13.json — 45 hash-green + 5 no-oracle by
+# design (the four seed-unstable MLlib production twins, each with a
+# hash-gated exact fixed-iteration counterpart, plus bpe_hybrid_train_k2000
+# whose K=2000 chained-CTE oracle DuckDB cannot plan — the identical
+# construction IS validated at K=10 twice). The three round-13
+# FORCE_RECHECK entries re-verified green and were pruned.
+CHECKED_BY_ROUND[13] = frozenset({
+    "als_fixed_alternations", "bpe_hybrid_merges", "bpe_hybrid_train_k2000",
+    "bpe_saved_tokenize_counts", "centroid_drift",
+    "community_label_propagation", "corpus_curation_pipeline",
+    "distribution_divergence", "epoch_pack_spans", "graph_bfs", "graph_knn",
+    "graph_pagerank", "hash_embed", "int8_quantize_analysis",
+    "ivf_batch_knn", "js_divergence_hist", "knn_classify_vote",
+    "label_f1_at_k", "label_recall_at_k", "lof_outliers", "ltr_rerank",
+    "merge_on_read_rows", "merge_upsert_rows", "ml_kmeans_clusters",
+    "ml_logreg_predictions", "mmr_rerank", "opq_rotated_variance",
+    "ppl_bucket_counts", "quality_classifier_scores", "rag_query",
+    "repetition_quality_filters", "rerank_lexical", "sparse_metrics_knn",
+    "sparse_search_tf", "stream_exact_dedup", "stream_lsh_neardup",
+    "stream_merge_upsert", "stream_sessionize", "substring_dup_pairs",
+    "substring_dup_stats", "token_budget_mix", "tpch_q1",
+    "tpch_q12_priority_classes", "tpch_q19_disjunctive", "tpch_q4_priority",
+    "tpch_q5_local_supplier", "ts_arima_forecast", "tsne_label_centroids",
+    "vector_avg_by_label", "vector_masked_ops",
+})
+
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # (All five round-12 entries — the packing/streaming-packing/
-    # temperature-mix/quantile rewrites — got their green re-check in
-    # CORRECTNESS_r12.json and were pruned. Add a query here whenever its
-    # implementation — or an index/stream path it consumes — is rewritten
-    # after its latest driver check.)
-    #
-    # Round-13 rewrites (ADVICE r12): apply_changes gained a
-    # deterministic seq-tie tiebreak (hash of op+payload); table_merge
-    # persists+verifies _table_meta.json; _q_stream_merge stages its
-    # change files atomically.
-    "merge_upsert_rows", "stream_merge_upsert",
-    # Round 13: ppl_bucket_assign gained the threshold_sample_frac knob
-    # (default path unchanged, but the function body was edited).
-    "ppl_bucket_counts",
+    # (All three round-13 entries — the merge-table hardening and the
+    # ppl sampling knob — got their green re-check in CORRECTNESS_r13.json
+    # and were pruned. Add a query here whenever its implementation — or
+    # an index/stream path it consumes — is rewritten after its latest
+    # driver check.)
 })
 
 
