@@ -65,26 +65,28 @@ def _probe_cost(method: str, imeta: dict, rows: int, k: int,
     return math.inf
 
 
-_ROW_PRESERVING_NODES = frozenset({"Project", "SubqueryAlias"})
-
-
 def _snapshot_source_files(df: DataFrame) -> list[str]:
     """Input files of ``df`` IF its analyzed plan is a single leaf scan
-    under row-preserving wrappers only (every scanned row has an index
-    entry); ``[]`` otherwise — a Filter/Join/Sample/Limit between scan
-    and build input means the index holds a row subset and must never be
-    matched by the snapshot-equality guard in plans/knn_rewrite.py.
+    under pass-through wrappers only — SubqueryAlias, and Projects of
+    BARE attribute references; ``[]`` otherwise. A Filter/Join/Sample/
+    Limit in between means the index holds a row SUBSET, and a
+    value-computing Project (withColumn replacing/normalizing the vector
+    column before indexing) means the index holds DIFFERENT VALUES than
+    the scan — either way the snapshot-equality guard in
+    plans/knn_rewrite.py must never match this index against a raw-scan
+    orderBy/limit, so recording is refused. The walk is the SAME
+    ``_descend_passthrough`` the rewrite's match side uses — recorder
+    and matcher accept exactly the same plan shapes by construction.
     Files come from the ANALYZED leaf (cache-proof — df.inputFiles()
     reports nothing for a cached frame), falling back to
     df.inputFiles() for leaf types without the file accessor."""
-    from neurondb_spark.plans.knn_rewrite import _leaf_input_files
+    from neurondb_spark.plans.knn_rewrite import (
+        _descend_passthrough,
+        _leaf_input_files,
+    )
 
     try:
-        node = df._jdf.queryExecution().analyzed()
-        while node.getClass().getSimpleName() in _ROW_PRESERVING_NODES:
-            if node.children().size() != 1:
-                return []
-            node = node.children().apply(0)
+        node = _descend_passthrough(df._jdf.queryExecution().analyzed())
         if node.children().size() != 0:
             return []
         files = _leaf_input_files(node)
@@ -286,6 +288,20 @@ class NeuronSparkEngine:
         if meta is None:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
         return lookup_merge_table(self.spark, meta["path"], key)
+
+    def lookup_table_many(self, name: str, keys: list[dict]) -> DataFrame:
+        """Batched point read (lookup_merge_table_many): ONE bucket-hash
+        job for all keys, then one pruned scan per touched bucket — a
+        point-lookup service should batch instead of looping
+        lookup_table (which pays job-scheduling latency per key)."""
+        from neurondb_spark.streaming.table_merge import (
+            lookup_merge_table_many,
+        )
+
+        meta = self.catalog.get("tables", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown merge table {name!r}")
+        return lookup_merge_table_many(self.spark, meta["path"], keys)
 
     def rebalance_table(self, name: str, n_buckets: int) -> None:
         """Re-bucket a merge table (offline full-table rewrite,
@@ -600,25 +616,39 @@ class NeuronSparkEngine:
         """Apply a saved tokenizer. With ``id_col`` (a unique row id):
         the corpus-scale vocabulary-join path — each DISTINCT word folds
         once, broadcast back (bpe_local.bpe_tokenize_via_vocab). Without:
-        the pure Column expression (bpe.bpe_tokenize) — shuffle-free but
-        the K folds run per word occurrence; fine for small frames or
-        pipeline expressions, measured unusable corpus-wide at sf0.1."""
+        small merge tables (K <= bpe.MAX_EXPR_MERGES) compile to the pure
+        Column expression (bpe.bpe_tokenize — shuffle-free, but the K
+        folds run per word OCCURRENCE and the expression tree is O(4^K));
+        trained-size tables auto-route through the vocabulary-join path
+        on a synthesized ``monotonically_increasing_id`` — the frame is
+        localCheckpoint'd first so both sides of the reassembly join see
+        the SAME ids (the id expression is nondeterministic across
+        recomputations). Apply-by-default must not hang on its own
+        trained artifact (the reference's tokenizer surface is
+        apply-only, neurondb--1.0.sql:5117-5157)."""
+        from neurondb_spark.operators.bpe import MAX_EXPR_MERGES
         from neurondb_spark.operators.tokenizer_io import load_tokenizer
 
         meta = self.catalog.get("tokenizers", name)
         if meta is None:
             raise ValueError(f"neurondb: unknown tokenizer {name!r}")
         merges, _ = load_tokenizer(meta["path"])
-        if id_col is not None:
-            from neurondb_spark.operators.bpe_local import (
-                bpe_tokenize_via_vocab,
-            )
+        if id_col is None and len(merges) <= MAX_EXPR_MERGES:
+            from neurondb_spark.operators.bpe import bpe_tokenize
 
-            return bpe_tokenize_via_vocab(df, text_col, id_col, merges,
-                                          out_col=out_col)
-        from neurondb_spark.operators.bpe import bpe_tokenize
+            return df.withColumn(out_col, bpe_tokenize(text_col, merges))
+        from neurondb_spark.operators.bpe_local import bpe_tokenize_via_vocab
 
-        return df.withColumn(out_col, bpe_tokenize(text_col, merges))
+        if id_col is None:
+            tmp_id = "__nb_tok_id"
+            pinned = df.withColumn(
+                tmp_id, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            return bpe_tokenize_via_vocab(
+                pinned, text_col, tmp_id, merges, out_col=out_col
+            ).drop(tmp_id)
+        return bpe_tokenize_via_vocab(df, text_col, id_col, merges,
+                                      out_col=out_col)
 
     def user_similarity(self, ratings, target_user, **kw):
         from neurondb_spark.ml.recommender import user_similarity

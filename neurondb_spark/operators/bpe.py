@@ -160,6 +160,12 @@ def bpe_train(
     return merges, cur
 
 
+# Largest merge table the pure-expression tokenizer will compile: each
+# nested fold references its child ~4×, so the expression TREE is O(4^K)
+# and plan analysis hangs around K≈10 (measured; see PLANS.md).
+MAX_EXPR_MERGES = 8
+
+
 def apply_merges(symbols: Column, merges: list[tuple[str, str, int]]) -> Column:
     """Apply a learned merge table (in training order) to a symbol
     array — the tokenizer's encode step as one Column expression.
@@ -181,12 +187,24 @@ def bpe_tokenize(
     """Tokenize text with a learned BPE table: alnum-run word split, each
     word char-split then merged, flattened to one subword-token array.
     Expression-only — usable in any pipeline stage, no UDF — but
-    O(4^K) in expression size (see :func:`apply_merges`): for K beyond
-    ~8, or any corpus-wide apply, use
-    ``bpe_local.bpe_tokenize_via_vocab`` (each DISTINCT word folds once;
-    measured 4s vs unusable at sf0.1)."""
+    O(4^K) in expression size (see :func:`apply_merges`), so merge
+    tables longer than :data:`MAX_EXPR_MERGES` are REFUSED: past that
+    the nested expression tree hangs plan analysis (measured — the
+    exact failure a production tokenizer would hit), which is strictly
+    worse than an error. Larger K routes through
+    ``bpe_local.bpe_tokenize_via_vocab`` (each DISTINCT word folds once
+    in an Arrow UDF; ``engine.tokenize_with`` does this automatically)."""
     from neurondb_spark.functions.text import tokenize
 
+    if len(merges) > MAX_EXPR_MERGES:
+        raise ValueError(
+            f"neurondb: bpe_tokenize compiles one nested fold per merge — "
+            f"an O(4^K) expression tree that hangs plan analysis past "
+            f"K={MAX_EXPR_MERGES} (got {len(merges)} merges). Use "
+            "bpe_local.bpe_tokenize_via_vocab (or "
+            "engine.tokenize_with, which routes there) for trained-size "
+            "merge tables."
+        )
     c = F.col(text) if isinstance(text, str) else text
     return F.flatten(
         F.transform(

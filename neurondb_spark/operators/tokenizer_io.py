@@ -52,3 +52,69 @@ def load_tokenizer(path: str) -> tuple[list[tuple[str, str, int]], dict]:
         )
     merges = [(l, r, int(c)) for l, r, c in payload["merges"]]
     return merges, payload.get("meta", {})
+
+
+def export_hf_tokenizer(
+    dir_path: str, merges: list[tuple[str, str, int]],
+) -> tuple[str, str]:
+    """Emit the standard ``vocab.json`` + ``merges.txt`` pair (the
+    GPT-2/HF byte-level BPE file format, which HF ``tokenizers`` loads
+    directly) from a learned merge table. Both are derivable from the
+    table alone: the base alphabet is every single-character symbol the
+    merges mention (characters that never participate in a merge pass
+    through as themselves either way), and each merge contributes its
+    concatenation as the next vocab id — exactly how HF reconstructs a
+    vocab from merges. merges.txt is the training-ordered
+    ``left right`` list under the canonical ``#version: 0.2`` header.
+    Returns (vocab_path, merges_path); both writes are atomic
+    tmp+rename. Our tokens are alnum runs so the space separator is
+    safe — a token containing a space is refused rather than corrupted."""
+    alphabet: set[str] = set()
+    for left, right, _ in merges:
+        if " " in left or " " in right or "\n" in left or "\n" in right:
+            raise ValueError(
+                "neurondb: merges.txt is space/line-delimited — token "
+                f"({left!r}, {right!r}) cannot be exported"
+            )
+        alphabet.update(left)
+        alphabet.update(right)
+    vocab: dict[str, int] = {}
+    for ch in sorted(alphabet):
+        vocab[ch] = len(vocab)
+    for left, right, _ in merges:
+        tok = left + right
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    os.makedirs(dir_path, exist_ok=True)
+    vocab_path = os.path.join(dir_path, "vocab.json")
+    merges_path = os.path.join(dir_path, "merges.txt")
+    tmp = vocab_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    os.replace(tmp, vocab_path)
+    tmp = merges_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("#version: 0.2\n")
+        for left, right, _ in merges:
+            f.write(f"{left} {right}\n")
+    os.replace(tmp, merges_path)
+    return vocab_path, merges_path
+
+
+def load_hf_merges(merges_path: str) -> list[tuple[str, str, int]]:
+    """Re-read an emitted ``merges.txt`` into this package's merge-table
+    shape (counts are not part of the HF format and come back as 0 —
+    tokenizer APPLY never consults them; order IS the tokenizer)."""
+    out: list[tuple[str, str, int]] = []
+    with open(merges_path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            left, sep, right = line.partition(" ")
+            if not sep or not left or not right or " " in right:
+                raise ValueError(
+                    f"neurondb: malformed merges.txt line {line!r}"
+                )
+            out.append((left, right, 0))
+    return out

@@ -207,6 +207,19 @@ def test_create_index_snapshot_guard(spark):
     cand = _candidate(emb, qvec(spark, SF_DIR, 3))
     d = eng.explain_rewrite(cand)
     assert d["rewrite"] is False and "no registered index matches" in d["reason"]
+    # ADVICE r13 (medium): a VALUE-COMPUTING Project is not pass-through —
+    # an index built over withColumn(vec_col, <transform>) holds different
+    # vector values than the raw scan, so it must record source_files=[]
+    # and the raw-scan top-k must not probe it
+    normed = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(2.0))
+    )
+    assert _snapshot_source_files(normed) == []
+    eng.create_index("g_norm", normed, "embedding", method="ivf",
+                     nlists=4, dim=64)
+    assert eng.catalog.get("indexes", "g_norm")["source_files"] == []
+    d = eng.explain_rewrite(cand)
+    assert d["rewrite"] is False and "no registered index matches" in d["reason"]
     # explicit engine.knn(index=...) still probes it under the documented
     # build-time snapshot semantics
     sub = emb.where(F.col("label") < 5)

@@ -102,3 +102,70 @@ def test_vocab_apply_equals_expression_apply(spark):
          for r in eng.tokenize_with("vtok", docs, "text", out_col="toks",
                                     id_col="doc_id").collect()}
     assert v == e
+
+
+def test_hf_interop_export_roundtrip(tmp_path):
+    """VERDICT r13 stretch: the trained artifact exports as the standard
+    vocab.json + merges.txt pair; re-reading the emitted merges.txt
+    reconstructs the same merge sequence, and the derived vocab is the
+    alphabet + one id per merge in training order."""
+    import json
+
+    from neurondb_spark.operators.tokenizer_io import (
+        export_hf_tokenizer,
+        load_hf_merges,
+    )
+
+    merges = [("a", "b", 9), ("ab", "c", 4), ("d", "ab", 2)]
+    vp, mp = export_hf_tokenizer(str(tmp_path / "hf"), merges)
+    assert [m[:2] for m in load_hf_merges(mp)] == [m[:2] for m in merges]
+    with open(vp) as f:
+        vocab = json.load(f)
+    assert vocab == {"a": 0, "b": 1, "c": 2, "d": 3,
+                     "ab": 4, "abc": 5, "dab": 6}
+    with open(mp) as f:
+        assert f.readline() == "#version: 0.2\n"
+    with pytest.raises(ValueError, match="space"):
+        export_hf_tokenizer(str(tmp_path / "hf2"), [("a b", "c", 1)])
+
+
+def test_expression_tokenize_refuses_trained_size_tables():
+    """bpe_tokenize compiles one nested fold per merge — an O(4^K)
+    expression tree that hangs plan analysis past K≈10 (measured,
+    PLANS.md). A trained-size table must ERROR with a pointer at the
+    vocabulary-join path, not wedge the driver (VERDICT r13 #2)."""
+    from neurondb_spark.operators.bpe import MAX_EXPR_MERGES, bpe_tokenize
+
+    merges = [(f"x{i}", f"y{i}", 1) for i in range(MAX_EXPR_MERGES + 1)]
+    with pytest.raises(ValueError, match="bpe_tokenize_via_vocab"):
+        bpe_tokenize("txt", merges)
+
+
+def test_tokenize_with_auto_routes_large_merge_tables(spark):
+    """engine.tokenize_with without id_col must complete on a
+    production-K merge table (the round-13 hybrid trainer makes K=2000
+    trainable — applying its own artifact through the facade's default
+    path used to build the O(4^K) expression and hang): it auto-routes
+    through the vocabulary-join path on a synthesized pinned row id,
+    and the output keeps the caller's columns."""
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.operators.tokenizer_io import save_tokenizer
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="tok_big_"))
+    # two real merges + no-op padding out to K=2000 (the pairs never
+    # occur adjacently, so expected tokenization stays hand-checkable)
+    merges = [("a", "b", 5), ("ab", "c", 3)]
+    merges += [(f"x{i}", f"y{i}", 1) for i in range(1998)]
+    path = os.path.join(
+        eng.catalog.artifact_dir("tokenizers", "big"), "tokenizer.json"
+    )
+    save_tokenizer(path, merges, {})
+    eng.catalog.register("tokenizers", "big",
+                         {"path": path, "num_merges": len(merges)})
+    df = spark.createDataFrame(
+        [(1, "ab cab"), (2, "ba"), (3, None)], "rid long, txt string"
+    )
+    out = eng.tokenize_with("big", df, "txt", out_col="toks")
+    assert set(out.columns) == {"rid", "txt", "toks"}  # no leaked temp id
+    got = {r["rid"]: list(r["toks"]) for r in out.collect()}
+    assert got == {1: ["ab", "c", "ab"], 2: ["b", "a"], 3: []}
