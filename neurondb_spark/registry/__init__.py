@@ -311,6 +311,15 @@ FORCE_RECHECK = frozenset({
     # and were pruned. Add a query here whenever its implementation — or
     # an index/stream path it consumes — is rewritten after its latest
     # driver check.)
+    #
+    # Round 14: table_merge moved to manifest-committed snapshot reads
+    # (versioned bucket dirs, one-commit-retention GC, durable compaction
+    # cadence, entry-point recover(), COW unfolded-log guard) — all merge
+    # gate rows consume those paths.
+    "merge_upsert_rows", "stream_merge_upsert", "merge_on_read_rows",
+    # Round 14: operators/bpe.py gained the K>8 expression-form guard and
+    # engine.tokenize_with auto-routes large tables via a pinned row id.
+    "bpe_tokenize_counts", "bpe_saved_tokenize_counts",
 })
 
 

@@ -851,7 +851,7 @@ def _q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout all at once. Same infra-only batch fallback contract as the
     other stream rows."""
     return _run_merge_scenario(spark, sf_dir, "stream_merge_upsert",
-                               "neurondb_smerge_v1", merge_on_read=False)
+                               "neurondb_smerge_v2", merge_on_read=False)
 
 
 def _q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,8 +865,41 @@ def _q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     form as the copy-on-write drain — read semantics are the same, only
     the physical write/read trade differs."""
     return _run_merge_scenario(spark, sf_dir, "merge_on_read_rows",
-                               "neurondb_mor_v1", merge_on_read=True,
+                               "neurondb_mor_v2", merge_on_read=True,
                                compact_every=2)
+
+
+def _q_merge_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point read of ONE key from the merge-on-read CDC
+    table (streaming/table_merge.py lookup_merge_table — reads only that
+    key's current bucket version dir + its unfolded log slices, resolved
+    through the manifest snapshot). The key is the smallest %5==1
+    orderkey — an UPDATED row, so the lookup must return the post-merge
+    3x price, not the base value; the oracle replays the same closed
+    form with a single-key WHERE. Falls back to filtering the closed
+    form when the streaming scenario was batch-twinned (same contract
+    as the other merge rows)."""
+    from neurondb_spark.streaming.table_merge import lookup_merge_table
+
+    key = int(
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 1)
+        .agg(F.min("o_orderkey"))
+        .head()[0]
+    )
+    # ensure the MOR scenario table exists and is fully drained
+    # (idempotent — shares the merge_on_read_rows table + checkpoint)
+    state = _run_merge_scenario(spark, sf_dir, "merge_point_lookup",
+                                "neurondb_mor_v2", merge_on_read=True,
+                                compact_every=2)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    table = os.path.join(tempfile.gettempdir(), f"neurondb_mor_v2_{tag}",
+                         "table")
+    if os.path.isdir(table):
+        out = lookup_merge_table(spark, table, {"o_orderkey": key})
+    else:  # batch-twin fallback (non-strict infra failure only)
+        out = state.where(F.col("o_orderkey") == key)
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 def _run_merge_scenario(
@@ -933,11 +966,19 @@ UNION ALL
 SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0"""
 
+_SQL_MERGE_POINT_LOOKUP = f"""WITH state AS (
+{_SQL_STREAM_MERGE}
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM state
+WHERE o_orderkey = (
+  SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 5 = 1)"""
+
 
 QUERIES = {
     "merge_upsert_rows": (_q_merge_upsert, _SQL_MERGE_UPSERT),
     "stream_merge_upsert": (_q_stream_merge, _SQL_STREAM_MERGE),
     "merge_on_read_rows": (_q_merge_on_read, _SQL_STREAM_MERGE),
+    "merge_point_lookup": (_q_merge_point_lookup, _SQL_MERGE_POINT_LOOKUP),
     "matryoshka_overlap": (_q_matryoshka_overlap, _sql_matryoshka_overlap()),
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),

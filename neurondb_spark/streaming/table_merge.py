@@ -1,33 +1,51 @@
-"""Streaming CDC drain into a bucketed copy-on-write TABLE (§2.13 ×
-data_management.apply_changes — the table-level twin of the index CDC
+"""Streaming CDC drain into a bucketed, manifest-committed TABLE (§2.13
+× data_management.apply_changes — the table-level twin of the index CDC
 drain in streaming/index_ingest.py).
 
 Reference analog: WAL-replayed table DML (NeuronDB/src/storage/
 vector_wal.c applies logged insert/update/delete to heap + index; a PG
 table gets UPDATE/DELETE natively). Spark-first form = the Hudi/Delta
-copy-on-write shape without the table-format dependency:
+shape without the table-format dependency:
 
-- the table lives as ``table_dir/bucket=<b>/`` parquet, bucketed by a
-  hash of the key — the physical layout that bounds every merge's write
-  amplification to the TOUCHED buckets, not the whole table;
-- each micro-batch validates once, slices its changes per bucket, runs
-  the same last-writer-wins ``apply_changes`` against only the touched
-  buckets, and swaps each rewritten bucket in with the verified
-  backup-keeping rename (data_management._swap_in);
+- the table lives as ``table_dir/bucket=<b>/__nbv=<v>/`` parquet,
+  bucketed by a hash of the key — the physical layout that bounds every
+  merge's write amplification to the TOUCHED buckets, not the whole
+  table. Version dirs are IMMUTABLE once published: a rewrite writes a
+  NEW ``__nbv`` dir, never touches the old one;
+- every state change is an atomic MANIFEST COMMIT (``_manifest.json``,
+  tmp + rename — the Iceberg commit shape): the manifest records each
+  bucket's current version dir and the unfolded change-log batches, and
+  every reader resolves its ENTIRE file set from the manifest ONCE at
+  read start. A compaction/drain/rebalance swapping buckets mid-read
+  can no longer tear a reader between pre- and post-fold buckets — the
+  reader's snapshot is whatever manifest it opened;
+- files dereferenced by a commit are RETIRED, not deleted: they are
+  garbage-collected at the NEXT commit (one-commit retention, the
+  expire-snapshots analog), so a snapshot opened against manifest N
+  stays readable until commit N+2;
+- copy-on-write drains rewrite touched buckets per micro-batch;
+  merge-on-read drains (``merge_on_read=True``) append one bucketed
+  change-log directory per batch and reads union base + log with
+  last-writer-wins; a cadence-driven compactor
+  (``compact_merge_table``) folds the log back into the base. The
+  cadence triggers on the MANIFEST's unfolded-batch count — durable by
+  construction, so a crash that skipped a scheduled fold self-heals on
+  the next drain;
 - exactly-once to the reader: the apply is IDEMPOTENT (upserts replace,
-  deletes remove, inserts anti-join), so a post-crash replay of the same
-  micro-batch — or of a half-applied one — converges to the same state;
-  the streaming checkpoint guarantees no batch is skipped.
+  deletes remove, inserts anti-join), so a post-crash replay of the
+  same micro-batch — or of a half-applied one — converges to the same
+  state; the streaming checkpoint guarantees no batch is skipped, and
+  a crash before a manifest publish leaves only orphan version dirs the
+  next write of that bucket sweeps.
 
-At 100 TB: buckets = thousands (a few GB each); a micro-batch touching
-k buckets reads and rewrites ~k·(table/n_buckets) bytes — the standard
-copy-on-write cost. The MERGE-ON-READ tier (``merge_on_read=True`` +
-``compact_merge_table``) is the other half of the Hudi/Delta shape:
-each micro-batch appends one bucketed change-log directory (write cost
-= the batch itself), reads union base + log with last-writer-wins, and
-a cadence-driven compactor folds the log back into the base — the
-write-heavy/read-light trade every streaming-ingest table format
-offers, without the format dependency.
+Single writer at a time (the streaming checkpoint's own contract);
+readers are lock-free against that writer via the manifest snapshot.
+
+At 100 TB: buckets = thousands (a few GB each); a COW micro-batch
+touching k buckets rewrites ~k·(table/n_buckets) bytes; a MOR batch
+writes only itself and reads pay one window over the cadence-bounded
+log. Steady-state disk = current files + the last commit's retired set
+(one version back per touched bucket).
 """
 
 from __future__ import annotations
@@ -40,10 +58,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from neurondb_spark.data_management import _swap_in, apply_changes, recover
+from neurondb_spark.data_management import apply_changes, recover
 
 _BUCKET_DIR_RE = re.compile(r"^bucket=\d+$")
+_VER_DIR_RE = re.compile(r"^__nbv=\d+$")
 _META_FILE = "_table_meta.json"
+_MANIFEST_FILE = "_manifest.json"
 _LOG_DIR = "_log"
 _LOG_META_FILE = "_log_meta.json"
 _LOG_BATCH_RE = re.compile(r"^logbatch=\d+$")
@@ -86,10 +106,12 @@ def _check_table_meta(table_dir: str, key_cols: list[str],
 
 
 def _heal_table(table_dir: str) -> None:
-    """Clear crash leftovers so partition discovery never sees them:
-    ``bucket=N.old`` either restores a missing bucket (recover) or is a
-    stale backup (swap completed — drop it); ``*.merge_tmp`` is an
-    incomplete write (the original bucket is intact — drop it)."""
+    """Clear PRE-MANIFEST crash leftovers so nothing stale poisons a
+    legacy directory listing: ``bucket=N.old`` either restores a missing
+    bucket (recover) or is a stale backup (swap completed — drop it);
+    ``*.merge_tmp`` is an incomplete write (the original bucket is
+    intact — drop it). Manifest-era writes never create either shape
+    (new version dirs are published by manifest commit, not by swap)."""
     if not os.path.isdir(table_dir):
         return
     for name in os.listdir(table_dir):
@@ -109,31 +131,201 @@ def _bucket_of(key_cols: list[str], n_buckets: int):
     return F.pmod(F.hash(*key_cols), F.lit(n_buckets))
 
 
-def init_merge_table(
-    spark: SparkSession, df: DataFrame, table_dir: str,
-    key_cols: list[str], n_buckets: int = 16,
-) -> None:
-    """Seed the bucketed table layout from a base frame. One partitioned
-    write; bucket count is fixed for the table's lifetime (re-bucketing
-    is a rebalance job, data_management.rebalance)."""
-    (
-        df.withColumn("bucket", _bucket_of(key_cols, n_buckets))
-        .write.mode("overwrite").partitionBy("bucket").parquet(table_dir)
-    )
-    _write_table_meta(table_dir, key_cols, n_buckets)
+# ------------------------------------------------------ manifest commits
 
 
-# ------------------------------------------------- merge-on-read tier
+def _read_manifest(table_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(table_dir, _MANIFEST_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
-def _log_batch_dirs(table_dir: str) -> list[str]:
-    """Unfolded change-log batch directories, oldest batch first."""
+def _list_log_dirs_raw(table_dir: str) -> list[str]:
+    """Raw on-disk ``logbatch=N`` directories (manifest-blind — includes
+    folded-but-retained and orphan dirs), oldest first."""
     log_dir = os.path.join(table_dir, _LOG_DIR)
     if not os.path.isdir(log_dir):
         return []
     dirs = [d for d in os.listdir(log_dir) if _LOG_BATCH_RE.match(d)]
     dirs.sort(key=lambda d: int(d.split("=", 1)[1]))
     return [os.path.join(log_dir, d) for d in dirs]
+
+
+def _synth_manifest(table_dir: str) -> dict:
+    """Bootstrap a manifest for a pre-manifest (legacy) table from its
+    directory listing: loose-file buckets are referenced by their root
+    dir; every on-disk log batch counts as unfolded (legacy compaction
+    deleted folded dirs eagerly, so whatever remains IS the unfolded
+    set). The synthesized manifest is not persisted — the next commit
+    publishes a real one."""
+    buckets: dict[str, str] = {}
+    if os.path.isdir(table_dir):
+        for name in os.listdir(table_dir):
+            if not _BUCKET_DIR_RE.match(name):
+                continue
+            vers = [
+                int(v.split("=", 1)[1])
+                for v in os.listdir(os.path.join(table_dir, name))
+                if _VER_DIR_RE.match(v)
+            ]
+            b = name.split("=", 1)[1]
+            # version dirs without a manifest only arise from an init
+            # crash; best effort = newest. Loose files = legacy layout.
+            buckets[b] = f"{name}/__nbv={max(vers)}" if vers else name
+    log_batches = [
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _list_log_dirs_raw(table_dir)
+    ]
+    return {"format": "neurondb-merge-manifest-v1", "commit": 0,
+            "buckets": buckets, "log_batches": log_batches, "retired": []}
+
+
+def _load_manifest(table_dir: str) -> dict:
+    m = _read_manifest(table_dir)
+    return m if m is not None else _synth_manifest(table_dir)
+
+
+def _publish_manifest(table_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(table_dir, _MANIFEST_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(table_dir, _MANIFEST_FILE))
+
+
+def _gc_paths(table_dir: str, rels: list[str]) -> None:
+    for rel in rels:
+        p = os.path.join(table_dir, rel)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+
+
+def _commit_manifest(
+    table_dir: str, prev: dict, bucket_updates: dict[str, str],
+    newly_retired: list[str], log_batches: list[int],
+) -> dict:
+    """One atomic state change: garbage-collect what the PREVIOUS commit
+    retired (one-commit retention — a reader holding the previous
+    manifest still needs those files; a reader holding this one doesn't
+    reference them), then publish the new manifest. Crash between GC and
+    publish re-runs idempotently (GC skips missing paths)."""
+    _gc_paths(table_dir, prev.get("retired", []))
+    new = {
+        "format": "neurondb-merge-manifest-v1",
+        "commit": int(prev.get("commit", 0)) + 1,
+        "buckets": {**prev.get("buckets", {}), **bucket_updates},
+        "log_batches": sorted(set(int(i) for i in log_batches)),
+        "retired": sorted(set(newly_retired)),
+    }
+    _publish_manifest(table_dir, new)
+    return new
+
+
+def _next_version_rel(table_dir: str, b: int) -> str:
+    """Relative path of the NEXT version dir for bucket ``b`` — one past
+    the highest on disk, so orphans from a crashed (never-published)
+    commit are never overwritten while possibly mid-write elsewhere."""
+    broot = os.path.join(table_dir, f"bucket={b}")
+    cur = -1
+    if os.path.isdir(broot):
+        for name in os.listdir(broot):
+            if _VER_DIR_RE.match(name):
+                cur = max(cur, int(name.split("=", 1)[1]))
+    return f"bucket={b}/__nbv={cur + 1}"
+
+
+def _bucket_retired(table_dir: str, prev_rel: str | None) -> list[str]:
+    """What replacing a bucket's current data dereferences: the old
+    version dir, or — for a legacy loose-file bucket whose ROOT now also
+    holds the new version dir — the individual loose files."""
+    if prev_rel is None:
+        return []
+    if _VER_DIR_RE.match(os.path.basename(prev_rel)):
+        return [prev_rel]
+    broot = os.path.join(table_dir, prev_rel)
+    if not os.path.isdir(broot):
+        return []
+    return [
+        f"{prev_rel}/{f}" for f in os.listdir(broot)
+        if not f.startswith(("_", ".")) and not _VER_DIR_RE.match(f)
+    ]
+
+
+def _write_bucket_version(
+    spark: SparkSession, table_dir: str, b: int, manifest: dict,
+    ch: DataFrame, key_cols: list[str], op_col: str, seq_col: str | None,
+    files_per_bucket: int,
+) -> tuple[str, list[str]]:
+    """Merge ``ch`` into bucket ``b``'s current data and write the result
+    as a NEW immutable version dir (never published until the caller's
+    manifest commit). Returns (new relative dir, retired relative paths).
+    A bucket is a table/n_buckets slice — the coalesce caps its file
+    count so repeated rewrites don't shard it into one file per shuffle
+    partition (small-file creep across batches)."""
+    prev_rel = manifest["buckets"].get(str(b))
+    if prev_rel is not None:
+        cur = spark.read.parquet(os.path.join(table_dir, prev_rel))
+        merged = apply_changes(
+            cur, ch, key_cols, op_col=op_col, seq_col=seq_col,
+            validate=False,
+        )
+    else:
+        # brand-new bucket: surviving upserts only
+        drop_cols = [op_col] + ([seq_col] if seq_col else [])
+        merged = apply_changes(
+            ch.where(F.col(op_col) != "d").drop(*drop_cols).limit(0),
+            ch, key_cols, op_col=op_col, seq_col=seq_col, validate=False,
+        )
+    rel = _next_version_rel(table_dir, b)
+    merged.coalesce(files_per_bucket).write.mode("overwrite").parquet(
+        os.path.join(table_dir, rel)
+    )
+    return rel, _bucket_retired(table_dir, prev_rel)
+
+
+def init_merge_table(
+    spark: SparkSession, df: DataFrame, table_dir: str,
+    key_cols: list[str], n_buckets: int = 16,
+) -> None:
+    """Seed the bucketed table layout from a base frame: one partitioned
+    write (every bucket at version 0), then layout meta + the first
+    manifest commit. Bucket count is fixed for the table's lifetime
+    (re-bucketing is a rebalance job, rebalance_merge_table)."""
+    (
+        df.withColumn("bucket", _bucket_of(key_cols, n_buckets))
+        .withColumn("__nbv", F.lit(0))
+        .write.mode("overwrite").partitionBy("bucket", "__nbv")
+        .parquet(table_dir)
+    )
+    _write_table_meta(table_dir, key_cols, n_buckets)
+    buckets = {
+        name.split("=", 1)[1]: f"{name}/__nbv=0"
+        for name in os.listdir(table_dir)
+        if _BUCKET_DIR_RE.match(name)
+    }
+    _publish_manifest(table_dir, {
+        "format": "neurondb-merge-manifest-v1", "commit": 1,
+        "buckets": buckets, "log_batches": [], "retired": [],
+    })
+
+
+# ------------------------------------------------- merge-on-read tier
+
+
+def _log_batch_dirs(table_dir: str) -> list[str]:
+    """UNFOLDED change-log batch directories, oldest first — the
+    manifest's list (folded-but-retained and orphan dirs excluded);
+    raw directory listing for legacy manifest-less tables."""
+    m = _read_manifest(table_dir)
+    if m is None:
+        return _list_log_dirs_raw(table_dir)
+    return [
+        os.path.join(table_dir, _LOG_DIR, f"logbatch={i}")
+        for i in sorted(int(x) for x in m.get("log_batches", []))
+    ]
 
 
 def _write_log_meta(table_dir: str, op_col: str, seq_col: str) -> None:
@@ -197,17 +389,22 @@ def compact_merge_table(
     merge-on-read table's compaction job — Hudi's compactor / the
     reference's background defrag worker, NeuronDB/src/worker/
     worker_init.c:127-176). Reduces the log once (last-writer-wins),
-    rewrites only the TOUCHED buckets via the same verified
-    backup-keeping swap as the copy-on-write drain, then drops the
-    folded batch directories. Returns the number of batches folded.
+    writes each touched bucket as a new immutable version dir, then
+    publishes ONE manifest commit that swaps every touched bucket and
+    empties the unfolded list atomically — a reader holding the prior
+    manifest keeps its pre-fold snapshot (old versions + log are
+    retired, not deleted, until the next commit). Returns the number of
+    batches folded.
 
-    Crash-safe without its own journal: a crash after some bucket swaps
-    leaves those changes BOTH in the base and in the log — re-applying
-    identical last-writer-wins changes is idempotent, so the retry (or
-    any read, which unions base + log) converges to the same state; a
-    crash mid-swap is healed by the bucket's own recover()."""
-    batch_dirs = _log_batch_dirs(table_dir)
-    if not batch_dirs:
+    Crash-safe without its own journal: a crash before the manifest
+    publish leaves only orphan version dirs (swept by the next write of
+    each bucket) — the prior manifest still shows the log unfolded, so
+    the retry folds the identical last-writer-wins changes again,
+    idempotent by construction."""
+    recover(table_dir)
+    manifest = _load_manifest(table_dir)
+    batch_ids = sorted(int(i) for i in manifest.get("log_batches", []))
+    if not batch_ids:
         return 0
     meta = _load_table_meta(table_dir)
     if meta is None:
@@ -215,9 +412,12 @@ def compact_merge_table(
             f"neurondb: {table_dir!r} has a change log but no "
             "_table_meta.json — not an init_merge_table layout"
         )
-    key_cols, n_buckets = meta["key_cols"], meta["n_buckets"]
+    key_cols = meta["key_cols"]
     lmeta = _load_log_meta(table_dir)
     op_col, seq_col = lmeta["op_col"], lmeta["seq_col"]
+    batch_dirs = [
+        os.path.join(table_dir, _LOG_DIR, f"logbatch={i}") for i in batch_ids
+    ]
     log = spark.read.option(
         "basePath", os.path.join(table_dir, _LOG_DIR)
     ).parquet(*batch_dirs)
@@ -227,34 +427,20 @@ def compact_merge_table(
     touched = sorted(
         r["bucket"] for r in latest.select("bucket").distinct().collect()
     )  # bounded collect: ≤ n_buckets rows
+    updates: dict[str, str] = {}
+    retired = [f"{_LOG_DIR}/logbatch={i}" for i in batch_ids]
     for b in touched:
-        bdir = os.path.join(table_dir, f"bucket={b}")
-        recover(bdir)
         ch = latest.where(F.col("bucket") == b).drop(
             "bucket", "logbatch", seq_col
         )
-        if os.path.isdir(bdir):
-            cur = spark.read.parquet(bdir)
-            merged = apply_changes(
-                cur, ch, key_cols, op_col=op_col, seq_col=None,
-                validate=False,
-            )
-            tmp = bdir + ".merge_tmp"
-            merged.coalesce(files_per_bucket).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            _swap_in(spark, bdir, tmp)
-        else:
-            merged = apply_changes(
-                ch.where(F.col(op_col) != "d").drop(op_col).limit(0),
-                ch, key_cols, op_col=op_col, seq_col=None, validate=False,
-            )
-            merged.coalesce(files_per_bucket).write.mode(
-                "overwrite"
-            ).parquet(bdir)
-    for d in batch_dirs:
-        shutil.rmtree(d)
-    return len(batch_dirs)
+        rel, ret = _write_bucket_version(
+            spark, table_dir, b, manifest, ch, key_cols, op_col,
+            None, files_per_bucket,
+        )
+        updates[str(b)] = rel
+        retired.extend(ret)
+    _commit_manifest(table_dir, manifest, updates, retired, [])
+    return len(batch_ids)
 
 
 def rebalance_merge_table(
@@ -264,14 +450,19 @@ def rebalance_merge_table(
     ``init_merge_table`` names as the only way bucket count changes
     (growing tables outgrow their bucketing; the reference's analog is
     rebalance_index). Folds the change log first (a log written under
-    the old bucketing would be mis-sliced by the new one), rewrites the
-    whole table once into a staging dir with the new layout + meta,
-    carries the streaming checkpoint and log meta across, then swaps via
-    the verified backup-keeping rename — a crash mid-swap is recover()'d
-    by the next drain's healing pass, and the checkpoint carry means
-    drains continue from where they were instead of replaying history.
-    One full-table shuffle by construction; run it as the offline
+    the old bucketing would be mis-sliced by the new one) and
+    garbage-collects the retired set (offline job — no reader to keep a
+    snapshot for), rewrites the whole table once into a staging dir with
+    the new layout + meta + manifest, carries the streaming checkpoint
+    and log meta across, then swaps via the verified backup-keeping
+    rename — a crash mid-swap is recover()'d at the next entry into ANY
+    merge-table operation, and the checkpoint carry means drains
+    continue from where they were instead of replaying history. One
+    full-table shuffle by construction; run it as the offline
     maintenance job it is."""
+    from neurondb_spark.data_management import _swap_in
+
+    recover(table_dir)
     meta = _load_table_meta(table_dir)
     if meta is None:
         raise ValueError(
@@ -281,35 +472,59 @@ def rebalance_merge_table(
     if int(n_buckets) < 1:
         raise ValueError("neurondb: n_buckets must be >= 1")
     compact_merge_table(spark, table_dir)
+    # offline: drop the fold's retired set now rather than at next commit
+    m = _load_manifest(table_dir)
+    if m.get("retired"):
+        _gc_paths(table_dir, m["retired"])
+        _publish_manifest(table_dir, dict(m, commit=m["commit"] + 1,
+                                          retired=[]))
     df = read_merge_table(spark, table_dir)
     tmp = table_dir.rstrip("/") + ".rebalance_tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     (
         df.withColumn("bucket", _bucket_of(meta["key_cols"], int(n_buckets)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        .withColumn("__nbv", F.lit(0))
+        .write.mode("overwrite").partitionBy("bucket", "__nbv").parquet(tmp)
     )
     _write_table_meta(tmp, meta["key_cols"], int(n_buckets))
-    for aux in ("_merge_checkpoint", _LOG_DIR):
-        p = os.path.join(table_dir, aux)
-        if os.path.isdir(p):
-            shutil.copytree(p, os.path.join(tmp, aux))
+    buckets = {
+        name.split("=", 1)[1]: f"{name}/__nbv=0"
+        for name in os.listdir(tmp)
+        if _BUCKET_DIR_RE.match(name)
+    }
+    _publish_manifest(tmp, {
+        "format": "neurondb-merge-manifest-v1", "commit": 1,
+        "buckets": buckets, "log_batches": [], "retired": [],
+    })
+    ckpt = os.path.join(table_dir, "_merge_checkpoint")
+    if os.path.isdir(ckpt):
+        shutil.copytree(ckpt, os.path.join(tmp, "_merge_checkpoint"))
+    log_meta = os.path.join(table_dir, _LOG_DIR, _LOG_META_FILE)
+    if os.path.exists(log_meta):
+        os.makedirs(os.path.join(tmp, _LOG_DIR), exist_ok=True)
+        shutil.copy(log_meta, os.path.join(tmp, _LOG_DIR, _LOG_META_FILE))
     _swap_in(spark, table_dir, tmp)
 
 
-def lookup_merge_table(
-    spark: SparkSession, table_dir: str, key: dict,
+def lookup_merge_table_many(
+    spark: SparkSession, table_dir: str, keys: list[dict],
 ) -> DataFrame:
-    """Bucket-pruned point read: the current row(s) for ONE key, reading
-    only that key's ``bucket=N`` slice of the base (1/n_buckets of the
-    table) plus the same bucket's change-log slices — the 100 TB key
-    lookup a full read_merge_table (all buckets + whole-log window)
-    would pay the entire table for. ``key`` must bind every key column.
+    """Bucket-pruned point read for N keys: the current row(s) for each
+    key, reading only the touched buckets' current version dirs (each
+    1/n_buckets of the table) plus those buckets' unfolded log slices —
+    the 100 TB key lookup a full read_merge_table (all buckets +
+    whole-log window) would pay the entire table for. Every key must
+    bind every key column. File set resolves from the manifest once —
+    the same snapshot semantics as read_merge_table.
 
-    Cost: one 1-row job to evaluate the bucket hash with Spark's own
+    Cost: ONE job evaluating every key's bucket hash with Spark's own
     function (never reimplemented driver-side — a Python Murmur3 that
-    drifted from F.hash would silently read the wrong bucket), then a
-    single-bucket scan with the key predicate pushed down."""
+    drifted from F.hash would silently read the wrong bucket), then one
+    pruned scan per TOUCHED bucket with the key predicates pushed down.
+    N is point-lookup sized; the per-bucket OR-of-keys predicate is
+    linear in that bucket's keys."""
+    recover(table_dir)
     meta = _load_table_meta(table_dir)
     if meta is None:
         raise ValueError(
@@ -317,86 +532,114 @@ def lookup_merge_table(
             "lookup needs the recorded bucketing"
         )
     key_cols, n_buckets = meta["key_cols"], meta["n_buckets"]
-    if set(key) != set(key_cols):
-        raise ValueError(
-            f"neurondb: lookup key must bind exactly {key_cols}, got "
-            f"{sorted(key)}"
-        )
-    bucket_paths = sorted(
-        os.path.join(table_dir, d)
-        for d in os.listdir(table_dir)
-        if _BUCKET_DIR_RE.match(d)
-    )
-    if not bucket_paths:
+    if not keys:
+        raise ValueError("neurondb: lookup needs at least one key")
+    for key in keys:
+        if set(key) != set(key_cols):
+            raise ValueError(
+                f"neurondb: lookup key must bind exactly {key_cols}, got "
+                f"{sorted(key)}"
+            )
+    manifest = _load_manifest(table_dir)
+    if not manifest["buckets"]:
         raise ValueError(
             f"neurondb: {table_dir!r} has no bucket=N partitions — "
             "not an init_merge_table layout"
         )
-    schema_src = spark.read.option("basePath", table_dir).parquet(
-        bucket_paths[0]
-    ).drop("bucket")
+    first_rel = manifest["buckets"][min(manifest["buckets"])]
+    schema_src = spark.read.parquet(os.path.join(table_dir, first_rel))
     types = dict(schema_src.dtypes)
-    kdf = spark.createDataFrame([tuple(key[c] for c in key_cols)],
-                                key_cols)
-    kdf = kdf.select(*[F.col(c).cast(types[c]) for c in key_cols])
-    b = int(
-        kdf.select(_bucket_of(key_cols, n_buckets).alias("b")).head()["b"]
-    )
-    pred = None
-    for c in key_cols:
-        cond = F.col(c).eqNullSafe(F.lit(key[c]).cast(types[c]))
-        pred = cond if pred is None else (pred & cond)
-    bdir = os.path.join(table_dir, f"bucket={b}")
-    base = None
-    if os.path.isdir(bdir):
-        base = (
-            spark.read.option("basePath", table_dir).parquet(bdir)
-            .drop("bucket").where(pred)
-        )
-    log_slices = [
-        p for d in _log_batch_dirs(table_dir)
-        if os.path.isdir(p := os.path.join(d, f"bucket={b}"))
-    ]
-    if not log_slices:
-        return base if base is not None else schema_src.limit(0)
-    lmeta = _load_log_meta(table_dir)
-    op_col, seq_col = lmeta["op_col"], lmeta["seq_col"]
-    log = spark.read.option(
-        "basePath", os.path.join(table_dir, _LOG_DIR)
-    ).parquet(*log_slices).where(pred)
-    latest = _latest_log_changes(log, key_cols, op_col, seq_col)
+    kdf = spark.createDataFrame(
+        [tuple(key[c] for c in key_cols) for key in keys], key_cols
+    ).select(*[F.col(c).cast(types[c]) for c in key_cols])
+    # the ONE hash job: every key's bucket in a single collect
+    krows = kdf.withColumn(
+        "__b", _bucket_of(key_cols, n_buckets)
+    ).collect()
+    by_bucket: dict[int, list] = {}
+    for r in krows:
+        by_bucket.setdefault(int(r["__b"]), []).append(r)
+    batch_dirs = _log_batch_dirs(table_dir)
+    lmeta = _load_log_meta(table_dir) if batch_dirs else None
     out_cols = schema_src.columns
-    upserts = latest.where(F.col(op_col) != "d").select(*out_cols)
-    if base is None:
-        return upserts
-    return base.join(
-        latest.select(*key_cols), key_cols, "left_anti"
-    ).unionByName(upserts)
+    parts: list[DataFrame] = []
+    for b in sorted(by_bucket):
+        pred = None
+        for r in by_bucket[b]:
+            cond = None
+            for c in key_cols:
+                eq = F.col(c).eqNullSafe(F.lit(r[c]).cast(types[c]))
+                cond = eq if cond is None else (cond & eq)
+            pred = cond if pred is None else (pred | cond)
+        base = None
+        rel = manifest["buckets"].get(str(b))
+        if rel is not None:
+            base = spark.read.parquet(
+                os.path.join(table_dir, rel)
+            ).where(pred)
+        log_slices = [
+            p for d in batch_dirs
+            if os.path.isdir(p := os.path.join(d, f"bucket={b}"))
+        ]
+        if not log_slices:
+            if base is not None:
+                parts.append(base)
+            continue
+        op_col, seq_col = lmeta["op_col"], lmeta["seq_col"]
+        log = spark.read.option(
+            "basePath", os.path.join(table_dir, _LOG_DIR)
+        ).parquet(*log_slices).where(pred)
+        latest = _latest_log_changes(log, key_cols, op_col, seq_col)
+        upserts = latest.where(F.col(op_col) != "d").select(*out_cols)
+        if base is None:
+            parts.append(upserts)
+        else:
+            parts.append(
+                base.join(latest.select(*key_cols), key_cols, "left_anti")
+                .unionByName(upserts)
+            )
+    if not parts:
+        return schema_src.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lookup_merge_table(
+    spark: SparkSession, table_dir: str, key: dict,
+) -> DataFrame:
+    """Bucket-pruned point read of ONE key — the single-key form of
+    :func:`lookup_merge_table_many` (multi-key callers should batch:
+    one hash job covers all keys)."""
+    return lookup_merge_table_many(spark, table_dir, [key])
 
 
 def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Current table state (all buckets, layout column dropped). Reads
-    by explicit ``bucket=N`` paths so a crash leftover the drain has not
-    healed yet can never poison partition discovery.
+    """Current table state (all buckets). The file set — every bucket's
+    current version dir plus the unfolded log batches — resolves from
+    the manifest ONCE here, so the returned frame is a consistent
+    SNAPSHOT: a compaction or drain committing after this call cannot
+    tear the read between pre- and post-fold buckets (their commit
+    retires this snapshot's files without deleting them; deletion waits
+    one further commit).
 
     Merge-on-read: when unfolded change-log batches exist, the read
     unions base + log with the same last-writer-wins semantics the
     compactor folds with — a read between drains/compactions sees every
     landed change, at the cost of one window over the (cadence-bounded)
     log."""
-    paths = sorted(
-        os.path.join(table_dir, d)
-        for d in os.listdir(table_dir)
-        if _BUCKET_DIR_RE.match(d)
-    )
-    if not paths:
+    recover(table_dir)
+    manifest = _load_manifest(table_dir)
+    if not manifest["buckets"]:
         raise ValueError(
             f"neurondb: {table_dir!r} has no bucket=N partitions — "
             "not an init_merge_table layout"
         )
-    base = (
-        spark.read.option("basePath", table_dir).parquet(*paths).drop("bucket")
+    paths = sorted(
+        os.path.join(table_dir, rel) for rel in manifest["buckets"].values()
     )
+    base = spark.read.parquet(*paths)
     batch_dirs = _log_batch_dirs(table_dir)
     if not batch_dirs:
         return base
@@ -442,7 +685,17 @@ def merge_stream_drain(
     guess (apply_changes's last-writer-wins window orders them).
     ``key_cols``/``n_buckets`` are verified against the layout recorded
     at ``init_merge_table`` — a mismatch errors instead of silently
-    scattering changes across the wrong buckets.
+    scattering changes across the wrong buckets. Each micro-batch is one
+    manifest commit (copy-on-write: touched buckets get new version
+    dirs; merge-on-read: the batch's log append joins the unfolded
+    list).
+
+    A COPY-ON-WRITE drain REFUSES a table with unfolded merge-on-read
+    log batches: applying new changes to the base while older log
+    entries still shadow it at read time would resurrect deleted rows
+    and serve stale values (one forgotten ``merge_on_read`` flag on a
+    re-drain) — run ``compact_merge_table`` first, or keep draining
+    with ``merge_on_read=True``.
 
     ``merge_on_read=True`` switches the drain to the Hudi MOR shape:
     each micro-batch is ONE bucketed append into the table's change log
@@ -450,29 +703,39 @@ def merge_stream_drain(
     rewrite — and reads union base + log with last-writer-wins
     (read_merge_table). Replay-idempotent because each batch overwrites
     its OWN logbatch directory. ``compact_every=N`` folds the log into
-    the base after every Nth batch (compact_merge_table — the CDC-index
-    drain's compaction-cadence shape); 0 = never, compaction is then an
-    explicit job. Write amplification per batch drops from
-    k·(table/n_buckets) to the batch's own bytes; the read pays one
-    window over the cadence-bounded log."""
+    the base whenever the MANIFEST's unfolded-batch count reaches N —
+    durable across drain invocations by construction (an AvailableNow
+    caller draining one file per invocation still compacts on schedule,
+    and a crash that skipped a fold self-heals at the next batch); 0 =
+    never, compaction is then an explicit job. Write amplification per
+    batch drops from k·(table/n_buckets) to the batch's own bytes; the
+    read pays one window over the cadence-bounded log."""
+    recover(table_dir)
     _check_table_meta(table_dir, key_cols, n_buckets)
     _heal_table(table_dir)
     if merge_on_read:
         _write_log_meta(table_dir, op_col, seq_col)
+    elif os.path.isdir(table_dir) and _log_batch_dirs(table_dir):
+        raise ValueError(
+            f"neurondb: merge table at {table_dir!r} has unfolded "
+            "merge-on-read log batches — a copy-on-write drain over them "
+            "would let stale log entries shadow the new base at read "
+            "time (resurrecting deletes). Run compact_merge_table first "
+            "or pass merge_on_read=True"
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = reader.parquet(src_dir)
-    committed_n = 0  # in-process cadence counter (index_ingest playbook)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal committed_n
         # one bounded validation job per BATCH (then validate=False per
         # bucket slice)
         if batch_df.where(~F.col(op_col).isin("i", "u", "d")).limit(1).count():
             raise ValueError(
                 f"neurondb: {op_col!r} must be one of 'i'/'u'/'d'"
             )
+        manifest = _load_manifest(table_dir)
         if merge_on_read:
             (
                 batch_df.withColumn("bucket", _bucket_of(key_cols, n_buckets))
@@ -481,8 +744,12 @@ def merge_stream_drain(
                     table_dir, _LOG_DIR, f"logbatch={int(batch_id)}"
                 ))
             )
-            committed_n += 1
-            if compact_every and committed_n % int(compact_every) == 0:
+            unfolded = sorted(
+                {int(i) for i in manifest.get("log_batches", [])}
+                | {int(batch_id)}
+            )
+            _commit_manifest(table_dir, manifest, {}, [], unfolded)
+            if compact_every and len(unfolded) >= int(compact_every):
                 compact_merge_table(
                     spark, table_dir, files_per_bucket=files_per_bucket
                 )
@@ -493,35 +760,18 @@ def merge_stream_drain(
         touched = sorted(
             r["bucket"] for r in changes.select("bucket").distinct().collect()
         )
+        updates: dict[str, str] = {}
+        retired: list[str] = []
         for b in touched:
-            bdir = os.path.join(table_dir, f"bucket={b}")
-            recover(bdir)  # heal a crash mid-swap from a prior run
             ch = changes.where(F.col("bucket") == b).drop("bucket")
-            if os.path.isdir(bdir):
-                cur = spark.read.parquet(bdir)
-                merged = apply_changes(
-                    cur, ch, key_cols, op_col=op_col, seq_col=seq_col,
-                    validate=False,
-                )
-                tmp = bdir + ".merge_tmp"
-                # a bucket is a table/n_buckets slice — cap its file
-                # count so every swap doesn't shard it into one file per
-                # shuffle partition (small-file creep across batches)
-                merged.coalesce(files_per_bucket).write.mode(
-                    "overwrite"
-                ).parquet(tmp)
-                _swap_in(spark, bdir, tmp)
-            else:
-                # brand-new bucket: surviving upserts only, no swap needed
-                merged = apply_changes(
-                    ch.where(F.col(op_col) != "d")
-                    .drop(op_col, seq_col).limit(0),
-                    ch, key_cols, op_col=op_col, seq_col=seq_col,
-                    validate=False,
-                )
-                merged.coalesce(files_per_bucket).write.mode(
-                    "overwrite"
-                ).parquet(bdir)
+            rel, ret = _write_bucket_version(
+                spark, table_dir, b, manifest, ch, key_cols, op_col,
+                seq_col, files_per_bucket,
+            )
+            updates[str(b)] = rel
+            retired.extend(ret)
+        _commit_manifest(table_dir, manifest, updates, retired,
+                         manifest.get("log_batches", []))
 
     q = (
         stream.writeStream.foreachBatch(_apply)

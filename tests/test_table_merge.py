@@ -331,6 +331,188 @@ def test_lookup_merge_table_bucket_pruned(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_compaction_cadence_durable_across_invocations(spark):
+    """VERDICT r13 #3: the compaction cadence triggers on the MANIFEST's
+    unfolded-batch count, not an in-process counter — a caller draining
+    ONE file per invocation with compact_every=2 folds at the second
+    invocation (the old counter reset to 0 each run and never fired)."""
+    from neurondb_spark.streaming.table_merge import (
+        _log_batch_dirs,
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tcad_")
+    base, table, src = _setup(spark, tmp)
+    spark.createDataFrame(
+        [(3, "x", "u", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True, compact_every=2)
+    assert len(_log_batch_dirs(table)) == 1  # below cadence, unfolded
+    spark.createDataFrame(
+        [(5, "y", "u", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True, compact_every=2)
+    assert _log_batch_dirs(table) == []  # SECOND invocation folded
+    got = {r["id"]: r["v"] for r in read_merge_table(spark, table).collect()}
+    assert got[3] == "x" and got[5] == "y" and len(got) == 40
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cow_drain_refuses_unfolded_log(spark):
+    """ADVICE r13 (medium): a copy-on-write drain over a table with
+    unfolded merge-on-read log batches errors — applying new changes to
+    the base while old log entries still shadow it at read time would
+    resurrect deletes. After compaction the COW drain proceeds."""
+    import pytest
+
+    from neurondb_spark.streaming.table_merge import (
+        compact_merge_table,
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tcowg_")
+    base, table, src = _setup(spark, tmp)
+    spark.createDataFrame(
+        [(7, None, "d", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    spark.createDataFrame(
+        [(8, "upd", "u", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    with pytest.raises(ValueError, match="unfolded"):
+        merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                           n_buckets=4)
+    compact_merge_table(spark, table)
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4)
+    got = {r["id"]: r["v"] for r in read_merge_table(spark, table).collect()}
+    assert 7 not in got and got[8] == "upd"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_manifest_snapshot_read_survives_compaction(spark):
+    """VERDICT r13 #4 (the last Delta/Iceberg sliver): a read resolves
+    its whole file set from the manifest once, so a drain + compaction
+    committing AFTER the read was opened cannot tear it — the snapshot
+    keeps returning the pre-fold state (retired files are deleted one
+    commit later, not at the commit that dereferences them)."""
+    from neurondb_spark.data_management import apply_changes
+    from neurondb_spark.streaming.table_merge import (
+        _log_batch_dirs,
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tsnap_")
+    base, table, src = _setup(spark, tmp)
+    c1 = spark.createDataFrame(
+        [(3, "x", "u", 1), (7, None, "d", 1), (100, "new", "i", 1)],
+        CHANGE_SCHEMA,
+    )
+    c2 = spark.createDataFrame(
+        [(3, "z", "u", 1), (100, None, "d", 1)], CHANGE_SCHEMA
+    )
+    c1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    snap = read_merge_table(spark, table)  # manifest resolved HERE
+    want_snap = _rows(apply_changes(base, c1, ["id"], seq_col="seq"))
+    assert _rows(snap) == want_snap
+    # batch 2 + cadence compaction land while the snapshot is open
+    c2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True, compact_every=1)
+    assert _log_batch_dirs(table) == []  # folded
+    want_now = _rows(apply_changes(
+        apply_changes(base, c1, ["id"], seq_col="seq"), c2, ["id"],
+        seq_col="seq",
+    ))
+    assert _rows(read_merge_table(spark, table)) == want_now
+    # the snapshot's files are retired but RETAINED → it still reads the
+    # pre-batch-2, pre-fold state
+    assert os.path.isdir(os.path.join(table, "_log", "logbatch=0"))
+    assert _rows(snap) == want_snap
+    # one further commit garbage-collects the retired set
+    spark.createDataFrame(
+        [(5, "y", "u", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f3"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    assert not os.path.exists(os.path.join(table, "_log", "logbatch=0"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lookup_many_single_hash_job(spark, monkeypatch):
+    """VERDICT r13 #6: the multi-key lookup evaluates every key's bucket
+    hash in ONE Spark action and returns per-key results equal to N
+    single lookups (which now delegate to it)."""
+    from neurondb_spark.streaming.table_merge import (
+        lookup_merge_table,
+        lookup_merge_table_many,
+        merge_stream_drain,
+    )
+
+    # the CONCRETE DataFrame class (pyspark 4 routes pyspark.sql.DataFrame
+    # to an abstract base whose classic subclass overrides collect)
+    _DF = type(spark.range(1))
+
+    tmp = tempfile.mkdtemp(prefix="tlmany_")
+    base, table, src = _setup(spark, tmp)
+    spark.createDataFrame(
+        [(3, "x", "u", 1), (7, None, "d", 1), (100, "new", "i", 1)],
+        CHANGE_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    keys = [{"id": k} for k in (1, 3, 7, 100, 999)]
+    actions = []
+    orig_collect = _DF.collect
+    monkeypatch.setattr(
+        _DF, "collect",
+        lambda self: (actions.append(1), orig_collect(self))[1],
+    )
+    df = lookup_merge_table_many(spark, table, keys)
+    assert len(actions) == 1  # one hash job for all 5 keys
+    monkeypatch.undo()
+    got = {r["id"]: r["v"] for r in df.collect()}
+    want = {}
+    for key in keys:
+        for r in lookup_merge_table(spark, table, key).collect():
+            want[r["id"]] = r["v"]
+    assert got == want and set(got) == {1, 3, 100}
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_entry_points_recover_parent_swap_crash(spark):
+    """ADVICE r13 (low): a crash between rebalance's two renames leaves
+    only ``table_dir.old`` — every entry point recover()s it instead of
+    silently recreating an empty table."""
+    from neurondb_spark.streaming.table_merge import (
+        compact_merge_table,
+        lookup_merge_table,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="trec_")
+    base, table, src = _setup(spark, tmp)
+    before = _rows(read_merge_table(spark, table))
+    for entry in (
+        lambda: _rows(read_merge_table(spark, table)) == before,
+        lambda: lookup_merge_table(spark, table, {"id": 3}).collect()[0]["v"]
+        == "v3",
+        lambda: compact_merge_table(spark, table) == 0,
+    ):
+        os.rename(table, table + ".old")
+        assert entry()
+        assert os.path.isdir(table) and not os.path.exists(table + ".old")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_rebalance_merge_table(spark):
     """Re-bucketing: same visible rows under the new layout, new meta
     enforced on subsequent drains, unfolded log folded first, and the
