@@ -261,13 +261,27 @@ class NeuronSparkEngine:
         )
         return read_merge_table(self.spark, meta["path"])
 
-    def read_table(self, name: str) -> DataFrame:
+    def read_table(self, name: str, at_commit: int | None = None) -> DataFrame:
+        """Table state — current, or time-travelled to a recorded commit
+        (readable while its files survive the one-commit-back retention
+        window)."""
         from neurondb_spark.streaming.table_merge import read_merge_table
 
         meta = self.catalog.get("tables", name)
         if meta is None:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
-        return read_merge_table(self.spark, meta["path"])
+        return read_merge_table(self.spark, meta["path"], at_commit=at_commit)
+
+    def vacuum_table(self, name: str) -> dict:
+        """Remove orphan files no manifest holder can reach (crashed
+        commits' version dirs, dangling log batches) — offline
+        maintenance, same single-writer contract as a drain."""
+        from neurondb_spark.streaming.table_merge import vacuum_merge_table
+
+        meta = self.catalog.get("tables", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown merge table {name!r}")
+        return vacuum_merge_table(meta["path"])
 
     def compact_table(self, name: str) -> int:
         """Fold a merge-on-read table's change log into its base buckets

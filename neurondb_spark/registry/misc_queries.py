@@ -902,6 +902,39 @@ def _q_merge_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+def _q_merge_multi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point read (lookup_merge_table_many — ONE bucket-hash job
+    for all keys, then one pruned scan per touched bucket) of three keys
+    chosen to cross the merge semantics: the smallest %5==1 orderkey (an
+    UPDATED row — must return the 3x price), the smallest %5==3 (an
+    untouched base row) and the smallest %10!=0 inserted key (batch-1
+    insert that SURVIVES batch 2's deletes). The oracle replays the
+    closed form joined to the same three mins. Same batch-twin fallback
+    contract as the other merge rows."""
+    from neurondb_spark.streaming.table_merge import lookup_merge_table_many
+
+    k = F.col("o_orderkey")
+    r = t(spark, sf_dir, "orders").agg(
+        F.min(F.when(k % 5 == 1, k)).alias("k1"),
+        F.min(F.when(k % 5 == 3, k)).alias("k3"),
+        F.min(F.when((k % 5 == 0) & (k % 10 != 0), k)).alias("ki"),
+    ).head()
+    keys = [int(r["k1"]), int(r["k3"]), int(r["ki"])]
+    state = _run_merge_scenario(spark, sf_dir, "merge_multi_lookup",
+                                "neurondb_mor_v2", merge_on_read=True,
+                                compact_every=2)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    table = os.path.join(tempfile.gettempdir(), f"neurondb_mor_v2_{tag}",
+                         "table")
+    if os.path.isdir(table):
+        out = lookup_merge_table_many(
+            spark, table, [{"o_orderkey": key} for key in keys]
+        )
+    else:  # batch-twin fallback (non-strict infra failure only)
+        out = state.where(F.col("o_orderkey").isin(keys))
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 def _run_merge_scenario(
     spark: SparkSession, sf_dir: str, row_name: str, tag_prefix: str,
     merge_on_read: bool, compact_every: int = 0,
@@ -973,12 +1006,26 @@ SELECT o_orderkey, o_orderstatus, o_totalprice FROM state
 WHERE o_orderkey = (
   SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 5 = 1)"""
 
+_SQL_MERGE_MULTI_LOOKUP = f"""WITH state AS (
+{_SQL_STREAM_MERGE}
+), keys AS (
+  SELECT min(o_orderkey) AS k FROM orders WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 5 = 3
+  UNION ALL
+  SELECT min(o_orderkey) FROM orders
+  WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+)
+SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+FROM state s JOIN keys ON s.o_orderkey = keys.k"""
+
 
 QUERIES = {
     "merge_upsert_rows": (_q_merge_upsert, _SQL_MERGE_UPSERT),
     "stream_merge_upsert": (_q_stream_merge, _SQL_STREAM_MERGE),
     "merge_on_read_rows": (_q_merge_on_read, _SQL_STREAM_MERGE),
     "merge_point_lookup": (_q_merge_point_lookup, _SQL_MERGE_POINT_LOOKUP),
+    "merge_multi_lookup": (_q_merge_multi_lookup, _SQL_MERGE_MULTI_LOOKUP),
     "matryoshka_overlap": (_q_matryoshka_overlap, _sql_matryoshka_overlap()),
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),

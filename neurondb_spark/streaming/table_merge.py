@@ -187,11 +187,24 @@ def _load_manifest(table_dir: str) -> dict:
     return m if m is not None else _synth_manifest(table_dir)
 
 
+_HISTORY_DIR = "_manifests"
+
+
 def _publish_manifest(table_dir: str, manifest: dict) -> None:
+    """Atomic manifest publish + an immutable copy under ``_manifests/``
+    (commit history — KBs per commit; time-travel metadata survives even
+    after the commit's data files are garbage-collected)."""
     tmp = os.path.join(table_dir, _MANIFEST_FILE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(table_dir, _MANIFEST_FILE))
+    hist = os.path.join(table_dir, _HISTORY_DIR)
+    os.makedirs(hist, exist_ok=True)
+    hpath = os.path.join(hist, f"{int(manifest['commit']):08d}.json")
+    htmp = hpath + ".tmp"
+    with open(htmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(htmp, hpath)
 
 
 def _gc_paths(table_dir: str, rels: list[str]) -> None:
@@ -507,6 +520,51 @@ def rebalance_merge_table(
     _swap_in(spark, table_dir, tmp)
 
 
+def vacuum_merge_table(table_dir: str) -> dict:
+    """Remove files no manifest holder can reach — the remove-orphan-
+    files maintenance job: version dirs from crashed (never-published)
+    commits and on-disk log batches that are neither unfolded nor in the
+    retired set. The RETIRED set itself is untouched (a reader of the
+    previous manifest may still hold it; the next commit deletes it on
+    schedule), as is a ``.rebalance_tmp`` sibling only if orphaned.
+    Returns ``{"orphan_versions": n, "orphan_log_batches": n}``.
+
+    Writer-class job (same single-writer contract as drain/compaction/
+    rebalance): a concurrent drain's not-yet-published version dirs look
+    exactly like orphans — do not run them together."""
+    recover(table_dir)
+    m = _read_manifest(table_dir)
+    if m is None:
+        raise ValueError(
+            f"neurondb: {table_dir!r} has no _manifest.json — vacuum "
+            "needs the recorded file set (legacy tables migrate on "
+            "their first post-manifest write)"
+        )
+    keep = set(m.get("buckets", {}).values()) | set(m.get("retired", []))
+    n_ver = 0
+    for name in os.listdir(table_dir):
+        if not _BUCKET_DIR_RE.match(name):
+            continue
+        broot = os.path.join(table_dir, name)
+        for v in os.listdir(broot):
+            rel = f"{name}/{v}"
+            if _VER_DIR_RE.match(v) and rel not in keep:
+                shutil.rmtree(os.path.join(broot, v), ignore_errors=True)
+                n_ver += 1
+    live_logs = {f"{_LOG_DIR}/logbatch={int(i)}"
+                 for i in m.get("log_batches", [])}
+    n_log = 0
+    for d in _list_log_dirs_raw(table_dir):
+        rel = f"{_LOG_DIR}/{os.path.basename(d)}"
+        if rel not in live_logs and rel not in keep:
+            shutil.rmtree(d, ignore_errors=True)
+            n_log += 1
+    staging = table_dir.rstrip("/") + ".rebalance_tmp"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+    return {"orphan_versions": n_ver, "orphan_log_batches": n_log}
+
+
 def lookup_merge_table_many(
     spark: SparkSession, table_dir: str, keys: list[dict],
 ) -> DataFrame:
@@ -615,7 +673,37 @@ def lookup_merge_table(
     return lookup_merge_table_many(spark, table_dir, [key])
 
 
-def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
+def _manifest_at(table_dir: str, commit: int) -> dict:
+    """A historical commit's manifest, with an existence check over every
+    data path it references — a commit older than the retention window
+    (current + previous) has had its files garbage-collected, and that
+    must be a clear error, not a mid-scan FileNotFound."""
+    hpath = os.path.join(table_dir, _HISTORY_DIR, f"{int(commit):08d}.json")
+    try:
+        with open(hpath) as f:
+            m = json.load(f)
+    except OSError:
+        raise ValueError(
+            f"neurondb: merge table at {table_dir!r} has no recorded "
+            f"commit {commit} (history lives in {_HISTORY_DIR}/; a "
+            "rebalance starts a new lineage)"
+        ) from None
+    rels = list(m.get("buckets", {}).values()) + [
+        f"{_LOG_DIR}/logbatch={i}" for i in m.get("log_batches", [])
+    ]
+    missing = [r for r in rels if not os.path.isdir(os.path.join(table_dir, r))]
+    if missing:
+        raise ValueError(
+            f"neurondb: commit {commit}'s data has been garbage-collected "
+            f"(retention is one commit back; missing {missing[:3]}...) — "
+            "only the current and previous commits are readable"
+        )
+    return m
+
+
+def read_merge_table(
+    spark: SparkSession, table_dir: str, at_commit: int | None = None,
+) -> DataFrame:
     """Current table state (all buckets). The file set — every bucket's
     current version dir plus the unfolded log batches — resolves from
     the manifest ONCE here, so the returned frame is a consistent
@@ -624,13 +712,19 @@ def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
     retires this snapshot's files without deleting them; deletion waits
     one further commit).
 
+    ``at_commit`` time-travels to a recorded commit's manifest (the
+    reference's snapshot_time_travel analog at the table-format layer) —
+    readable while that commit's files survive the one-commit-back
+    retention window; older commits raise a clear retention error.
+
     Merge-on-read: when unfolded change-log batches exist, the read
     unions base + log with the same last-writer-wins semantics the
     compactor folds with — a read between drains/compactions sees every
     landed change, at the cost of one window over the (cadence-bounded)
     log."""
     recover(table_dir)
-    manifest = _load_manifest(table_dir)
+    manifest = (_load_manifest(table_dir) if at_commit is None
+                else _manifest_at(table_dir, at_commit))
     if not manifest["buckets"]:
         raise ValueError(
             f"neurondb: {table_dir!r} has no bucket=N partitions — "
@@ -640,7 +734,10 @@ def read_merge_table(spark: SparkSession, table_dir: str) -> DataFrame:
         os.path.join(table_dir, rel) for rel in manifest["buckets"].values()
     )
     base = spark.read.parquet(*paths)
-    batch_dirs = _log_batch_dirs(table_dir)
+    batch_dirs = [
+        os.path.join(table_dir, _LOG_DIR, f"logbatch={i}")
+        for i in sorted(int(x) for x in manifest.get("log_batches", []))
+    ] if at_commit is not None else _log_batch_dirs(table_dir)
     if not batch_dirs:
         return base
     meta = _load_table_meta(table_dir)

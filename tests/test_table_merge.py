@@ -513,6 +513,86 @@ def test_entry_points_recover_parent_swap_crash(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_vacuum_removes_orphans_keeps_reachable(spark):
+    """vacuum_merge_table (remove-orphan-files analog): version dirs and
+    log batches no manifest holder references are removed; the current
+    set AND the retired set (previous manifest's snapshot) survive."""
+    from neurondb_spark.streaming.table_merge import (
+        _read_manifest,
+        merge_stream_drain,
+        read_merge_table,
+        vacuum_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tvac_")
+    base, table, src = _setup(spark, tmp)
+    spark.createDataFrame(
+        [(3, "x", "u", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4, merge_on_read=True)
+    before = _rows(read_merge_table(spark, table))
+    # fabricate crash leftovers: an orphan version dir (commit never
+    # published) and a dangling log batch (neither unfolded nor retired)
+    orphan_v = os.path.join(table, "bucket=0", "__nbv=7")
+    os.makedirs(orphan_v)
+    orphan_l = os.path.join(table, "_log", "logbatch=99")
+    shutil.copytree(os.path.join(table, "_log", "logbatch=0"), orphan_l)
+    got = vacuum_merge_table(table)
+    assert got == {"orphan_versions": 1, "orphan_log_batches": 1}
+    assert not os.path.exists(orphan_v) and not os.path.exists(orphan_l)
+    # reachable set intact: current read unchanged, unfolded log alive
+    assert os.path.isdir(os.path.join(table, "_log", "logbatch=0"))
+    assert _rows(read_merge_table(spark, table)) == before
+    # retired entries (none here) and manifest untouched
+    assert _read_manifest(table)["log_batches"] == [0]
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_time_travel_read_within_retention(spark):
+    """read_merge_table(at_commit=N): a recorded commit's state is
+    readable while its files survive the one-commit-back retention;
+    an expired commit raises the retention error, an unknown commit the
+    history error."""
+    import pytest
+
+    from neurondb_spark.data_management import apply_changes
+    from neurondb_spark.streaming.table_merge import (
+        _read_manifest,
+        merge_stream_drain,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ttt_")
+    base, table, src = _setup(spark, tmp)
+    assert _read_manifest(table)["commit"] == 1  # init commit
+    c1 = spark.createDataFrame(
+        [(3, "x", "u", 1), (7, None, "d", 1)], CHANGE_SCHEMA
+    )
+    c1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4)  # COW: commit 2
+    cur = _read_manifest(table)["commit"]
+    assert cur == 2
+    # commit 1 (pre-drain) is the previous commit — still readable
+    assert _rows(read_merge_table(spark, table, at_commit=1)) == _rows(base)
+    assert _rows(read_merge_table(spark, table, at_commit=2)) == _rows(
+        apply_changes(base, c1, ["id"], seq_col="seq"))
+    with pytest.raises(ValueError, match="no recorded commit"):
+        read_merge_table(spark, table, at_commit=99)
+    # a further commit GCs commit 1's files → retention error
+    spark.createDataFrame(
+        [(5, "y", "u", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                       n_buckets=4)  # commit 3
+    with pytest.raises(ValueError, match="garbage-collected"):
+        read_merge_table(spark, table, at_commit=1)
+    assert _rows(read_merge_table(spark, table, at_commit=2)) == _rows(
+        apply_changes(base, c1, ["id"], seq_col="seq"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_rebalance_merge_table(spark):
     """Re-bucketing: same visible rows under the new layout, new meta
     enforced on subsequent drains, unfolded log folded first, and the
