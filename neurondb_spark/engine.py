@@ -272,6 +272,16 @@ class NeuronSparkEngine:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
         return read_merge_table(self.spark, meta["path"], at_commit=at_commit)
 
+    def table_history(self, name: str) -> list:
+        """Recorded manifest commits, oldest first (merge_table_history)
+        — pair with read_table(name, at_commit=...) for time travel."""
+        from neurondb_spark.streaming.table_merge import merge_table_history
+
+        meta = self.catalog.get("tables", name)
+        if meta is None:
+            raise ValueError(f"neurondb: unknown merge table {name!r}")
+        return merge_table_history(meta["path"])
+
     def vacuum_table(self, name: str) -> dict:
         """Remove orphan files no manifest holder can reach (crashed
         commits' version dirs, dangling log batches) — offline

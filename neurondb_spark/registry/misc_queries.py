@@ -935,6 +935,60 @@ def _q_merge_multi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+def _q_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel to the MOR scenario's post-batch-1 commit
+    (streaming/table_merge.py read_merge_table(at_commit=N) over the
+    `_manifests/` history — the snapshot-isolation surface the manifest
+    commits exist for): the commit whose unfolded log is exactly
+    [batch 0] is the state AFTER batch 1 and BEFORE batch 2/compaction —
+    %5==1 prices at 2x (batch 2 later re-updates them to 3x), every
+    %5==0 insert present (batch 2 later deletes the %10==0 half),
+    %5==2 already deleted. Its files sit in the retired-but-retained
+    window (the compaction commit retired them; nothing has committed
+    since), so the historical read must reproduce that exact state —
+    hash-gated against the batch-1-only closed form. Same batch-twin
+    fallback contract as the other merge rows."""
+    from neurondb_spark.streaming.table_merge import (
+        merge_table_history,
+        read_merge_table,
+    )
+
+    base, c1, _c2 = _stream_merge_frames(spark, sf_dir)
+    _run_merge_scenario(spark, sf_dir, "merge_time_travel",
+                        "neurondb_mor_v2", merge_on_read=True,
+                        compact_every=2)  # ensure table drained (idempotent)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    table = os.path.join(tempfile.gettempdir(), f"neurondb_mor_v2_{tag}",
+                         "table")
+    out = None
+    if os.path.isdir(table):
+        after_b1 = [m["commit"] for m in merge_table_history(table)
+                    if m.get("log_batches") == [0]]
+        if after_b1:
+            out = read_merge_table(spark, table, at_commit=after_b1[0])
+    if out is None:  # batch-twin fallback (non-strict infra failure only)
+        from neurondb_spark.data_management import apply_changes
+        from neurondb_spark.streaming import strict_stream
+
+        if strict_stream():
+            raise RuntimeError(
+                "neurondb: merge_time_travel found no post-batch-1 "
+                "commit in the table history under NEURONDB_STRICT_STREAM=1"
+            )
+        out = apply_changes(base, c1, ["o_orderkey"], seq_col="seq")
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_SQL_MERGE_TIME_TRAVEL = """SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 5 IN (3, 4)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+FROM orders WHERE o_orderkey % 5 = 1
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 5 = 0"""
+
+
 def _run_merge_scenario(
     spark: SparkSession, sf_dir: str, row_name: str, tag_prefix: str,
     merge_on_read: bool, compact_every: int = 0,
@@ -1026,6 +1080,7 @@ QUERIES = {
     "merge_on_read_rows": (_q_merge_on_read, _SQL_STREAM_MERGE),
     "merge_point_lookup": (_q_merge_point_lookup, _SQL_MERGE_POINT_LOOKUP),
     "merge_multi_lookup": (_q_merge_multi_lookup, _SQL_MERGE_MULTI_LOOKUP),
+    "merge_time_travel": (_q_merge_time_travel, _SQL_MERGE_TIME_TRAVEL),
     "matryoshka_overlap": (_q_matryoshka_overlap, _sql_matryoshka_overlap()),
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),

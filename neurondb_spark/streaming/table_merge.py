@@ -520,6 +520,28 @@ def rebalance_merge_table(
     _swap_in(spark, table_dir, tmp)
 
 
+def merge_table_history(table_dir: str) -> list[dict]:
+    """The table's recorded commits, oldest first — each entry is the
+    manifest published at that commit (commit number, bucket→version
+    map, unfolded log batches, retired set). Driver-side JSON reads;
+    KBs per commit. The ops surface behind ``read_merge_table(
+    at_commit=...)``: pick a commit here, read it there."""
+    hist = os.path.join(table_dir, _HISTORY_DIR)
+    if not os.path.isdir(hist):
+        return []
+    out = []
+    for name in sorted(os.listdir(hist)):
+        if not name.endswith(".json") or name.endswith(".tmp"):
+            continue
+        try:
+            with open(os.path.join(hist, name)) as f:
+                out.append(json.load(f))
+        except (OSError, ValueError):
+            continue  # half-written history copy — skip, never raise
+    out.sort(key=lambda m: int(m.get("commit", 0)))
+    return out
+
+
 def vacuum_merge_table(table_dir: str) -> dict:
     """Remove files no manifest holder can reach — the remove-orphan-
     files maintenance job: version dirs from crashed (never-published)

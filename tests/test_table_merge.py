@@ -590,6 +590,10 @@ def test_time_travel_read_within_retention(spark):
         read_merge_table(spark, table, at_commit=1)
     assert _rows(read_merge_table(spark, table, at_commit=2)) == _rows(
         apply_changes(base, c1, ["id"], seq_col="seq"))
+    # the ops surface: history lists every commit's manifest, oldest first
+    from neurondb_spark.streaming.table_merge import merge_table_history
+
+    assert [m["commit"] for m in merge_table_history(table)] == [1, 2, 3]
     shutil.rmtree(tmp, ignore_errors=True)
 
 
