@@ -188,12 +188,21 @@ def _load_manifest(table_dir: str) -> dict:
 
 
 _HISTORY_DIR = "_manifests"
+# History copies retained: at one commit per micro-batch a streaming
+# drain would otherwise grow _manifests/ without bound (the Iceberg
+# expire-snapshots-metadata analog). Commits older than the newest
+# _HISTORY_KEEP lose only their metadata record — their DATA files were
+# garbage-collected one commit after dereference anyway, so nothing
+# readable is lost; time travel to a pruned commit raises the same
+# clear history error as an unrecorded one.
+_HISTORY_KEEP = 512
 
 
 def _publish_manifest(table_dir: str, manifest: dict) -> None:
     """Atomic manifest publish + an immutable copy under ``_manifests/``
     (commit history — KBs per commit; time-travel metadata survives even
-    after the commit's data files are garbage-collected)."""
+    after the commit's data files are garbage-collected). History is
+    pruned to the newest ``_HISTORY_KEEP`` commits."""
     tmp = os.path.join(table_dir, _MANIFEST_FILE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -205,6 +214,10 @@ def _publish_manifest(table_dir: str, manifest: dict) -> None:
     with open(htmp, "w") as f:
         json.dump(manifest, f)
     os.replace(htmp, hpath)
+    copies = sorted(n for n in os.listdir(hist)
+                    if n.endswith(".json") and not n.endswith(".tmp"))
+    for name in copies[:-_HISTORY_KEEP]:
+        os.remove(os.path.join(hist, name))
 
 
 def _gc_paths(table_dir: str, rels: list[str]) -> None:

@@ -597,6 +597,25 @@ def test_time_travel_read_within_retention(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_manifest_history_capped(tmp_path):
+    """_manifests/ is pruned to the newest _HISTORY_KEEP commits — a
+    streaming drain committing once per micro-batch must not grow the
+    metadata dir without bound (pure file I/O, no Spark)."""
+    import neurondb_spark.streaming.table_merge as tm
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    for c in range(1, tm._HISTORY_KEEP + 9):
+        tm._publish_manifest(table, {
+            "format": "neurondb-merge-manifest-v1", "commit": c,
+            "buckets": {}, "log_batches": [], "retired": [],
+        })
+    hist = tm.merge_table_history(table)
+    assert len(hist) == tm._HISTORY_KEEP
+    assert hist[0]["commit"] == 9  # oldest 8 pruned
+    assert hist[-1]["commit"] == tm._HISTORY_KEEP + 8
+
+
 def test_rebalance_merge_table(spark):
     """Re-bucketing: same visible rows under the new layout, new meta
     enforced on subsequent drains, unfolded log folded first, and the
