@@ -602,6 +602,7 @@ def vacuum_merge_table(table_dir: str) -> dict:
 
 def lookup_merge_table_many(
     spark: SparkSession, table_dir: str, keys: list[dict],
+    at_commit: int | None = None,
 ) -> DataFrame:
     """Bucket-pruned point read for N keys: the current row(s) for each
     key, reading only the touched buckets' current version dirs (each
@@ -616,7 +617,9 @@ def lookup_merge_table_many(
     drifted from F.hash would silently read the wrong bucket), then one
     pruned scan per TOUCHED bucket with the key predicates pushed down.
     N is point-lookup sized; the per-bucket OR-of-keys predicate is
-    linear in that bucket's keys."""
+    linear in that bucket's keys. ``at_commit`` answers the lookup
+    against a recorded historical commit (same retention contract as
+    read_merge_table)."""
     recover(table_dir)
     meta = _load_table_meta(table_dir)
     if meta is None:
@@ -633,7 +636,8 @@ def lookup_merge_table_many(
                 f"neurondb: lookup key must bind exactly {key_cols}, got "
                 f"{sorted(key)}"
             )
-    manifest = _load_manifest(table_dir)
+    manifest = (_load_manifest(table_dir) if at_commit is None
+                else _manifest_at(table_dir, at_commit))
     if not manifest["buckets"]:
         raise ValueError(
             f"neurondb: {table_dir!r} has no bucket=N partitions — "
@@ -652,7 +656,10 @@ def lookup_merge_table_many(
     by_bucket: dict[int, list] = {}
     for r in krows:
         by_bucket.setdefault(int(r["__b"]), []).append(r)
-    batch_dirs = _log_batch_dirs(table_dir)
+    batch_dirs = [
+        os.path.join(table_dir, _LOG_DIR, f"logbatch={i}")
+        for i in sorted(int(x) for x in manifest.get("log_batches", []))
+    ] if at_commit is not None else _log_batch_dirs(table_dir)
     lmeta = _load_log_meta(table_dir) if batch_dirs else None
     out_cols = schema_src.columns
     parts: list[DataFrame] = []
@@ -701,11 +708,13 @@ def lookup_merge_table_many(
 
 def lookup_merge_table(
     spark: SparkSession, table_dir: str, key: dict,
+    at_commit: int | None = None,
 ) -> DataFrame:
     """Bucket-pruned point read of ONE key — the single-key form of
     :func:`lookup_merge_table_many` (multi-key callers should batch:
     one hash job covers all keys)."""
-    return lookup_merge_table_many(spark, table_dir, [key])
+    return lookup_merge_table_many(spark, table_dir, [key],
+                                   at_commit=at_commit)
 
 
 def _manifest_at(table_dir: str, commit: int) -> dict:

@@ -580,6 +580,13 @@ def test_time_travel_read_within_retention(spark):
         apply_changes(base, c1, ["id"], seq_col="seq"))
     with pytest.raises(ValueError, match="no recorded commit"):
         read_merge_table(spark, table, at_commit=99)
+    # point lookups answer against the same historical manifests
+    from neurondb_spark.streaming.table_merge import lookup_merge_table
+
+    assert lookup_merge_table(
+        spark, table, {"id": 3}, at_commit=1).collect()[0]["v"] == "v3"
+    assert lookup_merge_table(
+        spark, table, {"id": 3}, at_commit=2).collect()[0]["v"] == "x"
     # a further commit GCs commit 1's files → retention error
     spark.createDataFrame(
         [(5, "y", "u", 1)], CHANGE_SCHEMA
