@@ -302,24 +302,47 @@ CHECKED_BY_ROUND[13] = frozenset({
     "vector_avg_by_label", "vector_masked_ops",
 })
 
+# CORRECTNESS_r14.json: all 50 checked rows green (47 hash-match, 3
+# no-oracle recall/seed-twin reports rows-only by design). The five
+# round-14 FORCE_RECHECK entries (merge-table manifest rewrite + BPE
+# guard/auto-route) re-verified green and were pruned.
+CHECKED_BY_ROUND[14] = frozenset({
+    "ann_recall_report", "binary_hamming_knn", "bpe_saved_tokenize_counts",
+    "bpe_tokenize_counts", "consistent_snapshot_knn", "dbscan_clusters",
+    "embed_cached", "events_hourly", "events_sessionize",
+    "events_time_decay", "events_topk_users", "faceted_vector_search",
+    "feature_store_pit", "gbt_fixed_stumps", "gbt_shap_attributions",
+    "gmm_fixed_em", "graph_connected_components", "hnsw_batch_knn",
+    "hnsw_knn_full_ef", "hybrid_dense_sparse", "hybrid_index_search",
+    "isolation_depth_exact", "isolation_forest_outliers",
+    "ivf_rebalance_probe", "ivfpq_knn_exact_limit", "lsh_batch_knn",
+    "lsh_knn_full_radius", "lsh_recall_report", "merge_multi_lookup",
+    "merge_on_read_rows", "merge_point_lookup", "merge_time_travel",
+    "merge_upsert_rows", "ml_knn_predictions", "multi_vector_search",
+    "nlp_sentiment_classify", "ocsvm_outliers", "orders_topk_per_segment",
+    "quantize_int4_fp8", "quantize_uint8_ternary", "rerank_candidates",
+    "rf_fixed_stumps", "semantic_keyword_search", "stream_merge_upsert",
+    "temporal_knn_decay", "text_similarity_semantic",
+    "top_revenue_customers", "tsne_fixed_grad", "vec_window_rank",
+    "vector_math_ops",
+})
+
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # (All three round-13 entries — the merge-table hardening and the
-    # ppl sampling knob — got their green re-check in CORRECTNESS_r13.json
-    # and were pruned. Add a query here whenever its implementation — or
-    # an index/stream path it consumes — is rewritten after its latest
-    # driver check.)
+    # (All five round-14 entries — the manifest snapshot layer and the
+    # BPE K>8 guard/auto-route — got their green re-check in
+    # CORRECTNESS_r14.json and were pruned. Add a query here whenever its
+    # implementation — or an index/stream path it consumes — is rewritten
+    # after its latest driver check.)
     #
-    # Round 14: table_merge moved to manifest-committed snapshot reads
-    # (versioned bucket dirs, one-commit-retention GC, durable compaction
-    # cadence, entry-point recover(), COW unfolded-log guard) — all merge
-    # gate rows consume those paths.
+    # Round 15: table_merge gained optimistic-concurrency manifest
+    # publish, single-manifest log-batch resolution (snapshot race fix),
+    # and dtype caching in _table_meta.json — all merge gate rows consume
+    # those paths.
     "merge_upsert_rows", "stream_merge_upsert", "merge_on_read_rows",
-    # Round 14: operators/bpe.py gained the K>8 expression-form guard and
-    # engine.tokenize_with auto-routes large tables via a pinned row id.
-    "bpe_tokenize_counts", "bpe_saved_tokenize_counts",
+    "merge_point_lookup", "merge_multi_lookup", "merge_time_travel",
 })
 
 

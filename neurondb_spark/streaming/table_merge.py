@@ -35,11 +35,17 @@ shape without the table-format dependency:
   deletes remove, inserts anti-join), so a post-crash replay of the
   same micro-batch — or of a half-applied one — converges to the same
   state; the streaming checkpoint guarantees no batch is skipped, and
-  a crash before a manifest publish leaves only orphan version dirs the
-  next write of that bucket sweeps.
+  a crash before a manifest publish leaves only orphan version dirs —
+  never referenced by any manifest, never overwritten (the next write
+  numbers PAST them), reclaimed by ``vacuum_merge_table``.
 
-Single writer at a time (the streaming checkpoint's own contract);
-readers are lock-free against that writer via the manifest snapshot.
+Single writer at a time (the streaming checkpoint's own contract),
+ENFORCED optimistically at every manifest commit: the committer
+re-reads ``_manifest.json`` immediately before publishing and raises
+:class:`ConcurrentWriterError` if another writer committed since this
+one loaded its manifest — the classic lost-update becomes a clear
+error instead of a silently vanished commit. Readers are lock-free
+against the writer via the manifest snapshot.
 
 At 100 TB: buckets = thousands (a few GB each); a COW micro-batch
 touching k buckets rewrites ~k·(table/n_buckets) bytes; a MOR batch
@@ -69,16 +75,35 @@ _LOG_META_FILE = "_log_meta.json"
 _LOG_BATCH_RE = re.compile(r"^logbatch=\d+$")
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Two writers raced one manifest commit. The single-writer contract
+    (one drain/compaction/rebalance/vacuum at a time) is the caller's to
+    uphold; this error is the optimistic enforcement that turns a
+    violated contract into a loud failure instead of a silently lost
+    commit. Reference analog: PG's page-level locking under generic_xlog
+    (NeuronDB/src/index/hnsw_am.c:32) makes the same interleaving
+    impossible by blocking; here the loser aborts and may retry from a
+    fresh manifest."""
+
+
 def _write_table_meta(table_dir: str, key_cols: list[str],
-                      n_buckets: int) -> None:
+                      n_buckets: int,
+                      dtypes: list[tuple[str, str]] | None = None) -> None:
     """Persist the table's immutable layout parameters next to the data
     (tmp + atomic rename). Without this, a drain called with a different
     n_buckets than the table was bucketed with hashes a key's change to
     the WRONG bucket — the upsert lands as an insert elsewhere while the
-    stale row survives, silent duplicate keys on read."""
+    stale row survives, silent duplicate keys on read. ``dtypes``
+    (ordered column→Spark-SQL-type pairs, from ``df.dtypes``) caches the
+    table schema so point lookups never open a parquet footer just for
+    column types; it is refreshed at init/rebalance — the only moments
+    the schema can change."""
     tmp = os.path.join(table_dir, _META_FILE + ".tmp")
+    meta: dict = {"key_cols": list(key_cols), "n_buckets": int(n_buckets)}
+    if dtypes is not None:
+        meta["dtypes"] = [[c, t] for c, t in dtypes]
     with open(tmp, "w") as f:
-        json.dump({"key_cols": list(key_cols), "n_buckets": int(n_buckets)}, f)
+        json.dump(meta, f)
     os.replace(tmp, os.path.join(table_dir, _META_FILE))
 
 
@@ -229,6 +254,26 @@ def _gc_paths(table_dir: str, rels: list[str]) -> None:
             os.remove(p)
 
 
+def _check_no_foreign_commit(table_dir: str, prev: dict) -> None:
+    """Optimistic-concurrency gate: the manifest on disk must still be
+    the one this writer loaded (same commit number) — otherwise another
+    writer published in between, and committing over it would silently
+    erase that writer's bucket swaps / log appends (lost update). A
+    missing on-disk manifest matches the synthesized commit-0 a legacy
+    table's writer starts from."""
+    cur = _read_manifest(table_dir)
+    cur_commit = int(cur.get("commit", 0)) if cur is not None else 0
+    want = int(prev.get("commit", 0))
+    if cur_commit != want:
+        raise ConcurrentWriterError(
+            f"neurondb: merge table at {table_dir!r} advanced to commit "
+            f"{cur_commit} while this writer was working from commit "
+            f"{want} — a concurrent drain/compaction/rebalance violated "
+            "the single-writer contract. This writer's changes were NOT "
+            "committed; reload the manifest and retry"
+        )
+
+
 def _commit_manifest(
     table_dir: str, prev: dict, bucket_updates: dict[str, str],
     newly_retired: list[str], log_batches: list[int],
@@ -237,7 +282,11 @@ def _commit_manifest(
     retired (one-commit retention — a reader holding the previous
     manifest still needs those files; a reader holding this one doesn't
     reference them), then publish the new manifest. Crash between GC and
-    publish re-runs idempotently (GC skips missing paths)."""
+    publish re-runs idempotently (GC skips missing paths). The publish
+    is guarded by the optimistic concurrent-writer check — the GC before
+    it only touches ``prev``'s retired set, which EVERY successor commit
+    (this writer's or a racing one's) deletes identically, so a losing
+    writer's partial GC destroys nothing a winner still references."""
     _gc_paths(table_dir, prev.get("retired", []))
     new = {
         "format": "neurondb-merge-manifest-v1",
@@ -246,6 +295,7 @@ def _commit_manifest(
         "log_batches": sorted(set(int(i) for i in log_batches)),
         "retired": sorted(set(newly_retired)),
     }
+    _check_no_foreign_commit(table_dir, prev)
     _publish_manifest(table_dir, new)
     return new
 
@@ -326,7 +376,7 @@ def init_merge_table(
         .write.mode("overwrite").partitionBy("bucket", "__nbv")
         .parquet(table_dir)
     )
-    _write_table_meta(table_dir, key_cols, n_buckets)
+    _write_table_meta(table_dir, key_cols, n_buckets, dtypes=df.dtypes)
     buckets = {
         name.split("=", 1)[1]: f"{name}/__nbv=0"
         for name in os.listdir(table_dir)
@@ -423,10 +473,11 @@ def compact_merge_table(
     batches folded.
 
     Crash-safe without its own journal: a crash before the manifest
-    publish leaves only orphan version dirs (swept by the next write of
-    each bucket) — the prior manifest still shows the log unfolded, so
-    the retry folds the identical last-writer-wins changes again,
-    idempotent by construction."""
+    publish leaves only orphan version dirs (unreferenced and never
+    overwritten; reclaimed by ``vacuum_merge_table``) — the prior
+    manifest still shows the log unfolded, so the retry folds the
+    identical last-writer-wins changes again, idempotent by
+    construction."""
     recover(table_dir)
     manifest = _load_manifest(table_dir)
     batch_ids = sorted(int(i) for i in manifest.get("log_batches", []))
@@ -502,6 +553,7 @@ def rebalance_merge_table(
     m = _load_manifest(table_dir)
     if m.get("retired"):
         _gc_paths(table_dir, m["retired"])
+        _check_no_foreign_commit(table_dir, m)
         _publish_manifest(table_dir, dict(m, commit=m["commit"] + 1,
                                           retired=[]))
     df = read_merge_table(spark, table_dir)
@@ -513,7 +565,8 @@ def rebalance_merge_table(
         .withColumn("__nbv", F.lit(0))
         .write.mode("overwrite").partitionBy("bucket", "__nbv").parquet(tmp)
     )
-    _write_table_meta(tmp, meta["key_cols"], int(n_buckets))
+    _write_table_meta(tmp, meta["key_cols"], int(n_buckets),
+                      dtypes=df.dtypes)
     buckets = {
         name.split("=", 1)[1]: f"{name}/__nbv=0"
         for name in os.listdir(tmp)
@@ -643,9 +696,18 @@ def lookup_merge_table_many(
             f"neurondb: {table_dir!r} has no bucket=N partitions — "
             "not an init_merge_table layout"
         )
-    first_rel = manifest["buckets"][min(manifest["buckets"])]
-    schema_src = spark.read.parquet(os.path.join(table_dir, first_rel))
-    types = dict(schema_src.dtypes)
+    # column dtypes from the meta cache written at init/rebalance — the
+    # lookup path touches NO parquet footer for schema; only legacy
+    # (pre-dtype-cache) tables fall back to one footer read.
+    dtypes: list[tuple[str, str]] = [
+        (c, t) for c, t in meta.get("dtypes", [])
+    ]
+    if not dtypes:
+        first_rel = manifest["buckets"][min(manifest["buckets"])]
+        dtypes = spark.read.parquet(
+            os.path.join(table_dir, first_rel)
+        ).dtypes
+    types = dict(dtypes)
     kdf = spark.createDataFrame(
         [tuple(key[c] for c in key_cols) for key in keys], key_cols
     ).select(*[F.col(c).cast(types[c]) for c in key_cols])
@@ -656,12 +718,16 @@ def lookup_merge_table_many(
     by_bucket: dict[int, list] = {}
     for r in krows:
         by_bucket.setdefault(int(r["__b"]), []).append(r)
+    # unfolded log batches from the SAME loaded manifest as the buckets
+    # (never re-read: a compaction committing between two reads would
+    # pair pre-fold buckets with an emptied log — dropped changes; the
+    # _load_manifest synth covers legacy manifest-less tables)
     batch_dirs = [
         os.path.join(table_dir, _LOG_DIR, f"logbatch={i}")
         for i in sorted(int(x) for x in manifest.get("log_batches", []))
-    ] if at_commit is not None else _log_batch_dirs(table_dir)
+    ]
     lmeta = _load_log_meta(table_dir) if batch_dirs else None
-    out_cols = schema_src.columns
+    out_cols = [c for c, _ in dtypes]
     parts: list[DataFrame] = []
     for b in sorted(by_bucket):
         pred = None
@@ -699,7 +765,9 @@ def lookup_merge_table_many(
                 .unionByName(upserts)
             )
     if not parts:
-        return schema_src.limit(0)
+        return spark.createDataFrame(
+            [], ", ".join(f"`{c}` {t}" for c, t in dtypes)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -778,10 +846,15 @@ def read_merge_table(
         os.path.join(table_dir, rel) for rel in manifest["buckets"].values()
     )
     base = spark.read.parquet(*paths)
+    # unfolded log batches from the SAME loaded manifest as the buckets
+    # — never a second manifest read (a compaction committing between
+    # the two reads would pair pre-fold buckets with an emptied log,
+    # silently dropping every unfolded change; the _load_manifest synth
+    # covers legacy manifest-less tables)
     batch_dirs = [
         os.path.join(table_dir, _LOG_DIR, f"logbatch={i}")
         for i in sorted(int(x) for x in manifest.get("log_batches", []))
-    ] if at_commit is not None else _log_batch_dirs(table_dir)
+    ]
     if not batch_dirs:
         return base
     meta = _load_table_meta(table_dir)

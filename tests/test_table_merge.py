@@ -140,7 +140,8 @@ def test_table_meta_guards_bucketing(spark):
 
     tmp = tempfile.mkdtemp(prefix="tmerge_meta_")
     base, table, src = _setup(spark, tmp)
-    assert _load_table_meta(table) == {"key_cols": ["id"], "n_buckets": 4}
+    meta = _load_table_meta(table)
+    assert meta["key_cols"] == ["id"] and meta["n_buckets"] == 4
     spark.createDataFrame(
         [(3, "x", "u", 1)], CHANGE_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
@@ -652,7 +653,10 @@ def test_rebalance_merge_table(spark):
     assert len(_log_batch_dirs(table)) == 1  # unfolded on purpose
     before = _rows(read_merge_table(spark, table))
     eng.rebalance_table("reb", 9)
-    assert _load_table_meta(table) == {"key_cols": ["id"], "n_buckets": 9}
+    meta = _load_table_meta(table)
+    assert meta["key_cols"] == ["id"] and meta["n_buckets"] == 9
+    # rebalance refreshes the dtype cache alongside the layout params
+    assert meta["dtypes"] == [["id", "bigint"], ["v", "string"]]
     assert _log_batch_dirs(table) == []  # folded before the rewrite
     assert len([d for d in os.listdir(table) if d.startswith("bucket=")]) <= 9
     assert _rows(read_merge_table(spark, table)) == before
@@ -672,4 +676,121 @@ def test_rebalance_merge_table(spark):
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
     got = eng.merge_cdc("reb", src + "/*/", CHANGE_SCHEMA)
     assert dict(_rows(got))[100] == "upd"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_concurrent_writer_commit_raises(spark):
+    """VERDICT r14 "What's missing" #3: two writers interleaving
+    read-manifest→publish cycles is a lost update — the optimistic check
+    at commit time turns the loser's publish into ConcurrentWriterError,
+    and the winner's commit survives untouched."""
+    import pytest
+
+    from neurondb_spark.streaming.table_merge import (
+        ConcurrentWriterError,
+        _commit_manifest,
+        _load_manifest,
+        _read_manifest,
+        read_merge_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tcc_")
+    base, table, src = _setup(spark, tmp)
+    m_a = _load_manifest(table)  # writer A loads...
+    m_b = _load_manifest(table)  # ...writer B loads the same commit
+    _commit_manifest(table, m_b, {}, [], [7])  # B publishes first
+    with pytest.raises(ConcurrentWriterError, match="commit 2.*commit 1"):
+        _commit_manifest(table, m_a, {}, [], [])  # A must NOT silently win
+    # the winner's commit is intact and the table still reads
+    assert _read_manifest(table)["commit"] == 2
+    assert _read_manifest(table)["log_batches"] == [7]
+    # a retry from a FRESH manifest succeeds (the documented recovery)
+    _commit_manifest(table, _load_manifest(table), {}, [], [])
+    assert _read_manifest(table)["commit"] == 3
+    assert _rows(read_merge_table(spark, table)) == _rows(base)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lookup_uses_cached_dtypes_no_schema_probe(spark, monkeypatch):
+    """VERDICT r14 "What's wrong" #3: column dtypes are cached in
+    _table_meta.json at init/rebalance, so a point lookup opens exactly
+    the touched buckets' parquet — never an extra footer read just for
+    schema. Legacy tables (no dtype cache) still work via the fallback
+    probe."""
+    from neurondb_spark.streaming.table_merge import (
+        _load_table_meta,
+        _write_table_meta,
+        lookup_merge_table,
+        lookup_merge_table_many,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tdty_")
+    base, table, src = _setup(spark, tmp)
+    assert _load_table_meta(table)["dtypes"] == [["id", "bigint"],
+                                                 ["v", "string"]]
+    _Reader = type(spark.read)
+    reads = []
+    orig_parquet = _Reader.parquet
+    monkeypatch.setattr(
+        _Reader, "parquet",
+        lambda self, *p: (reads.append(p), orig_parquet(self, *p))[1],
+    )
+    got = lookup_merge_table(spark, table, {"id": 3})
+    assert [r["v"] for r in got.collect()] == ["v3"]
+    # exactly ONE parquet open: the touched bucket's version dir
+    assert len(reads) == 1 and "bucket=" in reads[0][0]
+    # two keys in one bucket-distinct pair → still no schema probe
+    reads.clear()
+    many = lookup_merge_table_many(spark, table, [{"id": 3}, {"id": 5}])
+    assert {r["id"] for r in many.collect()} == {3, 5}
+    assert all("bucket=" in p[0] for p in reads)
+    monkeypatch.undo()
+    # legacy meta without the dtype cache: fallback probe, same answer
+    _write_table_meta(table, ["id"], 4)
+    assert "dtypes" not in _load_table_meta(table)
+    got = lookup_merge_table(spark, table, {"id": 3})
+    assert [r["v"] for r in got.collect()] == ["v3"]
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_read_resolves_log_from_single_manifest(spark, monkeypatch):
+    """ADVICE r14 (medium): the at_commit=None read must take its
+    unfolded-log list from the SAME manifest object it resolved buckets
+    from — a compaction committing between two manifest reads would pair
+    pre-fold buckets with an emptied log and silently drop every
+    unfolded change. Simulated by making every manifest read AFTER the
+    first return the post-compaction (log-empty) view: the read must
+    still see the log change, because it never re-reads."""
+    import neurondb_spark.streaming.table_merge as tm
+
+    tmp = tempfile.mkdtemp(prefix="tsnap1_")
+    base, table, src = _setup(spark, tmp)
+    spark.createDataFrame(
+        [(3, "x", "u", 1), (100, "new", "i", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    tm.merge_stream_drain(spark, src + "/*/", CHANGE_SCHEMA, table, ["id"],
+                          n_buckets=4, merge_on_read=True)
+    real = tm._read_manifest(table)
+    assert real["log_batches"] == [0]
+    doctored = dict(real, log_batches=[])  # what a racing fold publishes
+    calls = []
+    monkeypatch.setattr(
+        tm, "_read_manifest",
+        lambda d: (calls.append(d), real if len(calls) == 1 else doctored)[1],
+    )
+    got = {r["id"]: r["v"] for r in tm.read_merge_table(spark, table).collect()}
+    monkeypatch.undo()
+    assert len(calls) == 1  # buckets AND log from one manifest load
+    assert got[3] == "x" and got[100] == "new"  # log changes not dropped
+    # same single-load contract on the batched lookup path
+    calls.clear()
+    monkeypatch.setattr(
+        tm, "_read_manifest",
+        lambda d: (calls.append(d), real if len(calls) == 1 else doctored)[1],
+    )
+    got = {r["id"]: r["v"] for r in tm.lookup_merge_table_many(
+        spark, table, [{"id": 3}, {"id": 100}]).collect()}
+    monkeypatch.undo()
+    assert len(calls) == 1
+    assert got == {3: "x", 100: "new"}
     shutil.rmtree(tmp, ignore_errors=True)
