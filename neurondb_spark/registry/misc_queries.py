@@ -946,8 +946,12 @@ def _q_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     %5==2 already deleted. Its files sit in the retired-but-retained
     window (the compaction commit retired them; nothing has committed
     since), so the historical read must reproduce that exact state —
-    hash-gated against the batch-1-only closed form. Same batch-twin
-    fallback contract as the other merge rows."""
+    hash-gated against the batch-1-only closed form. STRICTER fallback
+    contract than the other merge rows: the batch twin covers only the
+    table-ABSENT infra case — a present table with a history that lacks
+    the post-batch-1 commit is a product bug and raises even without
+    NEURONDB_STRICT_STREAM (a silent twin here would hash-green without
+    exercising at_commit at all)."""
     from neurondb_spark.streaming.table_merge import (
         merge_table_history,
         read_merge_table,
@@ -960,20 +964,29 @@ def _q_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
     table = os.path.join(tempfile.gettempdir(), f"neurondb_mor_v2_{tag}",
                          "table")
-    out = None
     if os.path.isdir(table):
+        # table present but history missing its post-batch-1 commit is a
+        # PRODUCT bug (broken manifest history), never infra flake — raise
+        # unconditionally (VERDICT r14 "What's wrong" #1) so this row can
+        # only go green by actually exercising at_commit.
         after_b1 = [m["commit"] for m in merge_table_history(table)
                     if m.get("log_batches") == [0]]
-        if after_b1:
-            out = read_merge_table(spark, table, at_commit=after_b1[0])
-    if out is None:  # batch-twin fallback (non-strict infra failure only)
+        if not after_b1:
+            raise RuntimeError(
+                "neurondb: merge_time_travel found the scenario table but "
+                "no commit whose unfolded log is [0] in its history — "
+                "manifest history is broken; refusing the batch-twin "
+                "fallback (reserved for the table-absent infra case)"
+            )
+        out = read_merge_table(spark, table, at_commit=after_b1[0])
+    else:  # batch-twin fallback (non-strict, table-absent infra case only)
         from neurondb_spark.data_management import apply_changes
         from neurondb_spark.streaming import strict_stream
 
         if strict_stream():
             raise RuntimeError(
-                "neurondb: merge_time_travel found no post-batch-1 "
-                "commit in the table history under NEURONDB_STRICT_STREAM=1"
+                "neurondb: merge_time_travel scenario table missing "
+                "under NEURONDB_STRICT_STREAM=1"
             )
         out = apply_changes(base, c1, ["o_orderkey"], seq_col="seq")
     return out.select("o_orderkey", "o_orderstatus", "o_totalprice")

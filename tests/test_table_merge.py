@@ -794,3 +794,43 @@ def test_read_resolves_log_from_single_manifest(spark, monkeypatch):
     assert len(calls) == 1
     assert got == {3: "x", 100: "new"}
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_time_travel_row_refuses_broken_history(spark):
+    """VERDICT r14 "What's wrong" #1: the merge_time_travel gate row's
+    batch-twin fallback covers only the table-ABSENT infra case. A
+    present table whose history lacks the post-batch-1 commit is a
+    product bug — the row must raise even without NEURONDB_STRICT_STREAM,
+    never silently hash-green via the twin."""
+    import pytest
+
+    from neurondb_spark.registry.misc_queries import _q_merge_time_travel
+
+    sf_dir = "/root/testdata/sf0.001"
+    # intact scenario: the row returns the post-batch-1 state
+    assert _q_merge_time_travel(spark, sf_dir).limit(1).count() == 1
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    table = os.path.join(tempfile.gettempdir(), f"neurondb_mor_v2_{tag}",
+                         "table")
+    hist = os.path.join(table, "_manifests")
+    # doctor: remove every history copy whose unfolded log is [0]
+    import json
+    moved = []
+    for name in os.listdir(hist):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(hist, name)) as f:
+            if json.load(f).get("log_batches") == [0]:
+                os.rename(os.path.join(hist, name),
+                          os.path.join(hist, name + ".hidden"))
+                moved.append(name)
+    assert moved, "scenario history must contain the post-batch-1 commit"
+    try:
+        assert os.environ.get("NEURONDB_STRICT_STREAM") != "1"
+        with pytest.raises(RuntimeError, match="history is broken"):
+            _q_merge_time_travel(spark, sf_dir)
+    finally:  # restore — the scenario table is shared across gate rows
+        for name in moved:
+            os.rename(os.path.join(hist, name + ".hidden"),
+                      os.path.join(hist, name))
+    assert _q_merge_time_travel(spark, sf_dir).limit(1).count() == 1
