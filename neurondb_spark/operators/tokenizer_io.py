@@ -56,28 +56,46 @@ def load_tokenizer(path: str) -> tuple[list[tuple[str, str, int]], dict]:
 
 def export_hf_tokenizer(
     dir_path: str, merges: list[tuple[str, str, int]],
+    alphabet: set[str] | None = None,
 ) -> tuple[str, str]:
     """Emit the standard ``vocab.json`` + ``merges.txt`` pair (the
     GPT-2/HF byte-level BPE file format, which HF ``tokenizers`` loads
-    directly) from a learned merge table. Both are derivable from the
-    table alone: the base alphabet is every single-character symbol the
-    merges mention (characters that never participate in a merge pass
-    through as themselves either way), and each merge contributes its
-    concatenation as the next vocab id — exactly how HF reconstructs a
-    vocab from merges. merges.txt is the training-ordered
+    directly) from a learned merge table. The derived base alphabet is
+    every single-character symbol the merges mention, plus the optional
+    explicit ``alphabet`` (ADVICE r14): THIS package passes characters
+    that never participate in a merge through as themselves, but an HF
+    consumer maps any character absent from vocab.json to UNK — so a
+    merges-only export covers only merge-participating characters, and
+    full-fidelity HF interop should pass the corpus alphabet (e.g. the
+    distinct characters of the training word table). Each merge then
+    contributes its concatenation as the next vocab id — exactly how HF
+    reconstructs a vocab from merges. merges.txt is the training-ordered
     ``left right`` list under the canonical ``#version: 0.2`` header.
     Returns (vocab_path, merges_path); both writes are atomic
     tmp+rename. Our tokens are alnum runs so the space separator is
     safe — a token containing a space is refused rather than corrupted."""
-    alphabet: set[str] = set()
+    chars: set[str] = set()
+    for ch in alphabet or ():
+        if len(ch) != 1:
+            raise ValueError(
+                f"neurondb: alphabet entries are single characters, got "
+                f"{ch!r}"
+            )
+        if ch in " \n":
+            raise ValueError(
+                "neurondb: merges.txt/vocab.json export cannot carry "
+                f"whitespace alphabet entry {ch!r}"
+            )
+        chars.add(ch)
     for left, right, _ in merges:
         if " " in left or " " in right or "\n" in left or "\n" in right:
             raise ValueError(
                 "neurondb: merges.txt is space/line-delimited — token "
                 f"({left!r}, {right!r}) cannot be exported"
             )
-        alphabet.update(left)
-        alphabet.update(right)
+        chars.update(left)
+        chars.update(right)
+    alphabet = chars
     vocab: dict[str, int] = {}
     for ch in sorted(alphabet):
         vocab[ch] = len(vocab)

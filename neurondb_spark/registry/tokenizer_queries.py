@@ -248,6 +248,55 @@ def _q_bpe_saved_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_hf_import_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HF tokenizer IMPORT under the hash gate (VERDICT r14 stretch #8):
+    export the saved gate tokenizer as the standard vocab.json +
+    merges.txt pair (operators/tokenizer_io.export_hf_tokenizer), re-read
+    the EMITTED merges.txt via load_hf_merges — counts come back as 0,
+    proving apply depends on merge ORDER alone — and re-tokenize the
+    corpus with those imported merges at vocabulary cost. Must hash-equal
+    the same chained-CTE replay as bpe_tokenize_counts: a lossy export or
+    import (dropped/reordered merge line, separator corruption) breaks
+    the hash. Reference analog: the pretrained-file loading surface
+    (NeuronDB/src/onnx/neurondb_tokenizer.c reads merges from disk)."""
+    import os
+    import tempfile
+
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.operators.bpe import bpe_token_counts, bpe_word_table
+    from neurondb_spark.operators.bpe_local import word_symbols_udf
+    from neurondb_spark.operators.tokenizer_io import (
+        export_hf_tokenizer,
+        load_hf_merges,
+        load_tokenizer,
+    )
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    cat = os.path.join(tempfile.gettempdir(), f"neurondb_tok_v1_{tag}")
+    eng = NeuronSparkEngine(spark, cat)
+    docs = t(spark, sf_dir, "documents")
+    if eng.catalog.get("tokenizers", "gate_bpe") is None:
+        eng.train_tokenizer("gate_bpe", docs, "text",
+                            num_merges=_BPE_MERGES)
+    merges, _meta = load_tokenizer(
+        eng.catalog.get("tokenizers", "gate_bpe")["path"]
+    )
+    _vocab_path, merges_path = export_hf_tokenizer(
+        os.path.join(cat, "hf_gate_bpe"), merges
+    )
+    imported = load_hf_merges(merges_path)
+    assert [m[:2] for m in imported] == [m[:2] for m in merges]
+    words = bpe_word_table(docs, "text")
+    final = words.withColumn(
+        "symbols", word_symbols_udf(F.col("word"), imported)
+    )
+    return (
+        bpe_token_counts(final)
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(_BPE_TOP)
+    )
+
+
 _EPP_SEQ_LEN = 512
 _EPP_EPOCH = 1
 
@@ -322,6 +371,8 @@ QUERIES = {
     "bpe_hybrid_train_k2000": (_q_bpe_hybrid_prod, None),
     "bpe_saved_tokenize_counts": (_q_bpe_saved_counts,
                                   _sql_bpe_token_counts()),
+    "bpe_hf_import_counts": (_q_bpe_hf_import_counts,
+                             _sql_bpe_token_counts()),
     "epoch_shuffle_order": (_q_epoch_shuffle, _sql_epoch_shuffle()),
     "epoch_pack_spans": (_q_epoch_pack, _sql_epoch_pack()),
 }

@@ -169,3 +169,63 @@ def test_tokenize_with_auto_routes_large_merge_tables(spark):
     assert set(out.columns) == {"rid", "txt", "toks"}  # no leaked temp id
     got = {r["rid"]: list(r["toks"]) for r in out.collect()}
     assert got == {1: ["ab", "c", "ab"], 2: ["b", "a"], 3: []}
+
+
+def test_auto_route_pin_warns_above_threshold(spark, monkeypatch):
+    """VERDICT r14 "What's wrong" #2: the auto-route's localCheckpoint
+    materializes the whole frame just to stabilize a synthesized row id —
+    above TOKENIZE_PIN_WARN_ROWS it must warn (pointing at id_col=), and
+    the warning must not change the output. Below the threshold: silent."""
+    import warnings as _w
+
+    import neurondb_spark.engine as engmod
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.operators.tokenizer_io import save_tokenizer
+
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="tok_warn_"))
+    merges = [("a", "b", 5), ("ab", "c", 3)]
+    merges += [(f"x{i}", f"y{i}", 1) for i in range(20)]  # > MAX_EXPR_MERGES
+    path = os.path.join(
+        eng.catalog.artifact_dir("tokenizers", "warn"), "tokenizer.json"
+    )
+    save_tokenizer(path, merges, {})
+    eng.catalog.register("tokenizers", "warn",
+                         {"path": path, "num_merges": len(merges)})
+    df = spark.createDataFrame(
+        [(1, "ab cab"), (2, "ba")], "rid long, txt string"
+    )
+    monkeypatch.setattr(engmod, "TOKENIZE_PIN_WARN_ROWS", 1)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = eng.tokenize_with("warn", df, "txt", out_col="toks")
+        got = {r["rid"]: list(r["toks"]) for r in out.collect()}
+    assert got == {1: ["ab", "c", "ab"], 2: ["b", "a"]}  # output unchanged
+    hits = [w for w in rec if "id_col=" in str(w.message)]
+    assert len(hits) == 1 and "localCheckpoint" in str(hits[0].message)
+    # below the threshold: no warning
+    monkeypatch.setattr(engmod, "TOKENIZE_PIN_WARN_ROWS", 1_000_000)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        eng.tokenize_with("warn", df, "txt", out_col="toks").collect()
+    assert not [w for w in rec if "id_col=" in str(w.message)]
+
+
+def test_hf_export_explicit_alphabet(tmp_path):
+    """ADVICE r14 (low): merges-only export covers only merge-
+    participating characters — an HF consumer maps anything else to UNK.
+    The optional explicit alphabet (e.g. the training corpus's distinct
+    characters) lands in vocab.json; malformed entries are refused."""
+    import json
+
+    from neurondb_spark.operators.tokenizer_io import export_hf_tokenizer
+
+    merges = [("a", "b", 9)]
+    vp, _mp = export_hf_tokenizer(str(tmp_path / "hf"), merges,
+                                  alphabet={"a", "b", "z", "q"})
+    with open(vp) as f:
+        vocab = json.load(f)
+    assert vocab == {"a": 0, "b": 1, "q": 2, "z": 3, "ab": 4}
+    with pytest.raises(ValueError, match="single characters"):
+        export_hf_tokenizer(str(tmp_path / "h2"), merges, alphabet={"ab"})
+    with pytest.raises(ValueError, match="whitespace"):
+        export_hf_tokenizer(str(tmp_path / "h3"), merges, alphabet={" "})
