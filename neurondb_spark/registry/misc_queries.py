@@ -992,6 +992,42 @@ def _q_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+def _q_merge_vacuum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum under the hash gate (VERDICT r14 #7): fabricate a
+    crashed-commit orphan version dir on the MOR scenario table, run
+    vacuum_merge_table (remove-orphan-files), and return the post-vacuum
+    read — which must STILL hash-equal the closed form: vacuum removes
+    exactly the unreachable set and never a file any manifest holder
+    references. The row raises if the fabricated orphan survives (vacuum
+    did nothing) — a silent no-op vacuum must not hash-green. Table-
+    absent infra fallback only (non-strict), same contract as the other
+    merge rows."""
+    from neurondb_spark.streaming.table_merge import (
+        read_merge_table,
+        vacuum_merge_table,
+    )
+
+    state = _run_merge_scenario(spark, sf_dir, "merge_vacuum_rows",
+                                "neurondb_mor_v2", merge_on_read=True,
+                                compact_every=2)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    table = os.path.join(tempfile.gettempdir(), f"neurondb_mor_v2_{tag}",
+                         "table")
+    if not os.path.isdir(table):
+        return state  # batch twin (strict mode raised in the scenario)
+    orphan = os.path.join(table, "bucket=0", "__nbv=999")
+    os.makedirs(orphan, exist_ok=True)
+    stats = vacuum_merge_table(table)
+    if os.path.isdir(orphan) or stats["orphan_versions"] < 1:
+        raise RuntimeError(
+            "neurondb: merge_vacuum_rows fabricated an orphan version "
+            f"dir and vacuum did not remove it (stats={stats})"
+        )
+    return read_merge_table(spark, table).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 _SQL_MERGE_TIME_TRAVEL = """SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders WHERE o_orderkey % 5 IN (3, 4)
 UNION ALL
@@ -1094,6 +1130,7 @@ QUERIES = {
     "merge_point_lookup": (_q_merge_point_lookup, _SQL_MERGE_POINT_LOOKUP),
     "merge_multi_lookup": (_q_merge_multi_lookup, _SQL_MERGE_MULTI_LOOKUP),
     "merge_time_travel": (_q_merge_time_travel, _SQL_MERGE_TIME_TRAVEL),
+    "merge_vacuum_rows": (_q_merge_vacuum_rows, _SQL_STREAM_MERGE),
     "matryoshka_overlap": (_q_matryoshka_overlap, _sql_matryoshka_overlap()),
     "vec_route_counts": (_q_vec_route, _sql_vec_route()),
     "snapshot_time_travel": (_q_time_travel, _SQL_TIME_TRAVEL),
