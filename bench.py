@@ -149,21 +149,52 @@ def main() -> None:
     # off its floor — comparing against the floor catches it (VERDICT
     # r14 "What's wrong" #4). Harmless on intentional slow-downs: the
     # retry just re-measures and records what it sees.
+    # Sources, all best-effort: (a) BENCH_HISTORY.jsonl — one line of
+    # per-query timings appended by every local bench run (the full
+    # multi-round record BENCH_SELF can't be, since it's overwritten);
+    # (b) the driver's BENCH_r*.json files, whose "tail" holds a
+    # TRUNCATED stdout fragment — scrape `"name": 1.234` pairs out of it
+    # and keep only names that are actual registry queries (the fragment
+    # also carries "value"/"sf" metadata).
     floor_timings: dict[str, float] = {}
+    known_queries = set(entrymod.queries().keys())
+
+    def _floor_in(qn: str, v) -> None:
+        if qn in known_queries and isinstance(v, (int, float)) and v > 0:
+            floor_timings[qn] = min(floor_timings.get(qn, float("inf")),
+                                    float(v))
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(repo, "BENCH_HISTORY.jsonl")
+    try:
+        with open(hist_path) as f:
+            for line in f:
+                try:
+                    for qn, v in json.loads(line).get("queries", {}).items():
+                        _floor_in(qn, v)
+                except ValueError:
+                    continue
+    except OSError:
+        pass
     try:
         import glob as _glob
+        import re as _re
 
-        repo = os.path.dirname(os.path.abspath(__file__))
         for bp in _glob.glob(os.path.join(repo, "BENCH_r*.json")):
             try:
                 with open(bp) as f:
-                    for qn, v in json.load(f).get("queries", {}).items():
-                        if isinstance(v, (int, float)) and v > 0:
-                            floor_timings[qn] = min(
-                                floor_timings.get(qn, float("inf")), v
-                            )
-            except (OSError, ValueError):
+                    raw = f.read()
+            except OSError:
                 continue
+            # the tail is a JSON STRING field, so its quotes arrive
+            # escaped (\"name\": 1.23) — match both forms
+            for qn, v in _re.findall(
+                r'\\?"([a-z0-9_]+)\\?":\s*([0-9.]+)', raw
+            ):
+                try:
+                    _floor_in(qn, float(v))
+                except ValueError:
+                    continue
     except Exception:
         pass
 
@@ -210,13 +241,23 @@ def main() -> None:
     # does: a structurally-fine query recovers its true time, a real
     # regression stays slow — so the retried/still-slow split in
     # BENCH_SELF.json distinguishes noise from regression every run.
-    suspects = [
-        n for n, best in timings.items()
-        if (prev_timings.get(n) and best > 1.5 * prev_timings[n]
-            and best - prev_timings[n] > 1.0)
-        or (floor_timings.get(n) and best > 1.5 * floor_timings[n]
-            and best - floor_timings[n] > 1.0)
-    ]
+    def _suspect_ratio(n: str, best: float) -> float:
+        """How far above its best-known reference the row landed (for
+        severity ordering; 0 = not a suspect)."""
+        r = 0.0
+        p = prev_timings.get(n)
+        if p and best > 1.5 * p and best - p > 1.0:
+            r = best / p
+        fl = floor_timings.get(n)
+        if fl and best > 1.5 * fl and best - fl > 1.0:
+            r = max(r, best / fl)
+        return r
+
+    # worst offenders first so the retry cap keeps the rows that matter
+    suspects = sorted(
+        (n for n, best in timings.items() if _suspect_ratio(n, best) > 0),
+        key=lambda n: -_suspect_ratio(n, timings[n]),
+    )
     retried: dict[str, list[float]] = {}
     registry = entrymod.queries() if suspects else {}
     for name in suspects[:20]:  # bound the retry pass
@@ -263,6 +304,17 @@ def main() -> None:
             json.dump(payload, f, indent=1)
     except OSError as e:
         print(f"# BENCH_SELF.json write skipped: {e}", file=sys.stderr)
+    # Cumulative per-run record (one JSON line per bench run): the
+    # multi-round per-query history the retry pass computes its ledger
+    # FLOOR from — BENCH_SELF alone can't serve that, it's overwritten
+    # every run, and the driver's BENCH_r*.json keeps only a truncated
+    # stdout tail.
+    try:
+        with open(hist_path, "a") as f:
+            f.write(json.dumps({"sf": payload["sf"], "value": total,
+                                "queries": timings}) + "\n")
+    except OSError as e:
+        print(f"# BENCH_HISTORY.jsonl append skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
