@@ -345,21 +345,27 @@ class NeuronSparkEngine:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
         return compact_merge_table(self.spark, meta["path"])
 
-    def lookup_table(self, name: str, key: dict) -> DataFrame:
+    def lookup_table(self, name: str, key: dict,
+                     at_commit: int | None = None) -> DataFrame:
         """Bucket-pruned point read of one key (lookup_merge_table):
-        scans 1/n_buckets of the base plus that bucket's log slices."""
+        scans 1/n_buckets of the base plus that bucket's log slices;
+        ``at_commit`` answers against a recorded historical commit (same
+        retention contract as read_table)."""
         from neurondb_spark.streaming.table_merge import lookup_merge_table
 
         meta = self.catalog.get("tables", name)
         if meta is None:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
-        return lookup_merge_table(self.spark, meta["path"], key)
+        return lookup_merge_table(self.spark, meta["path"], key,
+                                  at_commit=at_commit)
 
-    def lookup_table_many(self, name: str, keys: list[dict]) -> DataFrame:
+    def lookup_table_many(self, name: str, keys: list[dict],
+                          at_commit: int | None = None) -> DataFrame:
         """Batched point read (lookup_merge_table_many): ONE bucket-hash
         job for all keys, then one pruned scan per touched bucket — a
         point-lookup service should batch instead of looping
-        lookup_table (which pays job-scheduling latency per key)."""
+        lookup_table (which pays job-scheduling latency per key).
+        ``at_commit`` time-travels the whole batch."""
         from neurondb_spark.streaming.table_merge import (
             lookup_merge_table_many,
         )
@@ -367,7 +373,8 @@ class NeuronSparkEngine:
         meta = self.catalog.get("tables", name)
         if meta is None:
             raise ValueError(f"neurondb: unknown merge table {name!r}")
-        return lookup_merge_table_many(self.spark, meta["path"], keys)
+        return lookup_merge_table_many(self.spark, meta["path"], keys,
+                                       at_commit=at_commit)
 
     def rebalance_table(self, name: str, n_buckets: int) -> None:
         """Re-bucket a merge table (offline full-table rewrite,

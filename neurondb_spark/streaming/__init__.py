@@ -4,6 +4,7 @@ workers (job queue, monitor) re-expressed as streams."""
 import os
 
 from neurondb_spark.streaming.queue import JobQueueWorker, monitor_stream  # noqa: F401
+from neurondb_spark.streaming.table_merge import ConcurrentWriterError  # noqa: F401
 
 
 def strict_stream() -> bool:

@@ -834,3 +834,31 @@ def test_time_travel_row_refuses_broken_history(spark):
             os.rename(os.path.join(hist, name + ".hidden"),
                       os.path.join(hist, name))
     assert _q_merge_time_travel(spark, sf_dir).limit(1).count() == 1
+
+
+def test_engine_lookup_at_commit_facade(spark):
+    """engine.lookup_table(_many) pass at_commit through — a point read
+    against a recorded historical commit returns the pre-change value
+    while the current lookup returns the post-change one."""
+    from neurondb_spark.engine import NeuronSparkEngine
+    from neurondb_spark.streaming import ConcurrentWriterError  # re-export
+    from neurondb_spark.streaming.table_merge import merge_table_history
+
+    assert issubclass(ConcurrentWriterError, RuntimeError)
+    eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="tlac_"))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.create_merge_table("tac", base, ["id"], n_buckets=2)
+    src = tempfile.mkdtemp(prefix="tlac_src_")
+    spark.createDataFrame(
+        [(1, "A2", "u", 1)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    eng.merge_cdc("tac", src + "/*/", CHANGE_SCHEMA)
+    path = eng.catalog.get("tables", "tac")["path"]
+    first = merge_table_history(path)[0]["commit"]
+    assert [r["v"] for r in eng.lookup_table("tac", {"id": 1}).collect()] \
+        == ["A2"]
+    assert [r["v"] for r in eng.lookup_table(
+        "tac", {"id": 1}, at_commit=first).collect()] == ["a"]
+    assert [r["v"] for r in eng.lookup_table_many(
+        "tac", [{"id": 1}, {"id": 2}], at_commit=first).orderBy("id")
+        .collect()] == ["a", "b"]
