@@ -111,7 +111,8 @@ TOKENIZE_PIN_WARN_ROWS = 1_000_000
 # under those, (file_path, row_index) is no longer unique per output row.
 _ROW_IDENTITY_NODES = frozenset({
     "SubqueryAlias", "Project", "Filter", "Sort", "GlobalLimit",
-    "LocalLimit", "Sample", "Deduplicate",
+    "LocalLimit", "Sample", "Deduplicate", "Repartition",
+    "RepartitionByExpression",
 })
 
 

@@ -297,6 +297,41 @@ def _q_bpe_hf_import_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_facade_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine.tokenize_with END-TO-END under the hash gate, including
+    the corpus-scale auto-route id (round-15): apply the saved gate
+    tokenizer to the documents SCAN through the facade with NO id_col —
+    K=10 > MAX_EXPR_MERGES routes through the vocabulary join, and
+    because the frame is one file scan the reassembly id is the
+    deterministic ``_metadata`` file_path#row_index (no localCheckpoint
+    materialization, the 100 TB path) — then explode the per-document
+    token arrays to corpus counts. Must hash-equal the same chained-CTE
+    replay as bpe_tokenize_counts: a wrong/unstable row id would scramble
+    token-to-document reassembly and break the hash."""
+    import os
+    import tempfile
+
+    from neurondb_spark.engine import NeuronSparkEngine
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    cat = os.path.join(tempfile.gettempdir(), f"neurondb_tok_v1_{tag}")
+    eng = NeuronSparkEngine(spark, cat)
+    docs = t(spark, sf_dir, "documents")  # plain scan — NOT tp(); the
+    # row exists to drive the metadata-id route, which needs one
+    # file-source leaf under row-identity nodes
+    if eng.catalog.get("tokenizers", "gate_bpe") is None:
+        eng.train_tokenizer("gate_bpe", docs, "text",
+                            num_merges=_BPE_MERGES)
+    toks = eng.tokenize_with("gate_bpe", docs, "text", out_col="toks")
+    return (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(_BPE_TOP)
+    )
+
+
 _EPP_SEQ_LEN = 512
 _EPP_EPOCH = 1
 
@@ -373,6 +408,8 @@ QUERIES = {
                                   _sql_bpe_token_counts()),
     "bpe_hf_import_counts": (_q_bpe_hf_import_counts,
                              _sql_bpe_token_counts()),
+    "bpe_facade_tokenize_counts": (_q_bpe_facade_counts,
+                                   _sql_bpe_token_counts()),
     "epoch_shuffle_order": (_q_epoch_shuffle, _sql_epoch_shuffle()),
     "epoch_pack_spans": (_q_epoch_pack, _sql_epoch_pack()),
 }
