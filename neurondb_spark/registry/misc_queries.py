@@ -1030,16 +1030,19 @@ def _q_merge_vacuum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_merge_rebalance_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebalance under the hash gate (round-15; previously pytest-only):
-    build the CDC scenario on a DEDICATED merge-on-read table (fresh
-    every run — rebalance changes the bucketing, so sharing the other
-    rows' table would poison their drains), leave the log UNFOLDED
-    (compact_every=0), then re-bucket 8→5 — the offline job must fold
-    the log first, rewrite the whole table under the new layout, swap,
-    and the post-rebalance read must STILL hash-equal the closed form.
-    The row raises if the new layout didn't take (meta still 8). Table-
-    absent infra fallback only (non-strict), same contract as the other
-    merge rows. Reference analog: rebalance_index
-    (NeuronDB/src/index/ivf_am.c maintenance surface)."""
+    build the CDC scenario on a DEDICATED merge-on-read table (rebalance
+    changes the bucketing, so sharing the other rows' table would poison
+    their drains), leave the log UNFOLDED (compact_every=0), then
+    re-bucket 8→5 — the offline job must fold the log first, rewrite the
+    whole table under the new layout, swap, and the post-rebalance read
+    must STILL hash-equal the closed form. Idempotent like the other
+    scenario rows: a table already recorded at 5 buckets skips the
+    rebuild (the hash then verifies the rebalanced state's DATA; a
+    half-done or wrong-layout leftover is torn down and rebuilt, and the
+    row raises if a fresh rebalance doesn't take). Table-absent infra
+    fallback only (non-strict), same contract as the other merge rows.
+    Reference analog: rebalance_index (NeuronDB/src/index/ivf_am.c
+    maintenance surface)."""
     import shutil
 
     from neurondb_spark.streaming.table_merge import (
@@ -1050,20 +1053,23 @@ def _q_merge_rebalance_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
     root = os.path.join(tempfile.gettempdir(), f"neurondb_reb_v1_{tag}")
-    shutil.rmtree(root, ignore_errors=True)  # deterministic fresh build
-    state = _run_merge_scenario(spark, sf_dir, "merge_rebalance_rows",
-                                "neurondb_reb_v1", merge_on_read=True,
-                                compact_every=0)
     table = os.path.join(root, "table")
-    if not os.path.isdir(table):
-        return state  # batch twin (strict mode raised in the scenario)
-    rebalance_merge_table(spark, table, 5)
-    meta = _load_table_meta(table)
+    meta = _load_table_meta(table) if os.path.isdir(table) else None
     if meta is None or meta["n_buckets"] != 5:
-        raise RuntimeError(
-            "neurondb: merge_rebalance_rows rebalanced to 5 buckets but "
-            f"the recorded layout is {meta} — rebalance did not take"
-        )
+        shutil.rmtree(root, ignore_errors=True)
+        state = _run_merge_scenario(spark, sf_dir, "merge_rebalance_rows",
+                                    "neurondb_reb_v1", merge_on_read=True,
+                                    compact_every=0)
+        if not os.path.isdir(table):
+            return state  # batch twin (strict mode raised in the scenario)
+        rebalance_merge_table(spark, table, 5)
+        meta = _load_table_meta(table)
+        if meta is None or meta["n_buckets"] != 5:
+            raise RuntimeError(
+                "neurondb: merge_rebalance_rows rebalanced to 5 buckets "
+                f"but the recorded layout is {meta} — rebalance did not "
+                "take"
+            )
     return read_merge_table(spark, table).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
