@@ -53,9 +53,19 @@ def dbscan(
             left, right, vec_col, "_rvec", threshold=eps, on=on, dim=dim,
             allow_cross=allow_cross,
         ).select(F.col(id_col).alias("a"), F.col("_rid").alias("b"))
+    # The eps-join is the expensive stage and every later step consumes
+    # it (degrees, both ends of the core-core edges, border attach) — the
+    # unchecked plan re-evaluated the GEMM cogroup subtree 10x in one
+    # action (plans/r15/dbscan_clusters_before.txt: 10 FlatMapCoGroups-
+    # InPandas nodes, 42 parquet scans). Lazy localCheckpoint: computed
+    # once inside the first consuming job, lineage truncated (guide §5
+    # persist-on-reuse).
+    pairs = pairs.localCheckpoint(eager=False)
     # neighbor counts include self-pair (distance 0)
     degrees = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     core = degrees.where(F.col("deg") >= min_samples).select(F.col("a").alias("id"))
+    # core is consumed 4x (both ends of core_edges, isolated_core, border)
+    core = core.localCheckpoint(eager=False)
     core_edges = (
         pairs.join(core.withColumnRenamed("id", "a"), "a")
         .join(core.withColumnRenamed("id", "b"), "b")

@@ -404,6 +404,10 @@ def silhouette_simplified(
     from neurondb_spark.ml.stats import _explode_vec, kmeans_lloyd_exact
 
     assign = kmeans_lloyd_exact(df, vec_col, id_col, k=k, iters=iters)
+    # (r15) assign is consumed by the centroid rebuild AND the silhouette
+    # join; persist (not localCheckpoint) dedupes the Lloyd chain while
+    # keeping catalyst stats, so the small frame still broadcasts
+    assign = assign.persist()
     ex = _explode_vec(df, vec_col, [id_col])
     cent = (
         assign.join(ex, id_col)
@@ -416,6 +420,7 @@ def silhouette_simplified(
         .agg(bsum((F.col("val") - F.col("cval"))
                   * (F.col("val") - F.col("cval"))).alias("sq"))
         .select(id_col, "cl", F.sqrt(F.col("sq")).alias("dist"))
+        .persist()  # (r15) own-distance and min-other both consume d
     )
     j = d.join(assign, id_col)
     own = j.where(F.col("cl") == F.col("cluster")).select(

@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import math
 import random
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -173,7 +175,8 @@ def lof(
         nn.join(base, id_col)
         .join(right, "_nbr")
         .select(id_col, "_nbr", d.alias("d"))
-        .localCheckpoint()  # feeds three aggregations below
+        .localCheckpoint(eager=False)  # feeds three aggregations below;
+        # lazy: computed once inside the caller's action, no separate job
     )
     kdist = edges.groupBy(id_col).agg(F.max("d").alias("_kd"))
     reach = edges.join(
@@ -243,30 +246,42 @@ def ocsvm(
         .orderBy(id_col)
         .collect()
     )
-    svmat = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in r[vec_col]])
-            for r in sv_rows
-        ]
-    )
-    v = F.col(vec_col).cast("array<double>")
-    sqd = lambda s: F.aggregate(  # noqa: E731
-        F.zip_with(v, s, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    score = (
-        F.aggregate(
-            F.transform(svmat, lambda s: F.exp(-F.lit(float(gamma)) * sqd(s))),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        / F.lit(float(len(sv_rows)))
-    )
-    # spread the interpreted RBF fold (n_sv·dim HOF ops per row) across
-    # cores — a single-file scan would run it on one partition
-    par = df.sparkSession.sparkContext.defaultParallelism
-    scored = df.repartition(par).select(
-        *keep, score.alias("ocsvm_score")
-    ).localCheckpoint()
+    # Optimization round 15 (guide §4.2): the RBF score used to be a
+    # nested HOF fold over a broadcast-literal SV matrix — n_sv·dim
+    # interpreted ops per row (HOFs never enter codegen), which needed a
+    # full repartition shuffle just to spread the interpreted work. It is
+    # now ONE Arrow-batched numpy kernel with the SV matrix built once
+    # per task (guide §4.5): no shuffle, and the accumulation order is
+    # kept EXACTLY left-assoc (explicit dim loop, then SV loop) so the
+    # emitted doubles are bit-identical to the fold definition the
+    # DuckDB oracle replays (exp itself is libm vs JVM Math.exp — the
+    # final-ulp difference the gate's round-to-9 already tolerates).
+    sv_list = [[float(x) for x in r[vec_col]] for r in sv_rows]
+    gam = float(gamma)
+    n_sv_f = float(len(sv_rows))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _rbf_mean(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        S = np.array(sv_list, dtype=np.float64)  # once per task
+        for batch in it:
+            X = np.array(batch.tolist(), dtype=np.float64)
+            acc = np.zeros(len(X), dtype=np.float64)
+            for s in S:  # left-assoc over SVs, matching the fold
+                d = np.zeros(len(X), dtype=np.float64)
+                for j in range(S.shape[1]):  # left-assoc over dims
+                    dj = X[:, j] - s[j]
+                    d = d + dj * dj
+                acc = acc + np.exp(-gam * d)
+            yield pd.Series(acc / n_sv_f)
+
+    scored = df.select(
+        *keep, _rbf_mean(F.col(vec_col).cast("array<double>")).alias("ocsvm_score")
+    ).localCheckpoint(eager=False)  # reused by the cutoff ranks + output;
+    # materialized by the first rank job
     # exact-rank nu-quantile cutoff, distributed (no limit(O(n)) path)
     idx = min(int(nu * n), n - 1)
     thr = _values_at_ranks(scored, "ocsvm_score", {idx}, n=n)[idx]
@@ -343,7 +358,8 @@ def isolation_forest(
             )
 
     scored = df.select(*keep, vec_col).mapInPandas(_score, out_schema)
-    scored = scored.localCheckpoint()  # score once; cutoff + flag reuse it
+    scored = scored.localCheckpoint(eager=False)  # score once; cutoff +
+    # flag reuse it (the count() below materializes it — one job, not two)
     n = scored.count()
     # reference cutoff: sorted_scores[int((1 - contamination) * n)],
     # taken at exact rank distributed — the former orderBy().limit(idx+1)

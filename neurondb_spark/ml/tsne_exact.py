@@ -76,7 +76,8 @@ def tsne_fixed_grad(
     p = (
         pairs.crossJoin(F.broadcast(s_df))
         .select("i", "j", (F.col("kern") / F.col("S")).alias("p"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy (r15): one materialization
+        # inside the caller's action, reused by every gradient round
     )
     y = sub.select(
         "id",
@@ -99,7 +100,9 @@ def tsne_fixed_grad(
             F.lit(1.0)
             / (F.lit(1.0) + (F.col("dx") * F.col("dx")
                              + F.col("dy") * F.col("dy"))),
-        )
+        ).localCheckpoint(eager=False)  # (r15) Z's broadcast subtree and
+        # the coef projection both read yp — checkpoint so the pair join
+        # computes once per round, not twice
         z_df = yp.agg(bsum("qnum").alias("Z"))
         yp = yp.crossJoin(F.broadcast(z_df)).withColumn(
             "coef",
@@ -116,7 +119,8 @@ def tsne_fixed_grad(
                 (F.col("y1") - F.lit(float(lr)) * F.col("gx")).alias("y1"),
                 (F.col("y2") - F.lit(float(lr)) * F.col("gy")).alias("y2"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # lazy (r15): plan truncation
+            # without a per-round materialization job
         )
     return y.select(F.col("id").alias(id_col), "y1", "y2")
 

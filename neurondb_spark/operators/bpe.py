@@ -132,13 +132,22 @@ def bpe_train(
     Each round: one word-table groupBy + a ONE-ROW argmax collect + a
     pure-map fold, materialized via localCheckpoint so the next round's
     pair count does not replay the fold chain (and so the K-deep
-    expression never outgrows codegen)."""
+    expression never outgrows codegen).
+
+    Job structure (optimization round 15, guide §1.2): the input word
+    table is checkpointed BEFORE the loop, so the corpus-scale word
+    count runs exactly ONCE — the previous shape re-derived it twice
+    (once for round 1's argmax, once again inside round 1's fold
+    checkpoint). Round checkpoints stay EAGER: the loop interleaves
+    driver-side argmax collects, where lazy checkpoints were measured
+    to race between consumer stages and spam dead-accumulator errors
+    (see OPTIMIZATION_r15.md)."""
     if num_merges < 1:
         raise ValueError(
             f"neurondb: bpe num_merges must be >= 1, got {num_merges}"
         )
     merges: list[tuple[str, str, int]] = []
-    cur = words
+    cur = words.localCheckpoint()
     for _ in range(int(num_merges)):
         top = (
             _pair_counts(cur)

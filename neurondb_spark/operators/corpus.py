@@ -301,7 +301,9 @@ def trigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_chars rows — the same order of work as tokenization."""
     tris = df.select(
         F.col(id_col), F.explode(char_trigrams(text_col)).alias("tri")
-    )
+    ).localCheckpoint(eager=False)  # (r15) two consumers — the model-fit
+    # aggregate (inside the broadcast subtree, which executes first) and
+    # the scoring join probe — one explode+regexp pass instead of two
     tri_counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("_tc"))
     ctx_counts = (
         tri_counts.groupBy(F.substring("tri", 1, 2).alias("_ctx"))
@@ -466,7 +468,9 @@ def pack_sequences_balanced(
         .repartitionByRange(int(num_splits), "shard", "id")
         .sortWithinPartitions("shard", "id")
         .withColumn("_split", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy (r15): the totals collect
+        # right below materializes it; the window pass reuses the pinned
+        # partition ids from the same single materialization
     )
     totals = (
         base.groupBy("_split", "shard")
@@ -805,7 +809,8 @@ def trigram_lm_scores_grouped(
     tris = df.select(
         F.col(group_col), F.col(id_col),
         F.explode(char_trigrams(text_col)).alias("tri"),
-    )
+    ).localCheckpoint(eager=False)  # (r15) same one-pass treatment as
+    # trigram_lm_scores: model fit + scoring probe share the explode
     tri_counts = tris.groupBy(group_col, "tri").agg(
         F.count(F.lit(1)).alias("_tc")
     )

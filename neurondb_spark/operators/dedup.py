@@ -138,7 +138,8 @@ def minhash_lsh_pairs(
     """
     exploded = banded_signature_rows(
         df, text_col, id_col, num_hashes, bands, shingle_n
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: both self-join sides read the
+    # one materialization inside the caller's action (r15, guide §1.2)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -223,7 +224,10 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") <= max_df)
         )
         if eager:
-            buckets = buckets.localCheckpoint(eager=True)
+            # lazy: buckets feeds sizes + the pair explode inside ONE
+            # downstream action — the checkpoint computes once there,
+            # without a separate materialization job (r15, guide §1.2)
+            buckets = buckets.localCheckpoint(eager=False)
         sizes = (
             buckets.select(*bkey, F.explode("_ids").alias(id_col))
             .groupBy(F.col(id_col), *blk)
@@ -286,11 +290,16 @@ def ngram_jaccard_pairs(
         .where(F.col(out_col) >= F.lit(float(threshold)))
     )
     if eager:
-        # pairs output is tiny relative to the index; materialize it, then
-        # release the cached index so nothing leaks into later queries
-        out = out.localCheckpoint(eager=True)
         if ex is not None:
+            # pairs output is tiny relative to the index; materialize it,
+            # then release the cached index so nothing leaks into later
+            # queries (the persist()'d index must outlive the compute)
+            out = out.localCheckpoint(eager=True)
             ex.unpersist()
+        else:
+            # bounded-bucket path holds no cache — a lazy checkpoint
+            # materializes inside the caller's action (one job total)
+            out = out.localCheckpoint(eager=False)
     return out
 
 
@@ -394,7 +403,9 @@ def simhash_neardup_pairs(
         F.col("_b.seg").alias("_seg"), F.col("_b.sval").alias("_sval"),
     )
     if eager:
-        ex = ex.localCheckpoint(eager=True)
+        # lazy: one materialization inside the caller's action feeds both
+        # join sides — no separate eager job (r15, guide §1.2)
+        ex = ex.localCheckpoint(eager=False)
     a, b = ex.alias("a"), ex.alias("b")
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).cast("int")
     return (
@@ -464,7 +475,9 @@ def embedding_neardup_pairs(
         F.col("_e.band").alias("_band"), F.col("_e.bval").alias("_bval"),
     )
     if eager:
-        ex = ex.localCheckpoint(eager=True)
+        # lazy: one materialization inside the caller's action feeds both
+        # join sides — no separate eager job (r15, guide §1.2)
+        ex = ex.localCheckpoint(eager=False)
     a, b = ex.alias("a"), ex.alias("b")
     # fold-compiled cosine (dim=None): the exact-similarity filter lands
     # inside the band hash-join stage, where an unrolled 64-dim chain
@@ -535,6 +548,11 @@ def winnow_fingerprints(
             id_col, "_np", "p",
             _md5_long(F.substring(F.col("_t"), F.col("p"), k)).alias("h"),
         )
+        # (r15) the k-gram explode + per-gram md5 is the dominant stage
+        # and BOTH the window pass and the rightmost-argmax join consume
+        # it — checkpoint so it computes once inside the caller's action
+        # (at warehouse scale this is the written k-gram hash table)
+        .localCheckpoint(eager=False)
     )
     # min hash over the window STARTING at each position (frame shrinks
     # near the tail; only rows that can start a full window are kept —
@@ -593,6 +611,9 @@ def substring_dup_stats(
     term anywhere, so a hot boilerplate string shared by a million
     documents costs one aggregate row, not 10^12 pairs."""
     fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    # (r15) three consumers below (shared, flagged, totals) — one
+    # materialization instead of three winnow evaluations
+    fps = fps.localCheckpoint(eager=False)
     shared = (
         fps.groupBy("fp_hash")
         .agg(F.count_distinct(F.col(id_col)).alias("_ndocs"))
@@ -641,6 +662,9 @@ def substring_dup_pairs(
     Σ df(h)² over surviving hashes, never a corpus self-join."""
     fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
     fh = fps.select(F.col(id_col), "fp_hash").distinct()
+    # (r15) the bucket self-join (and optional max_df filter) consumes fh
+    # repeatedly — one materialization
+    fh = fh.localCheckpoint(eager=False)
     if max_df is not None:
         kept = (
             fh.groupBy("fp_hash")

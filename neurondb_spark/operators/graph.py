@@ -122,10 +122,16 @@ def bfs(
     Checkpoint discipline: the edge frame and each level's frontier are
     ``localCheckpoint``'d — without it every level's join re-derives the
     whole upstream plan (for a kNN-graph input that means re-running the
-    graph build per level) and lineage grows per iteration. One bounded
-    materialization job per level instead. (On a multi-executor cluster
-    swap localCheckpoint for a reliable ``checkpoint`` dir if executor
-    loss during the traversal must be survivable.)"""
+    graph build per level) and lineage grows per iteration. The
+    checkpoints are LAZY (eager=False): lineage is truncated at plan
+    time, but materialization rides on the caller's single action —
+    each frame still computes exactly once (the frontier is referenced
+    by both the next level's join and the visited union inside that one
+    action), and the per-level materialization JOBS the eager form paid
+    disappear (guide §1.2: fewer sequential actions). (On a
+    multi-executor cluster swap localCheckpoint for a reliable
+    ``checkpoint`` dir if executor loss during the traversal must be
+    survivable.)"""
     e = edges.select(src, dst)
     if not directed:
         e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
@@ -135,7 +141,7 @@ def bfs(
         # reversed pair can collide with a forward one (e.g. bipartite
         # encodings) — skips a full-edge shuffle
         e = e.distinct()
-    e = e.localCheckpoint()
+    e = e.localCheckpoint(eager=False)
     start_df = e.sparkSession.createDataFrame([(start, 0)], ["node", "depth"])
     visited = start_df.withColumn("depth", F.col("depth").cast("int"))
     frontier = visited
@@ -146,7 +152,7 @@ def bfs(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         visited = visited.union(nxt)
         frontier = nxt
@@ -207,13 +213,18 @@ def pagerank(
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the count() below
     )
     n = nodes.count()
     outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     # pre-join the per-edge weight once — each iteration is then a single
-    # join + aggregation instead of two joins
-    e_w = e.join(outdeg, src).select(src, dst, F.col("outdeg")).localCheckpoint()
+    # join + aggregation instead of two joins; lazy checkpoint: computed
+    # once inside the caller's action, no separate materialization job
+    e_w = (
+        e.join(outdeg, src)
+        .select(src, dst, F.col("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for i in range(iterations):
         contrib = ranks.join(e_w, ranks.node == e_w[src]).select(
@@ -233,7 +244,9 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+            # lazy: truncates the plan (the point of the cadence) without
+            # paying a separate materialization job per checkpoint
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -244,11 +257,21 @@ def connected_components(
     component = min node id reachable (vgraph_community analog; exact CC).
     Converges in O(diameter) iterations; each is one join+groupBy.
 
-    Per-iteration checkpoint truncates the lineage, and convergence is
+    Per-round checkpoint truncates the lineage, and convergence is
     detected by the label-sum invariant: min-label propagation only ever
     DECREASES labels, so Σcomp is strictly decreasing until the fixpoint —
-    one cheap scalar aggregate per iteration replaces the old
-    join-both-generations + head(1) change probe."""
+    one cheap scalar aggregate per round replaces the old
+    join-both-generations + head(1) change probe.
+
+    Round structure (optimization round 15, guide §1.2 "fewer sequential
+    actions"): each ROUND applies TWO propagation steps before the
+    convergence check, so a graph of diameter D converges in ⌈D/2⌉+1
+    rounds of 3 jobs (half-step checkpoint, round checkpoint, sum) versus
+    the former D+1 iterations of 2 jobs — fewer sequential round-trips
+    and half the convergence probes. The result is the same fixpoint (the
+    label-sum is non-increasing under each step, so an unchanged sum
+    across a double step still implies the fixpoint), and plan depth per
+    round stays bounded at one join+agg layer per checkpoint."""
     e = edges.select(src, dst)
     e = (
         e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
@@ -262,18 +285,31 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = None
-    for _ in range(max_iter):
+
+    def _step(lab):
         nb_min = (
-            labels.join(e, labels.node == e[src])
+            lab.join(e, lab.node == e[src])
             .groupBy(F.col(dst).alias("node"))
             .agg(F.min("comp").alias("nb"))
         )
-        labels = (
-            labels.join(nb_min, "node", "left")
-            .select("node", F.least(F.col("comp"), F.coalesce(F.col("nb"), F.col("comp"))).alias("comp"))
-            .localCheckpoint()
+        return lab.join(nb_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nb"), F.col("comp"))
+            ).alias("comp"),
         )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        # the intermediate step is checkpointed as well: _step references
+        # its input twice (join side + nb_min side), and the eager
+        # checkpoint makes the half-round compute once — lazy checkpoints
+        # were measured WORSE here (concurrent consumer stages race to
+        # materialize the same blocks and the loop's dead plans spam
+        # accumulator errors; see OPTIMIZATION_r15.md)
+        labels = _step(
+            _step(labels).localCheckpoint()
+        ).localCheckpoint()
         cur_sum = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).head()[0]

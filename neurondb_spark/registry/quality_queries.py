@@ -107,7 +107,8 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union plan) and truncates per-iteration lineage growth.
     und = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy (r15): materialized once inside
+    # the final action; every round reads the one copy
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -121,7 +122,10 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.least(F.col("lbl"), F.coalesce(F.col("nb_min"), F.col("lbl"))).alias("lbl")
         )
         if i < 2:
-            labels = labels.localCheckpoint()
+            # lazy (r15): lineage still truncated per round, but the whole
+            # 3-round chain now executes as ONE job — each round's frame
+            # materializes once (both next-round references share it)
+            labels = labels.localCheckpoint(eager=False)
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("community_size"))

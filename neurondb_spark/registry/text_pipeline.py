@@ -1228,12 +1228,12 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array(F.lit(1.0), *[_std(c) for c in names]).alias("f"),
         F.col("y"),
-    ).localCheckpoint(eager=True)  # same: one slim row per doc
+    ).localCheckpoint(eager=False)  # same: one slim row per doc
     out = logreg_gd_exact(
         feats, "f", "y", "doc_id", iters=2, lr=1.0, return_score=True
     ).select(
         "doc_id", F.col("score").alias("quality_prob"), "prediction"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     _qc_cache[key] = out
     return out
 
