@@ -111,15 +111,25 @@ def auto_train(
             if task == "regression"
             else ["logistic_regression", "random_forest", "gbt", "naive_bayes"]
         )
-    board = []
-    for algo in candidates:
+    # (r15, guide §2.6) candidates are independent jobs: CV them from a
+    # small thread pool so one candidate's straggler tasks back-fill with
+    # the next candidate's work instead of leaving the cluster idle —
+    # board order stays the declared candidate order (results are keyed
+    # by index, not completion order), so the leaderboard, tie-breaks and
+    # the selected winner are byte-identical to the sequential loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cv_one(algo: str) -> dict:
         t0 = time.time()
         try:
             res = cross_validate(df, algo, features, target, folds=folds, seed=seed)
             res["seconds"] = time.time() - t0
-            board.append(res)
+            return res
         except Exception as e:  # a candidate failing must not sink the rest
-            board.append({"algorithm": algo, "error": str(e)[:200]})
+            return {"algorithm": algo, "error": str(e)[:200]}
+
+    with ThreadPoolExecutor(max_workers=min(3, max(1, len(candidates)))) as pool:
+        board = list(pool.map(_cv_one, candidates))
     scored = [b for b in board if "best_score" in b]
     bigger_better = task != "regression"
     scored.sort(key=lambda b: b["best_score"], reverse=bigger_better)

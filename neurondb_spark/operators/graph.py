@@ -114,7 +114,7 @@ def vgraph_edges_df(spark, literal: str, src: str = "src", dst: str = "dst") -> 
 def bfs(
     edges: DataFrame, start, max_depth: int = 3,
     src: str = "src", dst: str = "dst", directed: bool = False,
-    dedup_edges: bool = True,
+    dedup_edges: bool = True, broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Frontier-expansion BFS: (node, depth of first reach), depth ≤
     max_depth (vgraph_bfs, vector_graph_ops.c:176). One join per level.
@@ -131,7 +131,21 @@ def bfs(
     disappear (guide §1.2: fewer sequential actions). (On a
     multi-executor cluster swap localCheckpoint for a reliable
     ``checkpoint`` dir if executor loss during the traversal must be
-    survivable.)"""
+    survivable.)
+
+    ``broadcast_frontier`` (r15, guide §3.1): the frontier and visited
+    sets are localCheckpoint-backed RDD scans with NO catalyst stats, so
+    the planner assumes they are huge and picks SortMergeJoin — every
+    level then shuffles + sorts the ENTIRE edge frame (and the visited
+    set) just to expand a frontier that is usually a vanishing fraction
+    of the graph. Pass True when the caller knows single-source frontiers
+    stay driver/executor-memory-small (depth-bounded traversals, kNN
+    graphs with bounded degree): each level becomes a broadcast hash join
+    against the edge checkpoint — the edge frame is never shuffled at any
+    level, which is the difference between O(levels·|E|) and
+    O(levels·|frontier|) shuffle bytes at 100 TB. Leave False for
+    unbounded frontiers (dense expander graphs), where the partitioned
+    join's spill-safety is the right trade."""
     e = edges.select(src, dst)
     if not directed:
         e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
@@ -146,11 +160,15 @@ def bfs(
     visited = start_df.withColumn("depth", F.col("depth").cast("int"))
     frontier = visited
     for d in range(1, max_depth + 1):
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
+        vis = visited.select("node")
+        if broadcast_frontier:
+            vis = F.broadcast(vis)
         nxt = (
-            frontier.join(e, frontier.node == e[src])
+            fr.join(e, frontier.node == e[src])
             .select(F.col(dst).alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(vis, "node", "left_anti")
             .withColumn("depth", F.lit(d))
             .localCheckpoint(eager=False)
         )

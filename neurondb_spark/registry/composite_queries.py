@@ -38,7 +38,10 @@ def _q_graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     emb_p = emb.repartition(par)
     g = build_knn_graph(emb_p, "embedding", "vec_id", k=3)
-    reach = bfs(g.select("src", "dst"), 1, max_depth=2).select(
+    # broadcast_frontier: k=3 bounded-degree graph, 2 hops from one node —
+    # frontier ≤ 3^2 nodes; broadcast joins keep BFS from shuffling edges
+    reach = bfs(g.select("src", "dst"), 1, max_depth=2,
+                broadcast_frontier=True).select(
         F.col("node").alias("vec_id")
     )
     cand = emb.join(reach, "vec_id")

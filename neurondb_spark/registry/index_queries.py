@@ -1311,7 +1311,6 @@ def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: the recall-targeting tuner (neurondb_guc.c:491-543,
     worker_tuner.c) and assert_recall (neurondb--1.0.sql:4389-4398)."""
     import itertools
-    from functools import reduce
     from math import comb
 
     from neurondb_spark.functions.distance import distance
@@ -1360,30 +1359,44 @@ def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(qrows, schema=qschema)
     d = distance("embedding", F.col("_qvec"), "cosine", dim=EMB_DIM,
                  checked=False)
+    # (r15) ONE window pass for all radii: per ph, a candidate's rank
+    # inside the r≤ph subset equals the RUNNING count of r≤ph rows in
+    # distance order — so one Exchange+Sort of the candidate frame
+    # yields every radius's row_number at once (the per-radius
+    # filter+window union paid 3 exchanges + 3 sorts over the same
+    # frame; guide §2.4's shared-partitioning rule taken to its limit).
+    # With a single consumer chain the checkpoint is lazy too: the only
+    # action below materializes it, no separate job (guide §1.2).
     cand = (
         idx._read_data(spark)
         .join(F.broadcast(pdf_probe), "bucket")
         .join(F.broadcast(qdf), "qid")
         .select("qid", "vec_id", "r", d.alias("_dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    w = W.partitionBy("qid").orderBy(
-        F.col("_dist").asc(), F.col("vec_id").asc()
+    phs = sorted(_LSH_RECALL_FLOORS)
+    wrun = (
+        W.partitionBy("qid")
+        .orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    per_ph = [
-        cand.where(F.col("r") <= ph)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= _RECALL_K)
-        .select(F.lit(ph).alias("ph"), "qid", "vec_id")
-        for ph in sorted(_LSH_RECALL_FLOORS)
-    ]
-    hit_rows = (
-        reduce(lambda a, b: a.unionByName(b), per_ph)
-        .join(exact, ["qid", "vec_id"], "left_semi")
-        .groupBy("ph").agg(F.count(F.lit(1)).alias("n_hit"))
-        .collect()
+    ranked = cand.select(
+        "qid", "vec_id", "r",
+        *[F.sum(F.when(F.col("r") <= ph, 1).otherwise(0)).over(wrun)
+          .alias(f"_rn{ph}") for ph in phs],
     )
-    n_by_ph = {r["ph"]: r["n_hit"] for r in hit_rows}
+    agg_row = (
+        ranked.join(exact, ["qid", "vec_id"], "left_semi")
+        .agg(*[
+            F.sum(
+                F.when((F.col("r") <= ph)
+                       & (F.col(f"_rn{ph}") <= _RECALL_K), 1).otherwise(0)
+            ).alias(f"_n{ph}")
+            for ph in phs
+        ])
+        .collect()[0]
+    )
+    n_by_ph = {ph: int(agg_row[f"_n{ph}"] or 0) for ph in phs}
     n_buckets = 2 ** _LSH_NBITS
     report = []
     for ph, floor in sorted(_LSH_RECALL_FLOORS.items()):

@@ -239,7 +239,10 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     # edges are distinct and bipartite-encoded (even→odd), so the
     # undirected union cannot create duplicates — skip bfs's dedup shuffle
-    return bfs(e, 3, max_depth=2, dedup_edges=False).select(  # node 3 = supplier 1
+    # broadcast_frontier: single-source depth-2 frontiers are tiny vs the
+    # edge table — broadcast joins keep every level from shuffling edges
+    return bfs(e, 3, max_depth=2, dedup_edges=False,
+               broadcast_frontier=True).select(  # node 3 = supplier 1
         "node", F.col("depth").cast("int").alias("depth")
     )
 
