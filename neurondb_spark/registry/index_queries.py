@@ -1242,9 +1242,13 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _RECALL_Q).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    # (r15) the exact leg feeds BOTH methods' sequential .head() actions —
+    # without a checkpoint the full-scan window ran twice (guide §1.2);
+    # lazy is safe here: the first action materializes it fully before
+    # the second starts (no concurrent-consumer block race).
     exact = knn_batch(
         emb, "embedding", queries, k=_RECALL_K, tiebreak=["vec_id"]
-    ).select("qid", "vec_id")
+    ).select("qid", "vec_id").localCheckpoint(eager=False)
     hits = {
         "hnsw_ef64": _hnsw_index_for(spark, sf_dir)
         .search_batch(spark, queries, k=_RECALL_K, ef_search=64)
