@@ -438,10 +438,20 @@ def silhouette_simplified(
         .otherwise((F.col("b") - F.col("a")) / mx)
         .alias("s"),
     )
-    return s.groupBy("cluster").agg(
+    out = s.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_points"),
         davg("s").alias("avg_silhouette"),
     )
+    # (r16) the result is k rows: materialize it here so both persisted
+    # frames can be released before returning — no cached partitions
+    # outlive the query on a long-lived session (same total work; the
+    # caller's action replays the checkpointed rows)
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        d.unpersist()
+        assign.unpersist()
+    return out
 
 
 def sql_silhouette_simplified(kmeans_sql: str, davg_sql, bsum_sql) -> str:

@@ -267,16 +267,41 @@ def ocsvm(
         import numpy as np
 
         S = np.array(sv_list, dtype=np.float64)  # once per task
+        dim = S.shape[1]
         for batch in it:
-            X = np.array(batch.tolist(), dtype=np.float64)
+            vals = batch.tolist()
+            # null / ragged rows propagate null like the old Catalyst
+            # HOF did (r16, ADVICE); the all-good fast path stays numpy
+            good = [v for v in vals
+                    if v is not None and len(v) == dim
+                    and not any(x is None for x in v)]
+            if len(good) != len(vals):
+                ok = np.array(
+                    [v is not None and len(v) == dim
+                     and not any(x is None for x in v) for v in vals],
+                    dtype=bool,
+                )
+            else:
+                ok = None
+            if not good:
+                yield pd.Series([None] * len(vals), dtype=object)
+                continue
+            X = np.array(good, dtype=np.float64)
             acc = np.zeros(len(X), dtype=np.float64)
             for s in S:  # left-assoc over SVs, matching the fold
                 d = np.zeros(len(X), dtype=np.float64)
-                for j in range(S.shape[1]):  # left-assoc over dims
+                for j in range(dim):  # left-assoc over dims
                     dj = X[:, j] - s[j]
                     d = d + dj * dj
                 acc = acc + np.exp(-gam * d)
-            yield pd.Series(acc / n_sv_f)
+            res = acc / n_sv_f
+            if ok is None:
+                yield pd.Series(res)
+            else:
+                out: list = [None] * len(vals)
+                for pos, r in zip(np.flatnonzero(ok), res):
+                    out[pos] = float(r)
+                yield pd.Series(out, dtype=object)
 
     scored = df.select(
         *keep, _rbf_mean(F.col(vec_col).cast("array<double>")).alias("ocsvm_score")

@@ -327,22 +327,58 @@ CHECKED_BY_ROUND[14] = frozenset({
     "vector_math_ops",
 })
 
+# CORRECTNESS_r15.json: all 50 checked rows green (rows + schema + hash).
+# The six round-15 FORCE_RECHECK entries (merge-table manifest rewrite)
+# re-verified green and were pruned. Note automl_deploy_ab,
+# kmeans_silhouette, minhash_lsh_pairs and ngram_containment_pairs were
+# sampled here AFTER their r15 optimization rewrites, so they carry
+# post-rewrite driver evidence already.
+CHECKED_BY_ROUND[15] = frozenset({
+    "answer_question", "automl_deploy_ab", "bernoulli_nb_lang",
+    "bpe_facade_tokenize_counts", "bpe_hf_import_counts",
+    "decision_stump_gini", "drift_timeseries", "feature_importance_linreg",
+    "fill_mask_text2text", "graph_dfs_order", "hybrid_search",
+    "index_tuning_report", "ivf_insert_delete_probe", "kmeans_fixed_lloyd",
+    "kmeans_silhouette", "knn_regress_label", "linreg_eval_metrics",
+    "logreg_gd_predictions", "lsh_insert_delete_knn", "merge_multi_lookup",
+    "merge_on_read_rows", "merge_point_lookup", "merge_rebalance_rows",
+    "merge_time_travel", "merge_upsert_rows", "merge_vacuum_rows",
+    "minhash_lsh_pairs", "nb_eval_metrics", "ngram_containment_pairs",
+    "pq_adc_exact_codebook", "quantize_compare_distances",
+    "ridge_closed_form", "ridge_cv_rmse", "ridge_grid_search",
+    "stream_merge_upsert", "stream_monitor_window",
+    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier", "tpch_q17_small_qty",
+    "tpch_q18_large_volume", "tpch_q22_sales_opportunity",
+    "tpch_q3_shipping", "tpch_q6_forecast", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "vector_parse_roundtrip",
+    "vector_variance_stddev", "zero_shot_classify",
+})
+
 # Queries whose implementation changed since their last driver check —
 # treated as never-checked so the next round's first-50 re-verifies them.
 # Maintain this alongside any rewrite of a previously-checked query.
 FORCE_RECHECK = frozenset({
-    # (All five round-14 entries — the manifest snapshot layer and the
-    # BPE K>8 guard/auto-route — got their green re-check in
-    # CORRECTNESS_r14.json and were pruned. Add a query here whenever its
+    # (All six round-15 merge entries got their green re-check in
+    # CORRECTNESS_r15.json and were pruned. Add a query here whenever its
     # implementation — or an index/stream path it consumes — is rewritten
     # after its latest driver check.)
     #
-    # Round 15: table_merge gained optimistic-concurrency manifest
-    # publish, single-manifest log-batch resolution (snapshot race fix),
-    # and dtype caching in _table_meta.json — all merge gate rows consume
-    # those paths.
-    "merge_upsert_rows", "stream_merge_upsert", "merge_on_read_rows",
-    "merge_point_lookup", "merge_multi_lookup", "merge_time_travel",
+    # Round 15 optimization rewrites whose only post-rewrite oracle
+    # evidence is the local driver-sim (VERDICT r15 item 1): new numeric
+    # kernels, checkpoint/lazy-materialization restructures, and the
+    # double-step CC. The four r15-rewritten rows the driver DID sample
+    # post-rewrite (automl_deploy_ab, kmeans_silhouette, minhash_lsh_pairs,
+    # ngram_containment_pairs) are ledgered under CHECKED_BY_ROUND[15].
+    "ocsvm_outliers", "dbscan_clusters", "tsne_fixed_grad",
+    "isolation_forest_outliers", "lof_outliers", "graph_bfs", "graph_knn",
+    "graph_pagerank", "graph_connected_components",
+    "community_label_propagation", "neardup_resolve_survivors",
+    "neardup_resolve_quality", "simhash_neardup_pairs",
+    "embedding_neardup_pairs", "ngram_jaccard_pairs",
+    "substring_dup_stats", "substring_dup_pairs", "bpe_merges_topk",
+    "bpe_tokenize_counts", "trigram_lm_quality", "ppl_bucket_counts",
+    "corpus_curation_pipeline", "lsh_recall_report", "ann_recall_report",
 })
 
 
