@@ -26,6 +26,29 @@ from neurondb_spark.functions.distance import distance
 from neurondb_spark.operators.knn import _query_lit
 
 
+def _bucket_manifest(data_path: str) -> dict:
+    """One driver-side walk of the bucket-partitioned layout →
+    {bucket_id(str): [relative parquet file paths]}. JSON-serializable
+    (string keys), stored in meta so probes skip directory listing."""
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(data_path):
+        return out
+    for entry in sorted(os.listdir(data_path)):
+        if not entry.startswith("bucket="):
+            continue
+        sub = os.path.join(data_path, entry)
+        if not os.path.isdir(sub):
+            continue
+        files = sorted(
+            os.path.join(entry, f)
+            for f in os.listdir(sub)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if files:
+            out[entry.split("=", 1)[1]] = files
+    return out
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
@@ -110,6 +133,9 @@ class LSHIndex:
             # cached layout schema: search reads with an explicit schema,
             # skipping the per-query footer/inference job (IVF discipline)
             "data_schema": written.schema.json(),
+            # bucket -> data-file manifest: probes read only the named
+            # files of their probed buckets (no per-query listing)
+            "bucket_files": _bucket_manifest(os.path.join(path, "data")),
         }
         atomic_write_json(os.path.join(path, "meta.json"), meta)
         return LSHIndex(path, meta)
@@ -126,7 +152,15 @@ class LSHIndex:
         # swap leaves data at data.old; restore it (no-op otherwise).
         recover(os.path.join(path, "data"))
         with open(os.path.join(path, "meta.json")) as f:
-            return LSHIndex(path, json.load(f))
+            idx = LSHIndex(path, json.load(f))
+        if "bucket_files" not in idx.meta:
+            # meta predates the manifest (or recovery replayed a commit):
+            # one walk seeds it and persists for later processes
+            from neurondb_spark.data_management import atomic_write_json
+
+            idx._refresh_manifest()
+            atomic_write_json(os.path.join(path, "meta.json"), idx.meta)
+        return idx
 
     def _query_buckets(self, query: list[float], probe_hamming: int) -> list[int]:
         base = 0
@@ -143,23 +177,54 @@ class LSHIndex:
                 buckets.add(m)
         return sorted(buckets)
 
-    def _read_data(self, spark: SparkSession) -> DataFrame:
+    def _refresh_manifest(self) -> None:
+        """Re-scan the layout directory ONCE (driver-side, no Spark job)
+        and record the bucket → data-file map in meta. Probes then read
+        exactly the named files of their probed buckets — no directory
+        listing of the other 2^nbits buckets per query (the Iceberg-style
+        manifest argument, guide §6: table formats with manifest metadata
+        avoid directory listing altogether). Called by every path that
+        changes the file set (build/insert/compact/vacuum/load-recovery);
+        on a remote FS swap os.walk for the FileSystem listing API."""
+        self.meta["bucket_files"] = _bucket_manifest(
+            os.path.join(self.path, "data")
+        )
+
+    def _read_data(
+        self, spark: SparkSession, buckets=None
+    ) -> DataFrame:
         """Read the bucket-partitioned layout with the schema cached at
         build time when available — no schema-inference job on the
-        search hot path (same discipline as IVF/HNSW). Note: a layout
-        wider than ``spark.sql.sources.parallelPartitionDiscovery.
-        threshold`` (default 32) directories still pays ONE parallel
-        file-listing job at construction; raise that threshold (or keep
-        nbits ≤ 5) if a fully job-free construction matters more than
-        listing latency on a large cluster."""
+        search hot path (same discipline as IVF/HNSW).
+
+        With ``buckets`` (an iterable of probe bucket ids) and a
+        build-time manifest in meta, ONLY the probed buckets' named
+        files are read: construction is free of the directory-listing
+        job a layout wider than ``spark.sql.sources.
+        parallelPartitionDiscovery.threshold`` (default 32) pays, and
+        the scan's file set is exactly the probed partitions (buckets
+        with no file — empty — contribute nothing, same as the pruned
+        full read). Falls back to the full-layout read when the meta
+        predates the manifest."""
         from pyspark.sql import types as T
 
         p = os.path.join(self.path, "data")
         sj = self.meta.get("data_schema")
-        if sj:
-            return spark.read.schema(
-                T.StructType.fromJson(json.loads(sj))
-            ).parquet(p)
+        st = T.StructType.fromJson(json.loads(sj)) if sj else None
+        manifest = self.meta.get("bucket_files")
+        if buckets is not None and manifest is not None and st is not None:
+            files = [
+                os.path.join(p, rel)
+                for b in buckets
+                for rel in manifest.get(str(int(b)), ())
+            ]
+            if not files:
+                return spark.createDataFrame([], st)
+            return (
+                spark.read.option("basePath", p).schema(st).parquet(*files)
+            )
+        if st is not None:
+            return spark.read.schema(st).parquet(p)
         return spark.read.parquet(p)
 
     def search(
@@ -172,7 +237,7 @@ class LSHIndex:
         tiebreak: list[str] | None = None,
     ) -> DataFrame:
         buckets = self._query_buckets(query, probe_hamming)
-        df = self._read_data(spark)
+        df = self._read_data(spark, buckets=buckets)
         pruned = df.where(F.col("bucket").isin(buckets))
         pruned = self._apply_tombstones(spark, pruned)
         d = distance(
@@ -223,7 +288,9 @@ class LSHIndex:
         ])
         pdf = spark.createDataFrame(probes, schema=pschema)
         qdf = spark.createDataFrame(qs, schema=qschema)
-        df = self._read_data(spark)
+        df = self._read_data(
+            spark, buckets=sorted({b for _, b in probes})
+        )
         cands = df.join(F.broadcast(pdf), "bucket").join(
             F.broadcast(qdf), "qid"
         )
@@ -295,6 +362,7 @@ class LSHIndex:
             ).count()
         else:
             self.meta["total_rows"] = int(prior) + int(n_new)
+        self._refresh_manifest()  # append added files to some buckets
         atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
         return self
 
@@ -368,6 +436,7 @@ class LSHIndex:
         self.meta["total_rows"] = spark.read.parquet(
             os.path.join(self.path, "data")
         ).count()
+        self._refresh_manifest()  # the compacted layout's file set
         atomic_write_json(os.path.join(self.path, "meta.json"), self.meta)
         return self
 
@@ -396,6 +465,8 @@ class LSHIndex:
         staged = dict(self.meta)
         staged.pop("tombstone_id_col", None)
         staged["total_rows"] = spark.read.parquet(tmp).count()
+        # relative file names survive the data_tmp -> data swap rename
+        staged["bucket_files"] = _bucket_manifest(tmp)
         dml_commit(self.path, staged, tombstones="clear", swap_data=True)
         self.meta = staged
         return self

@@ -224,29 +224,64 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") <= max_df)
         )
         if eager:
-            # lazy: buckets feeds sizes + the pair explode inside ONE
+            # lazy: buckets feeds the size-attach explode inside ONE
             # downstream action — the checkpoint computes once there,
             # without a separate materialization job (r15, guide §1.2)
             buckets = buckets.localCheckpoint(eager=False)
-        sizes = (
-            buckets.select(*bkey, F.explode("_ids").alias(id_col))
-            .groupBy(F.col(id_col), *blk)
-            .agg(F.count(F.lit(1)).alias("_n"))
+        # (r16, guide §3/§2.4) fused size attach: the two id-keyed joins
+        # of the candidate-pair frame against a per-doc size table are
+        # gone — per-doc rare-shingle counts are grouped once by id, the
+        # bucket membership re-collected as (id, n) structs, and pair
+        # generation emits BOTH endpoints' sizes inline, so the pair
+        # aggregation yields (common, |A|, |B|) in one pass. At scale
+        # this removes two Exchange+Sort passes over the candidate frame
+        # (the widest frame in the pipeline); the two extra id/shingle
+        # exchanges it costs carry only Σ df(s) membership rows.
+        memb = buckets.select(
+            *bkey, F.col("_s"), F.col("_df"), F.explode("_ids").alias(id_col)
         )
-        ids = F.col("_ids")
+        per_doc = memb.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_n"),
+            # only buckets that can produce pairs need re-collecting;
+            # collect_list drops the nulls the condition leaves behind
+            F.collect_list(
+                F.when(F.col("_df") >= 2, F.struct(*bkey, F.col("_s")))
+            ).alias("_m"),
+        )
+        memb2 = per_doc.select(
+            F.col(id_col), F.col("_n"), F.explode("_m").alias("_b")
+        )
+        buckets2 = memb2.groupBy(
+            *([F.col(f"_b.{block_col}")] if block_col else []), F.col("_b._s")
+        ).agg(
+            # struct comparison orders by _i first (unique per bucket),
+            # so the ascending-id pair order is byte-identical to the
+            # unfused sort_array(_ids) form
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("_i"), F.col("_n")))
+            ).alias("_es")
+        )
+        es = F.col("_es")
         pair_arr = F.flatten(F.transform(
-            ids,
+            es,
             lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(es, i + 2, F.size(es)),
+                lambda y: F.struct(
+                    x["_i"].alias("id_a"), y["_i"].alias("id_b"),
+                    x["_n"].alias("_na"), y["_n"].alias("_nb"),
+                ),
             ),
         ))
         common = (
-            buckets.where(F.col("_df") >= 2)
-            .select(F.explode(pair_arr).alias("_p"))
-            .select("_p.id_a", "_p.id_b")
+            buckets2.select(F.explode(pair_arr).alias("_p"))
+            .select("_p.id_a", "_p.id_b", "_p._na", "_p._nb")
             .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("_common"))
+            .agg(
+                F.count(F.lit(1)).alias("_common"),
+                # _na/_nb are constant per id_a/id_b — max() is exact
+                F.max("_na").alias("_na"),
+                F.max("_nb").alias("_nb"),
+            )
         )
         ex = None
     else:
@@ -271,8 +306,6 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count(F.lit(1)).alias("_common"))
         )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     if measure == "jaccard":
         sim = F.col("_common").cast("double") / (
             (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double")
@@ -283,10 +316,15 @@ def ngram_jaccard_pairs(
             F.least(F.col("_na"), F.col("_nb")).cast("double")
         )
         out_col = "containment"
+    if ex is None:
+        # bounded-bucket path: sizes travelled with the pairs (r16)
+        scored = common
+    else:
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+        scored = common.join(sa, "id_a").join(sb, "id_b")
     out = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", sim.alias(out_col))
+        scored.select("id_a", "id_b", sim.alias(out_col))
         .where(F.col(out_col) >= F.lit(float(threshold)))
     )
     if eager:

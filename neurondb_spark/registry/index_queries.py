@@ -1363,39 +1363,47 @@ def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(qrows, schema=qschema)
     d = distance("embedding", F.col("_qvec"), "cosine", dim=EMB_DIM,
                  checked=False)
-    # (r15) ONE window pass for all radii: per ph, a candidate's rank
-    # inside the r≤ph subset equals the RUNNING count of r≤ph rows in
-    # distance order — so one Exchange+Sort of the candidate frame
-    # yields every radius's row_number at once (the per-radius
-    # filter+window union paid 3 exchanges + 3 sorts over the same
-    # frame; guide §2.4's shared-partitioning rule taken to its limit).
-    # With a single consumer chain the checkpoint is lazy too: the only
-    # action below materializes it, no separate job (guide §1.2).
+    # (r16, reverting the r15 single-window rewrite) per-radius
+    # filter + row_number()<=K legs: the rank filter qualifies for
+    # map-side WindowGroupLimit pruning (plan proof:
+    # plans/r16/lsh_recall_window_perradius_before.txt shows
+    # Partial+Final WindowGroupLimit(row_number, 10) on every leg,
+    # while the r15 running-conditional-sum form —
+    # ..._runwindow_before.txt — has NONE on the candidate window), so
+    # each of the three exchanges carries only ~K rows per qid per map
+    # partition. The r15 form's ONE exchange carries the ENTIRE
+    # candidate frame — strictly more shuffle bytes at any scale where
+    # candidates ≫ 3·K·maps, i.e. everywhere that matters (the same
+    # WindowGroupLimit argument that rejected the matryoshka rewrite).
+    # Checkpoint is EAGER: three legs consume it concurrently, and the
+    # lazy form under concurrent consumers was measured 3-8x worse in
+    # r15 (block materialization races).
     cand = (
-        idx._read_data(spark)
+        idx._read_data(spark, buckets=sorted({b for _, b, _ in probes}))
         .join(F.broadcast(pdf_probe), "bucket")
         .join(F.broadcast(qdf), "qid")
         .select("qid", "vec_id", "r", d.alias("_dist"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     phs = sorted(_LSH_RECALL_FLOORS)
-    wrun = (
-        W.partitionBy("qid")
-        .orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    wqd = W.partitionBy("qid").orderBy(
+        F.col("_dist").asc(), F.col("vec_id").asc()
     )
-    ranked = cand.select(
-        "qid", "vec_id", "r",
-        *[F.sum(F.when(F.col("r") <= ph, 1).otherwise(0)).over(wrun)
-          .alias(f"_rn{ph}") for ph in phs],
-    )
+    from functools import reduce
+
+    legs = [
+        cand.where(F.col("r") <= ph)
+        .withColumn("_rn", F.row_number().over(wqd))
+        .where(F.col("_rn") <= _RECALL_K)
+        .select("qid", "vec_id", F.lit(ph).alias("_ph"))
+        for ph in phs
+    ]
     agg_row = (
-        ranked.join(exact, ["qid", "vec_id"], "left_semi")
+        reduce(lambda a, b: a.union(b), legs)
+        .join(exact, ["qid", "vec_id"], "left_semi")
         .agg(*[
-            F.sum(
-                F.when((F.col("r") <= ph)
-                       & (F.col(f"_rn{ph}") <= _RECALL_K), 1).otherwise(0)
-            ).alias(f"_n{ph}")
+            F.sum(F.when(F.col("_ph") == ph, 1).otherwise(0))
+            .alias(f"_n{ph}")
             for ph in phs
         ])
         .collect()[0]

@@ -175,6 +175,45 @@ def test_ngram_containment_finds_subset_doc(spark):
     assert jac[(1, 2)] < 0.8  # Jaccard under-scores the contained doc
 
 
+def test_ngram_bounded_path_matches_join_path(spark):
+    """The bounded-bucket path (max_df set, fused size-attach) must be
+    value-identical to the unbounded inverted-index join path when the
+    stop-shingle cap is a no-op — cross-checks the fused (common, |A|,
+    |B|) emission against the explicit size joins, exact doubles."""
+    docs = _docs(spark, n=40).withColumn(
+        "blk", (F.col("doc_id") % 2).cast("int")
+    )
+    for measure, thr in (("jaccard", 0.05), ("containment", 0.2)):
+        fused = ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=thr, shingle_n=2,
+            block_col="blk", max_df=10_000, measure=measure,
+        ).collect()
+        joined = ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=thr, shingle_n=2,
+            block_col="blk", measure=measure,
+        ).collect()
+        assert sorted(map(tuple, fused)) == sorted(map(tuple, joined))
+
+
+def test_ngram_bounded_path_drops_stop_shingles(spark):
+    """max_df must drop boilerplate shingles BEFORE pairing and size the
+    rare-shingle sets accordingly (hand-computed tiny example)."""
+    # 3 docs share shingle (x,y) -> df=3 > max_df=2, dropped; docs 1/2
+    # then share only (y,a): sizes become |1|={y a, a b}=2, |2|={y a, a c}=2
+    # -> jaccard = 1/(2+2-1) = 1/3
+    docs = spark.createDataFrame(
+        [(1, "x y a b"), (2, "x y a c"), (3, "x y d e")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.01, shingle_n=2, max_df=2
+        ).collect()
+    }
+    assert got == {(1, 2): pytest.approx(1.0 / 3.0, abs=0)}
+
+
 def test_ngram_pairs_rejects_unknown_measure(spark):
     docs = _docs(spark, n=4)
     with pytest.raises(ValueError):
