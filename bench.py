@@ -134,12 +134,21 @@ def main() -> None:
     # Previous self-recorded timings: a run that lands far above its prior
     # number is almost always C2-JIT / contention noise, not a plan change
     # — earn a third sample before recording it.
+    # (r16) every prev/floor source is gated on the CURRENT scale factor:
+    # a verify-loop bench at sf0.001 writes the same ledger files, and
+    # un-filtered its tiny per-query values would become the "floor" for
+    # the next sf0.1 run — flagging nearly every row as a contention
+    # suspect and maxing out the retry pass. Same trigger logic, same
+    # retry cadence, just scale-matched references.
+    sf_now = float(sf) if sf.replace(".", "").isdigit() else sf
     prev_timings: dict[str, float] = {}
     try:
         with open(os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
         )) as f:
-            prev_timings = json.load(f).get("queries", {})
+            _self = json.load(f)
+        if _self.get("sf") == sf_now:
+            prev_timings = _self.get("queries", {})
     except (OSError, ValueError):
         pass
     # Ledger FLOOR: the minimum ever recorded per query across every
@@ -170,7 +179,10 @@ def main() -> None:
         with open(hist_path) as f:
             for line in f:
                 try:
-                    for qn, v in json.loads(line).get("queries", {}).items():
+                    rec = json.loads(line)
+                    if rec.get("sf") != sf_now:
+                        continue  # scale-mismatched run (see r16 note)
+                    for qn, v in rec.get("queries", {}).items():
                         _floor_in(qn, v)
                 except ValueError:
                     continue
@@ -180,7 +192,10 @@ def main() -> None:
         import glob as _glob
         import re as _re
 
-        for bp in _glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        # the driver's BENCH_r*.json records are sf0.1 runs — only usable
+        # as floors when this run is sf0.1 too
+        for bp in (_glob.glob(os.path.join(repo, "BENCH_r*.json"))
+                   if sf_now == 0.1 else []):
             try:
                 with open(bp) as f:
                     raw = f.read()

@@ -128,7 +128,14 @@ def auto_train(
         except Exception as e:  # a candidate failing must not sink the rest
             return {"algorithm": algo, "error": str(e)[:200]}
 
-    with ThreadPoolExecutor(max_workers=min(3, max(1, len(candidates)))) as pool:
+    # Bound COMBINED concurrency (r16 ADVICE): each pooled candidate is a
+    # CrossValidator with parallelism=4, so pool_size × 4 fits can be in
+    # flight at once; size the pool from the cluster's parallelism
+    # (~one candidate per 8 cores, max 3) so small deployments degrade to
+    # a sequential loop instead of 12 concurrent fits fighting for memory.
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    workers = max(1, min(3, len(candidates), cores // 8))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         board = list(pool.map(_cv_one, candidates))
     scored = [b for b in board if "best_score" in b]
     bigger_better = task != "regression"

@@ -272,11 +272,24 @@ def kmeans_lloyd_exact(
 
     Scale: the exploded join shuffles n·d·k rows per round — the honest
     distributed form (MLlib's dense path does the same flops); centroids
-    stay a DataFrame end to end, nothing collects to the driver."""
+    stay a DataFrame end to end, nothing collects to the driver.
+
+    Lineage (optimization round 16, guide §5): the exploded vector frame
+    feeds every round's distance join AND every round's centroid rebuild
+    (2·iters+1 references); the lazy localCheckpoint computes it once
+    inside the caller's action instead of re-deriving the parquet scan +
+    posexplode per reference. The centroid join carries an explicit
+    broadcast hint — cent is k·d rows (model-sized at ANY data scale),
+    but behind the checkpoint boundary its size estimate is unknown, so
+    without the hint the initial plan falls back to SortMergeJoin over
+    the exploded frame until AQE re-plans. A per-round localCheckpoint
+    of cent was MEASURED SLOWER (~1.5x: each round's k·d block
+    materialization is a pipeline barrier) and is deliberately absent —
+    plan depth stays O(iters), which every in-repo caller bounds at 2."""
     from neurondb_spark.functions.aggregates import davg
     from pyspark.sql import Window as W
 
-    ex = _explode_vec(df, vec_col, [id_col])
+    ex = _explode_vec(df, vec_col, [id_col]).localCheckpoint(eager=False)
     init = (
         df.select(id_col).orderBy(id_col).limit(k)
         .select(
@@ -293,7 +306,7 @@ def kmeans_lloyd_exact(
     for _ in range(iters):
         cent_assign = cent
         d = (
-            ex.join(cent, "pos")
+            ex.join(F.broadcast(cent), "pos")
             .groupBy(id_col, "cluster")
             .agg(bsum((F.col("val") - F.col("cval"))
                       * (F.col("val") - F.col("cval"))).alias("dist"))

@@ -143,9 +143,14 @@ def bfs(
     graphs with bounded degree): each level becomes a broadcast hash join
     against the edge checkpoint — the edge frame is never shuffled at any
     level, which is the difference between O(levels·|E|) and
-    O(levels·|frontier|) shuffle bytes at 100 TB. Leave False for
-    unbounded frontiers (dense expander graphs), where the partitioned
-    join's spill-safety is the right trade."""
+    O(levels·|frontier|) shuffle bytes at 100 TB. NOTE the capacity
+    bound: the cumulative ``visited`` set is broadcast too (for the
+    anti-join), and it grows monotonically with every reached node — so
+    the flag requires the TOTAL REACHABLE node-id set (not just each
+    level's frontier) to fit in driver/executor broadcast memory. Leave
+    False for unbounded frontiers or deep traversals of large components
+    (dense expander graphs), where the partitioned join's spill-safety
+    is the right trade."""
     e = edges.select(src, dst)
     if not directed:
         e = e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
@@ -223,7 +228,20 @@ def pagerank(
     The weighted edge list is materialized once (localCheckpoint) and the
     rank frame is checkpointed every ``checkpoint_every`` iterations, so
     plan depth (and recovery-chain length) stays bounded regardless of
-    iteration count."""
+    iteration count.
+
+    Iteration shape (optimization round 16, guide §2.4 "remove shuffles
+    outright"): the edge frame carries one synthetic zero-contribution
+    self-loop per node (outdeg NULL → contribution exactly 0.0), so the
+    contribution aggregation itself yields EVERY node each iteration and
+    the former per-iteration ``nodes LEFT JOIN summed`` — an extra
+    Exchange + Sort of the rank frame per iteration — disappears. The
+    value is unchanged bit-for-bit: bsum adds round(0.0·2^40)=0 to the
+    long accumulator (exact no-op) and a node with no real in-edges gets
+    teleport + damping·0.0 = teleport, the old coalesce semantics. The
+    groupBy's output is hash-partitioned by node, which is exactly the
+    partitioning the next iteration's contribution join needs on the
+    rank side."""
     e = edges.select(src, dst)
     if dedup_edges:  # False when the caller guarantees distinct edges
         e = e.distinct()
@@ -241,25 +259,30 @@ def pagerank(
     e_w = (
         e.join(outdeg, src)
         .select(src, dst, F.col("outdeg"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias(src),
+                F.col("node").alias(dst),
+                F.lit(None).cast("long").alias("outdeg"),
+            )
+        )
         .localCheckpoint(eager=False)
     )
+    teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for i in range(iterations):
         contrib = ranks.join(e_w, ranks.node == e_w[src]).select(
-            F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c")
+            F.col(dst).alias("node"),
+            F.when(F.col("outdeg").isNull(), F.lit(0.0))
+            .otherwise(F.col("pr") / F.col("outdeg"))
+            .alias("c"),
         )
-        summed = contrib.groupBy("node").agg(
-            (bsum(F.col("c")) if exact else F.sum("c")).alias("s")
-        )
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("pr"),
-            )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * (bsum(F.col("c")) if exact else F.sum("c"))
+            ).alias("pr")
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             # lazy: truncates the plan (the point of the cadence) without
@@ -286,7 +309,12 @@ def connected_components(
     convergence check, so a graph of diameter D converges in ⌈D/2⌉+1
     rounds of 3 jobs (half-step checkpoint, round checkpoint, sum) versus
     the former D+1 iterations of 2 jobs — fewer sequential round-trips
-    and half the convergence probes. The result is the same fixpoint (the
+    and half the convergence probes. NOTE: ``max_iter`` therefore counts
+    DOUBLE-STEP rounds — the effective propagation-step budget is
+    2·max_iter, so a caller that wants at most N single steps as a work
+    bound should pass max_iter=⌈N/2⌉ (on graphs that converge within the
+    budget, as every in-repo caller does, the fixpoint is identical
+    either way). The result is the same fixpoint (the
     label-sum is non-increasing under each step, so an unchanged sum
     across a double step still implies the fixpoint), and plan depth per
     round stays bounded at one join+agg layer per checkpoint."""

@@ -379,6 +379,20 @@ FORCE_RECHECK = frozenset({
     "substring_dup_stats", "substring_dup_pairs", "bpe_merges_topk",
     "bpe_tokenize_counts", "trigram_lm_quality", "ppl_bucket_counts",
     "corpus_curation_pipeline", "lsh_recall_report", "ann_recall_report",
+    #
+    # Round 16 optimization rewrites (this round's local driver-sim is
+    # green for every one; the driver should still re-verify): the fused
+    # ngram pair-size attach (ngram_containment_pairs was r15-checked but
+    # rewritten AGAIN in r16), the LSH bucket→file manifest probes, the
+    # kmeans_lloyd_exact lineage/broadcast restructure and its lloyd-IVF
+    # layout consumers, the pagerank self-loop iteration shape
+    # (graph_pagerank already listed above), and the hybrid-BPE trainer's
+    # incremental-statistics changes.
+    "ngram_containment_pairs", "lsh_batch_knn", "lsh_recall_clustered",
+    "lsh_knn_full_radius", "lsh_insert_delete_knn", "kmeans_fixed_lloyd",
+    "kmeans_silhouette", "ml_kmeans_clusters", "ivf_knn_probe",
+    "ivf_knn_full_probe", "ivf_rebalance_probe", "bpe_hybrid_merges",
+    "bpe_hybrid_train_k2000", "automl_deploy_ab",
 })
 
 

@@ -151,8 +151,8 @@ def _q_bpe_hybrid_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained-CTE oracle); a 2000-round CTE chain is the same construction
     at a size DuckDB cannot plan. Output: one summary row, deterministic
     (integer counts, total-order argmax)."""
-    from neurondb_spark.operators.bpe import bpe_token_counts, char_symbols
-    from neurondb_spark.operators.bpe_local import bpe_train_hybrid
+    from neurondb_spark.operators.bpe import char_symbols
+    from neurondb_spark.operators.bpe_local import bpe_train_hybrid_summary
 
     docs = t(spark, sf_dir, "documents")
     words = (
@@ -160,15 +160,18 @@ def _q_bpe_hybrid_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("symbols", char_symbols("word"))
     )
-    merges, final = bpe_train_hybrid(words, _BPE_PROD_K)
-    vocab = bpe_token_counts(final).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("occurrences").alias("total_occurrences"),
-    )
-    return vocab.select(
-        F.lit(len(merges)).cast("int").alias("n_merges"),
-        F.col("n_tokens").cast("long"),
-        F.col("total_occurrences").cast("long"),
+    # (r16) summary variant: same training loop, same three values, but
+    # the vocabulary aggregate is computed over the trainer's own
+    # driver-resident table instead of round-tripping it back into a
+    # LocalTableScan → explode → groupBy job (guide §5; the table is
+    # Heaps-bounded BY the hybrid trainer's design — it was already
+    # collected). Values proven equal to the old bpe_token_counts(final)
+    # aggregate in tests/test_bpe_hybrid.py.
+    n_merges, n_tokens, total = bpe_train_hybrid_summary(words, _BPE_PROD_K)
+    return spark.createDataFrame(
+        [(int(n_merges), int(n_tokens),
+          None if total is None else int(total))],
+        "n_merges int, n_tokens long, total_occurrences long",
     )
 
 

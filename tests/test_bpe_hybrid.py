@@ -70,6 +70,43 @@ def test_hybrid_early_stop_and_contracts(spark):
         bpe_train_hybrid(words, 0)
 
 
+def test_hybrid_summary_equals_dataframe_aggregate(spark):
+    """bpe_train_hybrid_summary (r16: driver-side vocabulary summary, no
+    final_words round-trip) returns exactly the values of the old
+    count()/sum() aggregate over bpe_token_counts(final_words) — the
+    bpe_hybrid_train_k2000 row's contract."""
+    from pyspark.sql import functions as F
+
+    from neurondb_spark.operators.bpe import bpe_token_counts, bpe_word_table
+    from neurondb_spark.operators.bpe_local import (
+        bpe_train_hybrid,
+        bpe_train_hybrid_summary,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = bpe_word_table(docs, "text").localCheckpoint(eager=True)
+    merges, final = bpe_train_hybrid(words, 7)
+    old = bpe_token_counts(final).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("occurrences").alias("total_occurrences"),
+    ).collect()[0]
+    got = bpe_train_hybrid_summary(words, 7)
+    assert got == (len(merges), old["n_tokens"], old["total_occurrences"])
+
+    # tricky shapes: overlapping self-pairs and multi-word tables
+    tricky = spark.createDataFrame(
+        [("aaaa", 2, list("aaaa")), ("aab", 4, list("aab"))],
+        "word string, cnt long, symbols array<string>",
+    )
+    m2, f2 = bpe_train_hybrid(tricky, 3)
+    old2 = bpe_token_counts(f2).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("occurrences").alias("t")
+    ).collect()[0]
+    assert bpe_train_hybrid_summary(tricky, 3) == (
+        len(m2), old2["n"], old2["t"]
+    )
+
+
 def test_hybrid_overlapping_and_stale_index(spark):
     """The incremental statistics survive the tricky cases: overlapping
     pair counting ("aaaa"), repeated merges of self-pairs, and words
