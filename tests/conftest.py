@@ -17,7 +17,27 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("neurondb-spark-tests", shuffle_partitions=8)
+    # Test-lane session tuning (r16, VERDICT #6 "fit the verify
+    # window"): the suite runs at sf0.001 where per-job LATENCY, not
+    # data, dominates wall time. Three execution-strategy-only settings
+    # (identical results; all value assertions are config-independent
+    # and the driver's own sims/bench keep production confs):
+    #   - local[8]: 32-way task scheduling over KB-sized partitions is
+    #     pure overhead (merge-table file: 228s → 130s);
+    #   - wholeStage codegen off: Janino compilation per stage costs
+    #     more than interpreting KB-sized batches ever saves;
+    #   - AQE off: per-shuffle re-planning round-trips (130s → 96s with
+    #     both on the merge-table file).
+    # Each is env-overridable for a production-conf test run.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    extra = {
+        "spark.sql.codegen.wholeStage":
+            os.environ.get("NEURONDB_TEST_CODEGEN", "false"),
+        "spark.sql.adaptive.enabled":
+            os.environ.get("NEURONDB_TEST_AQE", "false"),
+    }
+    s = get_spark("neurondb-spark-tests", shuffle_partitions=8,
+                  extra_conf=extra)
     yield s
 
 

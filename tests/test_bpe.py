@@ -70,6 +70,7 @@ def test_bpe_train_stops_when_exhausted(spark):
         bpe_train(words, 0)
 
 
+@pytest.mark.slow  # e2e duplicate of driver-gated coverage; extended lane (r16)
 def test_bpe_tokenize_roundtrip_and_count_consistency(spark):
     """Round trip on real corpus text: (1) concatenating a word's
     subword tokens reproduces the word for every corpus word; (2)

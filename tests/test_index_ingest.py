@@ -350,6 +350,7 @@ def test_vacuum_journal_crash_rolls_forward_on_load(cdc_env, monkeypatch, am):
     assert not (got & set(dead))
 
 
+@pytest.mark.slow  # lifecycle/long-loop e2e; extended lane (r16)
 def test_cdc_auto_compaction_hook(cdc_env):
     """r9 verdict #7: with compact_every=N, a drain over 3N micro-batches
     ends with ≤1 file per touched partition (the reference's background
@@ -436,6 +437,7 @@ def test_compact_after_cdc_shrinks_files_preserves_topk(cdc_env):
     assert after == before == _brute_ids(spark, emb, q)
 
 
+@pytest.mark.slow  # lifecycle/long-loop e2e; extended lane (r16)
 def test_cdc_cadence_constant_metadata_and_bounded_journal(
     cdc_env, monkeypatch
 ):
@@ -554,6 +556,7 @@ def test_drain_retry_recovers_crashed_compaction(cdc_env):
     assert got == _brute_ids(spark, emb, q)
 
 
+@pytest.mark.slow  # lifecycle/long-loop e2e; extended lane (r16)
 def test_journal_retention_without_compaction(cdc_env):
     """r11 ADVICE #3: with compact_every=0 (the default) retention must
     still run — at drain start — so a long-lived drain's journal stays

@@ -66,6 +66,7 @@ def test_preprocess_dispatch(spark):
         preprocess("v", "nope")
 
 
+@pytest.mark.slow  # e2e duplicate of driver-gated coverage; extended lane (r16)
 def test_text_similarity_semantic(spark):
     df = spark.createDataFrame([("same text", "same text", "different words here")],
                                "a string, b string, c string")

@@ -13,10 +13,12 @@ from neurondb_spark.index.pq import PQCodebook, pq_search  # noqa: E402
 from neurondb_spark.operators.knn import knn  # noqa: E402
 from neurondb_spark.registry.common import qvec  # noqa: E402
 from tests.conftest import SF_DIR  # noqa: E402
+import pytest
 
 DIM = 64
 
 
+@pytest.mark.slow  # e2e duplicate of driver-gated coverage; extended lane (r16)
 def test_pq_roundtrip_and_search(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cb = PQCodebook.train(emb, "embedding", DIM, m=8, k=16)

@@ -44,6 +44,7 @@ def test_knn_model_train_predict_evaluate(spark):
         eng.train(df, "knn", ["v"], target="y", params={"k": 0})
 
 
+@pytest.mark.slow  # lifecycle/long-loop e2e; extended lane (r16)
 def test_bayesian_optimize_deterministic_cycling(spark):
     from neurondb_spark.ml.automl import bayesian_optimize
 

@@ -46,13 +46,18 @@ def test_engine_train_and_tokenize_with(spark):
 
     eng = NeuronSparkEngine(spark, tempfile.mkdtemp(prefix="tok_cat_"))
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    merges = eng.train_tokenizer("doc_bpe", docs, "text", num_merges=6)
-    assert len(merges) == 6
+    # K=4 (r16): K=6 took 162s — the expression-route tokenizer compiles
+    # an O(4^K) nested-fold tree, so plan analysis dominates; every
+    # property here (persistence, hybrid/distributed parity, saved-apply
+    # re-tokenization identity) is K-independent and K=4 still routes
+    # through the same expression path (K <= MAX_EXPR_MERGES).
+    merges = eng.train_tokenizer("doc_bpe", docs, "text", num_merges=4)
+    assert len(merges) == 4
     meta = eng.catalog.get("tokenizers", "doc_bpe")
-    assert meta and meta["num_merges"] == 6
+    assert meta and meta["num_merges"] == 4
     # distributed-loop parity (hybrid trainer bit-equality, re-proven
     # through the persistence path)
-    m_dist, final = bpe_train(bpe_word_table(docs, "text"), 6)
+    m_dist, final = bpe_train(bpe_word_table(docs, "text"), 4)
     assert merges == m_dist
     # applying the SAVED tokenizer re-tokenizes the corpus to exactly
     # the training run's token counts
