@@ -225,10 +225,23 @@ def pagerank(
     teleport term only. ``exact`` routes the contribution sums through
     binary fixed-point (bsum) for bit-reproducible ranks.
 
-    The weighted edge list is materialized once (localCheckpoint) and the
-    rank frame is checkpointed every ``checkpoint_every`` iterations, so
-    plan depth (and recovery-chain length) stays bounded regardless of
-    iteration count.
+    The weighted edge list is materialized once and the rank frame is
+    checkpointed every ``checkpoint_every`` iterations, so plan depth
+    (and recovery-chain length) stays bounded regardless of iteration
+    count.
+
+    Co-partitioning (optimization round 16, guide §2 "co-partition the
+    reused side of an iterated join"): the weighted edge frame is pinned
+    with ``repartition(src).sortWithinPartitions(src).persist()`` rather
+    than a localCheckpoint — a checkpointed LogicalRDD reports
+    UnknownPartitioning, so every iteration's rank⋈edge SortMergeJoin
+    re-Exchanges + re-Sorts the FULL edge frame, while the cached
+    InMemoryRelation preserves hashpartitioning(src)+ordering and each
+    iteration consumes it with no Exchange and no Sort. One edge shuffle
+    at build replaces one per iteration. The final rank frame is
+    materialized eagerly so the cache can be released before returning
+    (same total work: the caller's action replays the checkpointed
+    rows).
 
     Iteration shape (optimization round 16, guide §2.4 "remove shuffles
     outright"): the edge frame carries one synthetic zero-contribution
@@ -266,28 +279,38 @@ def pagerank(
                 F.lit(None).cast("long").alias("outdeg"),
             )
         )
-        .localCheckpoint(eager=False)
+        .repartition(F.col(src))
+        .sortWithinPartitions(src)
+        .persist()
     )
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    for i in range(iterations):
-        contrib = ranks.join(e_w, ranks.node == e_w[src]).select(
-            F.col(dst).alias("node"),
-            F.when(F.col("outdeg").isNull(), F.lit(0.0))
-            .otherwise(F.col("pr") / F.col("outdeg"))
-            .alias("c"),
-        )
-        ranks = contrib.groupBy("node").agg(
-            (
-                F.lit(teleport)
-                + F.lit(damping)
-                * (bsum(F.col("c")) if exact else F.sum("c"))
-            ).alias("pr")
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            # lazy: truncates the plan (the point of the cadence) without
-            # paying a separate materialization job per checkpoint
-            ranks = ranks.localCheckpoint(eager=False)
+    try:
+        for i in range(iterations):
+            contrib = ranks.join(e_w, ranks.node == e_w[src]).select(
+                F.col(dst).alias("node"),
+                F.when(F.col("outdeg").isNull(), F.lit(0.0))
+                .otherwise(F.col("pr") / F.col("outdeg"))
+                .alias("c"),
+            )
+            ranks = contrib.groupBy("node").agg(
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (bsum(F.col("c")) if exact else F.sum("c"))
+                ).alias("pr")
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                # lazy: truncates the plan (the point of the cadence)
+                # without paying a separate materialization job per
+                # checkpoint
+                ranks = ranks.localCheckpoint(eager=False)
+        # eager: runs the iteration pipeline here (the caller's action
+        # replays the rows) so the pinned edge cache can be released —
+        # no cached partitions outlive the call
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        e_w.unpersist()
     return ranks
 
 
@@ -319,19 +342,22 @@ def connected_components(
     across a double step still implies the fixpoint), and plan depth per
     round stays bounded at one join+agg layer per checkpoint."""
     e = edges.select(src, dst)
+    # pinned co-partitioned on the per-step join key (r16, guide §2):
+    # a checkpointed edge frame has UnknownPartitioning, so EVERY
+    # propagation step re-Exchanges + re-Sorts the full edge frame for
+    # its SortMergeJoin; the cached InMemoryRelation preserves
+    # hashpartitioning(src) + src ordering, so each step consumes the
+    # edges with no Exchange and no Sort — one edge shuffle at build
+    # instead of one per step. Released in the finally: the returned
+    # labels frame is an EAGER checkpoint, so nothing downstream
+    # re-reads the cache.
     e = (
         e.union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
         .distinct()
-        .localCheckpoint()
+        .repartition(F.col(src))
+        .sortWithinPartitions(src)
+        .persist()
     )
-    labels = (
-        e.select(F.col(src).alias("node"))
-        .union(e.select(F.col(dst).alias("node")))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
-    )
-
     def _step(lab):
         nb_min = (
             lab.join(e, lab.node == e[src])
@@ -346,22 +372,33 @@ def connected_components(
         )
 
     prev_sum = None
-    for _ in range(max_iter):
-        # the intermediate step is checkpointed as well: _step references
-        # its input twice (join side + nb_min side), and the eager
-        # checkpoint makes the half-round compute once — lazy checkpoints
-        # were measured WORSE here (concurrent consumer stages race to
-        # materialize the same blocks and the loop's dead plans spam
-        # accumulator errors; see OPTIMIZATION_r15.md)
-        labels = _step(
-            _step(labels).localCheckpoint()
-        ).localCheckpoint()
-        cur_sum = labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).head()[0]
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    try:
+        labels = (
+            e.select(F.col(src).alias("node"))
+            .union(e.select(F.col(dst).alias("node")))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iter):
+            # the intermediate step is checkpointed as well: _step
+            # references its input twice (join side + nb_min side), and
+            # the eager checkpoint makes the half-round compute once —
+            # lazy checkpoints were measured WORSE here (concurrent
+            # consumer stages race to materialize the same blocks and the
+            # loop's dead plans spam accumulator errors; see
+            # OPTIMIZATION_r15.md)
+            labels = _step(
+                _step(labels).localCheckpoint()
+            ).localCheckpoint()
+            cur_sum = labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).head()[0]
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        e.unpersist()
     return labels
 
 

@@ -386,8 +386,12 @@ FORCE_RECHECK = frozenset({
     # rewritten AGAIN in r16), the LSH bucket→file manifest probes, the
     # kmeans_lloyd_exact lineage/broadcast restructure and its lloyd-IVF
     # layout consumers, the pagerank self-loop iteration shape
-    # (graph_pagerank already listed above), and the hybrid-BPE trainer's
-    # incremental-statistics changes.
+    # (graph_pagerank already listed above), the hybrid-BPE trainer's
+    # incremental-statistics changes, and the pinned co-partitioned edge
+    # frames in pagerank / connected_components / label propagation
+    # (graph_pagerank, graph_connected_components,
+    # community_label_propagation, dbscan_clusters, neardup_resolve_* —
+    # all already listed above).
     "ngram_containment_pairs", "lsh_batch_knn", "lsh_recall_clustered",
     "lsh_knn_full_radius", "lsh_insert_delete_knn", "kmeans_fixed_lloyd",
     "kmeans_silhouette", "ml_kmeans_clusters", "ivf_knn_probe",

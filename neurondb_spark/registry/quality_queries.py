@@ -102,36 +102,51 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     # bipartite int encoding (even→odd) means the reversed half can't
     # collide with the forward half, and min-propagation is insensitive to
-    # duplicate edges — skip the distinct shuffle entirely. localCheckpoint
-    # materializes the edge frame once (each iteration re-reads blocks, not
-    # the union plan) and truncates per-iteration lineage growth.
-    und = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)  # lazy (r15): materialized once inside
-    # the final action; every round reads the one copy
-    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
+    # duplicate edges — skip the distinct shuffle entirely. The edge frame
+    # is pinned co-partitioned on the per-round join key (r16, guide §2):
+    # the r15 localCheckpoint had UnknownPartitioning, so every round's
+    # labels⋈edges SortMergeJoin re-Exchanged + re-Sorted the FULL edge
+    # frame; the cached InMemoryRelation preserves hashpartitioning(src)
+    # + src ordering, so each round consumes the edges with no Exchange
+    # and no Sort — one edge shuffle at build instead of one per round.
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
     )
-    for i in range(3):
-        nb = (
-            labels.join(und, labels.node == und.src)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nb_min"))
+    try:
+        labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
         )
-        labels = labels.join(nb, "node", "left").select(
-            "node", F.least(F.col("lbl"), F.coalesce(F.col("nb_min"), F.col("lbl"))).alias("lbl")
+        for i in range(3):
+            nb = (
+                labels.join(und, labels.node == und.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lbl").alias("nb_min"))
+            )
+            labels = labels.join(nb, "node", "left").select(
+                "node", F.least(F.col("lbl"), F.coalesce(F.col("nb_min"), F.col("lbl"))).alias("lbl")
+            )
+            if i < 2:
+                # lazy (r15): lineage still truncated per round, but the
+                # whole 3-round chain executes as ONE job — each round's
+                # frame materializes once (both next-round references
+                # share it)
+                labels = labels.localCheckpoint(eager=False)
+        out = (
+            labels.groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("community_size"))
+            .groupBy("community_size")
+            .agg(F.count(F.lit(1)).alias("n_communities"))
         )
-        if i < 2:
-            # lazy (r15): lineage still truncated per round, but the whole
-            # 3-round chain now executes as ONE job — each round's frame
-            # materializes once (both next-round references share it)
-            labels = labels.localCheckpoint(eager=False)
-    return (
-        labels.groupBy("lbl")
-        .agg(F.count(F.lit(1)).alias("community_size"))
-        .groupBy("community_size")
-        .agg(F.count(F.lit(1)).alias("n_communities"))
-    )
+        # eager: the result is a small histogram — materialize it here so
+        # the pinned edge cache can be released before returning (the
+        # caller's action replays the checkpointed rows; total work
+        # unchanged, the 3-round chain still runs as one job)
+        return out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
 
 
 def _sql_label_propagation() -> str:

@@ -204,6 +204,31 @@ def test_graph_connected_components(spark):
     assert cc[12] == 12
 
 
+def test_graph_copartition_cache_released(spark):
+    """r16 co-partitioning: pagerank/connected_components pin their edge
+    frame with repartition+persist for the iterated join; the pin must
+    not outlive the call (no leaked cache entries) and must not change
+    values (the pinned form vs a plain-input rerun)."""
+    from neurondb_spark.operators.graph import connected_components, pagerank
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)], "src int, dst int"
+    )
+    pr1 = {r["node"]: r["pr"] for r in pagerank(edges, iterations=3).collect()}
+    cc1 = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    # no persisted frames survive the calls (the eager checkpoints the
+    # operators return are RDD blocks, not catalog cache entries)
+    jspark = spark._jsparkSession
+    assert jspark.sharedState().cacheManager().isEmpty(), "leaked cache"
+    # bit-identical across a rerun (the pin is partitioning-only; bsum
+    # and min are order-insensitive)
+    pr2 = {r["node"]: r["pr"] for r in pagerank(edges, iterations=3).collect()}
+    cc2 = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert pr1 == pr2 and cc1 == cc2
+    assert cc1[1] == cc1[2] == cc1[3] == cc1[4] == 1 and cc1[10] == 10
+
+
 def test_graph_bfs_depths(spark):
     from neurondb_spark.operators.graph import bfs
 
